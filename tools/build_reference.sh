@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# Build the C++ reference (KLab/YAIK @ /root/reference) on Linux, for golden
+# fixture generation ONLY. Sources are compiled by absolute path from the
+# read-only reference mount; nothing is copied into this repo.
+#
+# Products (under tools/refbuild/, gitignored):
+#   libzstd134.so  - the reference's vendored zstd 1.3.4 as a shared lib
+#                    (used by yaik_tpu's entropy layer for bit-exact encoding)
+#   ref_encoder    - reference CLI: ref_encoder img.png -> img.png.yaik (+ LutFile.lut)
+#   ref_decoder    - our fixture driver around the reference decoder lib:
+#                    ref_decoder file.yaik LutFile.lut out.raw
+set -euo pipefail
+REF=${REF:-/root/reference}
+HERE=$(cd "$(dirname "$0")" && pwd)
+OUT=$HERE/refbuild
+mkdir -p "$OUT/shim"
+
+if [ ! -d "$REF" ]; then
+  echo "reference not present at $REF; skipping reference build" >&2
+  exit 2
+fi
+
+CXXFLAGS="-O2 -fno-strict-aliasing -w -fpermissive"
+CFLAGS="-O2 -fno-strict-aliasing -w"
+
+# ---- shim headers for MSVC-style backslash includes in ImageEncoder.cpp ----
+printf '#include "%s/external/stb_image/stb_image.h"\n' "$REF" > "$OUT/shim/"'..\external\stb_image\stb_image.h'
+printf '#include "%s/external/stb_image/stb_image_write.h"\n' "$REF" > "$OUT/shim/"'..\external\stb_image\stb_image_write.h'
+
+# ---- vendored zstd 1.3.4 as a shared library ----
+if [ ! -f "$OUT/libzstd134.so" ]; then
+  echo "building libzstd134.so (vendored zstd 1.3.4)"
+  ZSRC=$(ls "$REF"/external/zstd/*.c)
+  gcc $CFLAGS -fPIC -shared -DZSTD_MULTITHREAD=0 -o "$OUT/libzstd134.so" $ZSRC -lpthread
+fi
+
+# ---- static zstd objects for linking the reference binaries ----
+if [ ! -f "$OUT/zstd134.a" ]; then
+  mkdir -p "$OUT/zobj"; (cd "$OUT/zobj"
+    for f in "$REF"/external/zstd/*.c; do gcc $CFLAGS -c "$f" -o "$(basename "$f" .c).o"; done
+    ar rcs "$OUT/zstd134.a" *.o)
+fi
+
+# ---- reference encoder (our driver main; see ref_encode_main.cpp) ----
+if [ ! -f "$OUT/ref_encoder" ]; then
+  echo "building ref_encoder"
+  # -DDIRENT_H skips the vendored MSVC dirent.h (windows.h); -include pulls the
+  # system dirent instead (used only by the LUT research path).
+  g++ $CXXFLAGS -iquote "$OUT/shim" -I "$REF/encoder" -DDIRENT_H -include /usr/include/dirent.h -include cstring \
+    "$HERE/ref_encode_main.cpp" "$REF"/encoder/EncoderContext.cpp \
+    "$REF"/encoder/Image.cpp "$REF"/encoder/Plane.cpp \
+    "$REF"/decoder/YAIK_GenericFunctions.cpp \
+    "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder"
+fi
+
+# ---- reference decoder + our raw-dump driver ----
+if [ ! -f "$OUT/ref_decoder" ]; then
+  echo "building ref_decoder"
+  # YAIK_DEVEL matches the reference vcxproj config; shim Windows.h supplies
+  # a no-op _CrtCheckMemory on Linux.
+  printf 'static inline int _CrtCheckMemory(void){return 1;}\n' > "$OUT/shim/Windows.h"
+  g++ $CXXFLAGS -I "$REF/include" -I "$OUT/shim" -DYAIK_DEVEL -DZSTD_STATIC_LINKING_ONLY \
+    "$HERE/ref_decode_main.cpp" \
+    "$REF"/decoder/YAIK_API.cpp "$REF"/decoder/YAIK_Gradient.cpp \
+    "$REF"/decoder/YAIK_3DTile.cpp "$REF"/decoder/YAIK_Alpha.cpp \
+    "$REF"/decoder/YAIK_Mipmap.cpp "$REF"/decoder/YAIK_GenericFunctions.cpp \
+    "$REF"/decoder/YAIK_DefaultCallback.cpp \
+    "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_decoder"
+fi
+echo "reference build OK: $OUT"
