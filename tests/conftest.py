@@ -1,0 +1,34 @@
+import os
+
+# Multi-chip sharding tests run on a virtual 8-device CPU mesh; the real TPU
+# is exercised only by bench.py / explicit tpu-marked runs.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import numpy as np
+import pytest
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="session")
+def lut_bytes():
+    return (FIXTURES / "LutFile.lut").read_bytes()
+
+
+def fixture_names():
+    return sorted(p.stem for p in FIXTURES.glob("*.yaik"))
+
+
+@pytest.fixture(scope="session")
+def golden():
+    def load(name):
+        stream = (FIXTURES / f"{name}.yaik").read_bytes()
+        rgb = np.load(FIXTURES / f"{name}.dec.npz")["rgb"]
+        return stream, rgb
+    return load

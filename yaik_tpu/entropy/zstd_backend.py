@@ -1,0 +1,72 @@
+"""zstd binding via ctypes.
+
+The reference vendors zstd 1.3.4 and its *compressed bytes* are part of what
+"bit-identical stream" means for the encoder. tools/build_reference.sh builds
+that exact version as libzstd134.so from the read-only reference mount; when
+present we load it for compression (and decompression). Otherwise we fall
+back to the system libzstd: decode compatibility is unaffected (zstd format
+is stable), but freshly encoded streams will differ at the entropy layer
+while still decoding to identical pixels.
+
+Reference usage: ZSTD_compress level 18 for most streams
+(EncoderContext.cpp:3697 etc.), 5..21 sweep for alpha (:1590).
+"""
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import os
+
+_HERE = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_CANDIDATES = [
+    os.environ.get("YAIK_ZSTD_LIB", ""),
+    os.path.join(_HERE, "tools", "refbuild", "libzstd134.so"),
+]
+
+
+def _load():
+    for p in _CANDIDATES:
+        if p and os.path.exists(p):
+            return ctypes.CDLL(p), True
+    name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+    return ctypes.CDLL(name), False
+
+
+_lib, IS_REFERENCE_ZSTD = _load()
+
+_lib.ZSTD_compressBound.restype = ctypes.c_size_t
+_lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+_lib.ZSTD_compress.restype = ctypes.c_size_t
+_lib.ZSTD_compress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                               ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int]
+_lib.ZSTD_decompress.restype = ctypes.c_size_t
+_lib.ZSTD_decompress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                 ctypes.c_void_p, ctypes.c_size_t]
+_lib.ZSTD_isError.restype = ctypes.c_uint
+_lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+_lib.ZSTD_versionNumber.restype = ctypes.c_uint
+
+VERSION = int(_lib.ZSTD_versionNumber())
+
+
+def compress(data: bytes, level: int = 18, dst_capacity: int | None = None) -> bytes:
+    """ZSTD_compress. dst_capacity mirrors the reference's explicit output
+    buffer sizes (it never uses compressBound); results don't depend on it
+    unless too small, in which case zstd errors like the reference would."""
+    if dst_capacity is None:
+        dst_capacity = int(_lib.ZSTD_compressBound(len(data)))
+    out = ctypes.create_string_buffer(dst_capacity)
+    n = _lib.ZSTD_compress(out, dst_capacity, data, len(data), level)
+    if _lib.ZSTD_isError(n):
+        raise RuntimeError(f"ZSTD_compress failed (capacity {dst_capacity})")
+    return out.raw[:n]
+
+
+def decompress(data: bytes, expected_size: int) -> bytes:
+    """ZSTD_decompress with exact expected-size check (DecompressData,
+    YAIK_API.cpp:505-521)."""
+    out = ctypes.create_string_buffer(expected_size if expected_size else 1)
+    n = _lib.ZSTD_decompress(out, expected_size, data, len(data))
+    if _lib.ZSTD_isError(n) or n != expected_size:
+        raise ValueError(f"zstd decompress: got {n}, expected {expected_size}")
+    return out.raw[:expected_size]
