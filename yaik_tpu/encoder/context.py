@@ -1,0 +1,181 @@
+"""Encoder pipeline: the reference's EncoderContext::Convert
+(EncoderContext.cpp:8986-9787), active path only (gradient passes -> 3D-LUT
+passes -> 1D residual), producing byte-exact .yaik streams when the
+vendored-zstd-1.3.4 build is available.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from yaik_tpu.encoder import bank as bankmod
+from yaik_tpu.encoder import corr3d, dyn1d, gradient
+from yaik_tpu.encoder.palette_codec import PaletteState, palette_compress
+from yaik_tpu.entropy import zstd_backend as zstd
+from yaik_tpu.format import swizzle
+from yaik_tpu.format.headers import (FileHeader, Header1D, HeaderBase,
+                                     HeaderGradientTile, HeaderTile3D, MAGIC)
+
+
+@dataclass
+class EncoderConfig:
+    """Knobs mirroring the reference CLI defaults (ImageEncoder.cpp:175-190,
+    EncoderContext.h:221-233)."""
+    reject_factor: int = 3
+    color_compression_quad: int = 250
+    color_compression_lut3d: int = 250
+    color_compression_1d: int = 255
+    range_compression_1d: int = 15
+
+
+def _compress_stream(data: bytes) -> bytes:
+    """CompressStream (:3692): zstd level 18, capacity max(2x, 1000)."""
+    return zstd.compress(data, 18, max(len(data) * 2, 1000))
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    length = (len(body) + 3) & ~3
+    return HeaderBase(tag, length).pack() + body + b"\0" * (length - len(body))
+
+
+def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
+                 config: EncoderConfig | None = None) -> bytes:
+    """Encode an RGB image ([h, w, 3] u8, dims multiple of 8) to .yaik."""
+    cfg = config or EncoderConfig()
+    h, w = rgb.shape[:2]
+    if (w & 7) or (h & 7):
+        raise ValueError("image dimensions must be multiples of 8")
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("RGB images only for now (alpha path pending)")
+
+    planes = rgb.transpose(2, 0, 1).astype(np.int32)       # [3,H,W]
+    claims = np.zeros((3, h, w), bool)                      # mapSmoothTile
+    mapped_rgb = np.zeros((3, h + 1, w + 1), bool)          # mappedRGB
+
+    out = bytearray()
+    out += FileHeader(MAGIC, 1, w, h, 0).pack()
+    pal_state = PaletteState()  # the reference's global CodeRGB persists across chunks
+
+    # ---- gradient passes ----
+    for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
+        bitmap, rgb_stream, count = gradient.run_pass(
+            planes, claims, mapped_rgb, sx, sy, cfg.reject_factor,
+            cfg.color_compression_quad)
+        if count == 0 or not rgb_stream:
+            continue
+        z_bitmap = _compress_stream(bitmap)
+        cust = palette_compress(rgb_stream, pal_state)
+        if cust is None:
+            raise RuntimeError("palette compression failed")
+        z_rgb = _compress_stream(cust)
+        hdr = HeaderGradientTile(
+            x=0, y=0, w=0, h=0,  # patched below with the reference's bbox bug
+            stream_bitmap_size=len(z_bitmap),
+            stream_rgb_size_zstd=len(z_rgb),
+            stream_rgb_size_custom=len(cust),
+            stream_rgb_size_uncompressed=len(rgb_stream),
+            color_compression=cfg.color_compression_quad,
+            version=0,
+            format=sx | (sy << 3),
+            plane=7,
+        )
+        hdr.x, hdr.y, hdr.w, hdr.h = _gradient_bbox(bitmap, sx, sy, w, h)
+        out += _chunk(b"GTIL", hdr.pack() + z_bitmap + z_rgb)
+
+    # ---- 3D-LUT passes ----
+    streams = {
+        "color": bytearray(), "type": [],
+        3: bytearray(), 4: bytearray(), 5: bytearray(), 6: bytearray(),
+        "maps": {key: np.zeros(swizzle.bitmap_size_bytes(*key, w, h) * 8,
+                               np.uint8)
+                 for key in swizzle.TILE3D_PASS_ORDER},
+    }
+    for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
+        corr3d.run_pass(planes, claims, bank, sx, sy, streams)
+    out += _tile3d_chunk(streams, cfg, w, h)
+
+    # ---- 1D residual ----
+    pix_stream = bytearray()
+    type_stream = bytearray()
+    for p in range(3):
+        dyn1d.run_plane(planes[p], claims[p], pix_stream, type_stream,
+                        cfg.color_compression_1d, cfg.range_compression_1d)
+    if pix_stream:
+        z_pix = zstd.compress(bytes(pix_stream), 18, len(pix_stream) * 2)
+        z_type = zstd.compress(bytes(type_stream), 18, len(pix_stream))
+        hdr = Header1D(
+            stream_pixel_bit=len(z_pix), stream_pixel_uncmp=len(pix_stream),
+            stream_type_cnt=len(z_type), stream_type_uncmp=len(type_stream),
+            compression_color=cfg.color_compression_1d,
+            compression_range=cfg.range_compression_1d, version=0)
+        out += _chunk(b"1DTL", hdr.pack() + z_type + z_pix)
+
+    out += struct.pack("<I", 0xDEADBEEF)
+    return bytes(out)
+
+
+def _gradient_bbox(bitmap: bytes, sx: int, sy: int, w: int, h: int):
+    """The reference's GTIL bbox, including its h = maxY - minX bug
+    (EncoderContext.cpp:4252: header.bbox.h = maxY - minX)."""
+    tw, th = 1 << sx, 1 << sy
+    grid, _ = swizzle.accept_grid(bitmap, sx, sy, w, h)
+    ty, tx = np.nonzero(grid)
+    min_x, max_x = int(tx.min()) * tw, (int(tx.max()) + 1) * tw
+    min_y, max_y = int(ty.min()) * th, (int(ty.max()) + 1) * th
+    return min_x, min_y, max_x - min_x, max_y - min_x
+
+
+def _tile3d_chunk(streams, cfg, w, h) -> bytes:
+    """EndCorrelationSearch (:7366-7660): posterize colors, premultiply
+    indices by 3, zstd everything, emit the 3DTL chunk."""
+    # each map buffer is bits-as-bytes sized (the reference's 8x
+    # over-allocation, BitmapSwizzleMapSize :7310); only the leading
+    # true-bitmap bytes carry data, the rest compress to nothing.
+    def zmap(key):
+        raw = streams["maps"][key].astype(np.uint8).tobytes()
+        return raw, zstd.compress(raw, 18, len(raw) * 2)
+
+    raw_t16_8, z_t16_8 = zmap((4, 3))
+    raw_t8_16, z_t8_16 = zmap((3, 4))
+    raw_t8_8, z_t8_8 = zmap((3, 3))
+    raw_t8_4, z_t8_4 = zmap((3, 2))
+    raw_t4_8, z_t4_8 = zmap((2, 3))
+    raw_t4_4, z_t4_4 = zmap((2, 2))
+
+    types = np.asarray(streams["type"], "<u2").tobytes()
+    n_types = len(streams["type"])
+    z_types = zstd.compress(types, 18, len(types) * 2 + 100) if n_types else b""
+
+    colors = np.frombuffer(bytes(streams["color"]), np.uint8).astype(np.int64)
+    colors = (((colors * cfg.color_compression_lut3d) + 127) // 255
+              ).astype(np.uint8).tobytes()
+    z_colors = (zstd.compress(colors, 18, len(colors) * 2 + 100)
+                if colors else b"")
+
+    z_idx = {}
+    for bit in (3, 4, 5, 6):
+        raw = bytes((np.frombuffer(bytes(streams[bit]), np.uint8)
+                     .astype(np.int64) * 3).astype(np.uint8))
+        z_idx[bit] = (zstd.compress(raw, 18, len(raw) * 2 + 100)
+                      if raw else b"")
+
+    hdr = HeaderTile3D(
+        stream_color_cnt=len(colors), stream_type_cnt=n_types,
+        stream_3bit_cnt=len(streams[3]), stream_4bit_cnt=len(streams[4]),
+        stream_5bit_cnt=len(streams[5]), stream_6bit_cnt=len(streams[6]),
+        compr_type_size=len(z_types), compr_color_size=len(z_colors),
+        compr_3bit_size=len(z_idx[3]), compr_4bit_size=len(z_idx[4]),
+        compr_5bit_size=len(z_idx[5]), compr_6bit_size=len(z_idx[6]),
+        size_t16_8_map=len(raw_t16_8), size_t8_16_map=len(raw_t8_16),
+        size_t8_8_map=len(raw_t8_8), size_t4_8_map=len(raw_t4_8),
+        size_t8_4_map=len(raw_t8_4), size_t4_4_map=len(raw_t4_4),
+        size_t16_8_map_cmp=len(z_t16_8), size_t8_16_map_cmp=len(z_t8_16),
+        size_t8_8_map_cmp=len(z_t8_8), size_t4_8_map_cmp=len(z_t4_8),
+        size_t8_4_map_cmp=len(z_t8_4), size_t4_4_map_cmp=len(z_t4_4),
+        component=7, compression_rate_color=cfg.color_compression_lut3d)
+    body = (hdr.pack() + z_idx[3] + z_idx[4] + z_idx[5] + z_idx[6]
+            + z_types + z_colors + z_t16_8 + z_t8_16 + z_t8_8
+            + z_t8_4 + z_t4_8 + z_t4_4)
+    return _chunk(b"3DTL", body)

@@ -1,0 +1,141 @@
+"""FittingQuadSmooth: the multi-scale gradient-tile pass.
+
+Mirrors reference `EncoderContext.cpp:3710-4363`. Per tile size (pass order
+16x16,16x8,8x16,8x8,8x4,4x8,4x4), tiles are scanned in swizzle order; a tile
+is accepted if, under ANY of six corner-rounding variants (888/666/666-exp,
+each with/without +rounding bias), every pixel of every plane is within
+rejectFactor of the bilinear blend of the 4 corner colors. Accepted tiles
+emit their (Round6-rounded, CompressF-posterized) corners - deduplicated via
+the mappedRGB corner grid - into the chunk's RGB stream in scan order.
+
+Scoring here is vectorized over ALL tile positions at once (the TPU-kernel
+formulation); only stream emission is sequential (corner dedup order).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from yaik_tpu.format import swizzle
+
+WEIGHTS = {
+    4: np.array([1024, 768, 512, 256], np.int64),
+    8: np.array([1024, 896, 768, 640, 512, 384, 256, 128], np.int64),
+    16: np.array([1024, 960, 896, 832, 768, 704, 640, 576, 512, 448, 384,
+                  320, 256, 192, 128, 64], np.int64),
+}
+
+ROUNDING = (1 << 19) - 1
+
+
+def round6(v):
+    r = v >> 2
+    return (r << 2) | (r >> 4)
+
+
+def round6p(v):
+    v = np.minimum(v + 1, 255)
+    r = v >> 2
+    return (r << 2) | (r >> 4)
+
+
+def compress_f(v, rate):
+    return ((v * rate) + 127) // 255
+
+
+def _corner_grids(planes: np.ndarray, tw: int, th: int):
+    """Corner colors for every tile position, with edge-clamped reads
+    (Plane::GetPixelValue clamps x>=w to w-1). planes: [3,H,W] int.
+    Returns [3, nty+1, ntx+1] sample grid at tile-corner positions."""
+    _, h, w = planes.shape
+    xs = np.minimum(np.arange(0, w + tw, tw), w - 1)
+    ys = np.minimum(np.arange(0, h + th, th), h - 1)
+    return planes[:, ys[:, None], xs[None, :]]
+
+
+def score_pass(planes: np.ndarray, claims: np.ndarray, sx: int, sy: int,
+               reject_factor: int):
+    """Vectorized accept test for all tile positions of one size.
+
+    planes: [3,H,W] int32 source; claims: [3,H,W] bool (mapSmoothTile).
+    Returns accept [nty, ntx] bool (full-tile positions only).
+    """
+    tw, th = 1 << sx, 1 << sy
+    _, h, w = planes.shape
+    ntx, nty = w // tw, h // th
+    corners = _corner_grids(planes, tw, th).astype(np.int64)  # [3,nty+1,ntx+1]
+
+    c00 = corners[:, :nty, :ntx]
+    c01 = corners[:, :nty, 1:]
+    c10 = corners[:, 1:, :ntx]
+    c11 = corners[:, 1:, 1:]
+
+    # pixel view [3, nty, th, ntx, tw]
+    pix = planes[:, :nty * th, :ntx * tw].reshape(3, nty, th, ntx, tw)
+    pix = pix.transpose(0, 1, 3, 2, 4).astype(np.int64)  # [3,nty,ntx,th,tw]
+
+    lf = WEIGHTS[tw][None, None, None, None, :]          # dx weights
+    rf = 1024 - lf
+    tf = WEIGHTS[th][None, None, None, :, None]          # dy weights
+    bf = 1024 - tf
+
+    def blends(a, b, c, d):
+        """Return (with-rounding, without-rounding) blend per pixel."""
+        top = a[:, :, :, None, None] * lf + b[:, :, :, None, None] * rf
+        bot = c[:, :, :, None, None] * lf + d[:, :, :, None, None] * rf
+        num = top * tf + bot * bf
+        return (num + ROUNDING) // (1024 * 1024), num // (1024 * 1024)
+
+    variants = []
+    variants.extend(blends(c00, c01, c10, c11))                    # 888
+    variants.extend(blends(round6(c00), round6(c01),
+                           round6(c10), round6(c11)))              # 666
+    variants.extend(blends(round6p(c00), round6p(c01),
+                           round6p(c10), round6p(c11)))            # 666-exp
+
+    ok = np.zeros((nty, ntx), bool)
+    for bl in variants:
+        err = np.abs(pix - bl)
+        ok |= (err <= reject_factor).all(axis=(0, 3, 4))
+
+    # allow-check: mapSmoothTile at the tile ORIGIN only, all present planes
+    origins = claims[:, ::th, ::tw][:, :nty, :ntx]
+    allow = ~origins.any(axis=0)
+    return ok & allow
+
+
+def run_pass(planes, claims, mapped_rgb, sx, sy, reject_factor,
+             color_compression):
+    """Run one gradient pass. Mutates claims ([3,H,W] bool) and mapped_rgb
+    ([3,H+1,W+1] bool, the corner-emitted marks). Returns
+    (bitmap_bytes, rgb_stream_bytes, tile_count) or (None, None, 0)."""
+    tw, th = 1 << sx, 1 << sy
+    _, h, w = planes.shape
+    accept = score_pass(planes, claims, sx, sy, reject_factor)
+
+    tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)
+    # full-tile-inside check (reference breaks when x+tileSize > imgW)
+    inside = ((tx_all + 1) * tw <= w) & ((ty_all + 1) * th <= h)
+    bits = np.zeros(tx_all.shape[0], bool)
+    sel_mask = valid & inside
+    bits[sel_mask] = accept[ty_all[sel_mask], tx_all[sel_mask]]
+
+    corners6 = round6(_corner_grids(planes, tw, th).astype(np.int64))
+
+    rgb_stream = bytearray()
+    order = np.flatnonzero(bits)
+    for i in order:
+        tx, ty = int(tx_all[i]), int(ty_all[i])
+        x, y = tx * tw, ty * th
+        # corner dedup in LT, RT, LB, RB order, per plane R,G,B
+        for (cy, cx) in ((y, x), (y, x + tw), (y + th, x), (y + th, x + tw)):
+            for p in range(3):
+                if not mapped_rgb[p, cy, cx]:
+                    mapped_rgb[p, cy, cx] = True
+                    v = int(corners6[p, cy // th, cx // tw])
+                    rgb_stream.append(compress_f(v, color_compression))
+        claims[:, y:y + th, x:x + tw] = True
+
+    if len(order) == 0:
+        return None, None, 0
+    bitmap = swizzle.pack_bitmap(bits)
+    return bitmap, bytes(rgb_stream), len(order)
