@@ -1,8 +1,11 @@
 import os
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh; the real TPU
-# is exercised only by bench.py / explicit tpu-marked runs.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# is exercised only by bench.py / explicit tpu-marked runs. The axon
+# sitecustomize registers the TPU backend whenever PALLAS_AXON_POOL_IPS is
+# set and pins JAX_PLATFORMS=axon, so both must be overridden for CPU runs.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,41 @@
+"""Subprocess driver for JAX-engine tests: runs on a virtual 8-device CPU
+mesh (the axon TPU plugin registers at interpreter start and cannot be
+overridden in-process, so CPU mode needs a clean environment - see
+tests/test_jax_decoder.py which launches this)."""
+import pathlib
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import jax  # noqa: E402
+
+from yaik_tpu.decoder import api  # noqa: E402
+
+FIX = REPO / "tests" / "fixtures"
+
+
+def main():
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert len(jax.devices()) == 8, jax.devices()
+    lut = api.assign_lut((FIX / "LutFile.lut").read_bytes())
+    for name in ("img64", "img128"):
+        stream = (FIX / f"{name}.yaik").read_bytes()
+        want = np.load(FIX / f"{name}.dec.npz")["rgb"]
+        got = api.decode_image(stream, lut, engine="jax")
+        assert np.array_equal(got, want), f"{name}: jax decode mismatch"
+        print(f"{name}: jax decode bit-exact")
+
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (128, 128, 3)
+    print("entry(): compiles and runs")
+    g.dryrun_multichip(8)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+"""JAX decode engine vs golden fixtures, on a clean-env CPU subprocess
+(8 virtual devices). The axon TPU plugin pins the platform at interpreter
+start, so in-process env flips don't work on TPU-attached machines."""
+import os
+import pathlib
+import subprocess
+import sys
+
+
+def test_jax_engine_subprocess():
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    driver = pathlib.Path(__file__).parent / "jax_driver.py"
+    res = subprocess.run([sys.executable, str(driver)], env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
+    assert "ALL OK" in res.stdout
