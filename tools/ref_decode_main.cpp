@@ -41,12 +41,31 @@ int main(int argc, char** argv) {
         fprintf(stderr, "DecodeImagePre failed err=%d\n", (int)YAIK_GetErrorCode());
         return 1;
     }
+    bool useCustom = info.hasAlpha;  // stock RGBA interleave is broken upstream
     int ch = info.hasAlpha ? 4 : 3;
     size_t imgSize = (size_t)info.width * info.height * ch;
     unsigned char* out = (unsigned char*)malloc(imgSize);
     memset(out, 0, imgSize);
     info.outputImage = out;
     info.outputImageStride = info.width * ch;
+    if (useCustom) {
+        // correct RGBA interleave from the planar 8x8-swizzled RGB + linear A
+        info.customImageOutput = [](YAIK_SDecodedImage* ui,
+                                    YAIK_SCustomDataSource* src) {
+            int w = ui->width, h = ui->height;
+            for (int y = 0; y < h; y++) {
+                unsigned char* dst = ui->outputImage + (size_t)y * ui->outputImageStride;
+                for (int x = 0; x < w; x++) {
+                    int tile = (y >> 3) * (w >> 3) + (x >> 3);
+                    int idx = tile * 64 + (y & 7) * 8 + (x & 7);
+                    *dst++ = src->planeR[idx];
+                    *dst++ = src->planeG[idx];
+                    *dst++ = src->planeB[idx];
+                    *dst++ = src->planeA ? src->planeA[x + y * src->strideA] : 255;
+                }
+            }
+        };
+    }
 
     if (!YAIK_DecodeImage(yaik, yaikSize, &info)) {
         fprintf(stderr, "DecodeImage failed err=%d\n", (int)YAIK_GetErrorCode());

@@ -179,4 +179,7 @@ def decode(stream: bytes, lut) -> np.ndarray:
     plan = plannermod.build_plan(stream, expanded)
     shifts, args = plan_to_device_args(plan)
     out = decode_pixels(shifts, *args)
-    return np.asarray(out)[: plan.height, : plan.width]
+    rgb = np.asarray(out)[: plan.height, : plan.width]
+    if plan.has_alpha:
+        return np.concatenate([rgb, plan.alpha[:, :, None]], axis=2)
+    return rgb

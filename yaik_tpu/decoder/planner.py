@@ -61,6 +61,8 @@ class DecodePlan:
     gradient: list        # list[GradientPassPlan]
     tile3d: list          # list[Tile3DPassPlan]
     d1: Plan1D
+    has_alpha: bool = False
+    alpha: np.ndarray | None = None   # [H, W] u8, host-decoded (byte-level)
 
 
 def lut_flat_layout(luts_expanded: dict):
@@ -117,6 +119,8 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
     d1 = Plan1D(params=np.zeros((3, 1, 3), np.int32),
                 indices=np.zeros((3, 1, 64), np.uint8),
                 wmask=np.zeros((3, 1, 64), bool))
+    alpha_channel = None
+    mip_mask = mip_bbox = None
 
     for tag, off, body in iter_chunks(stream):
         if tag == b"GTIL":
@@ -165,11 +169,20 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
         elif tag == b"1DTL":
             hdr = Header1D.unpack(body)
             d1 = _plan_1d(body[Header1D.size():], hdr, w, h, claims)
+        elif tag == b"MIPM":
+            from yaik_tpu.decoder import alpha as alphamod
+            mip_mask, mip_bbox = alphamod.decode_mipm(body, w, h)
+        elif tag == b"ALPM":
+            from yaik_tpu.decoder import alpha as alphamod
+            alpha_channel = alphamod.decode_alpm(body, w, h, mip_mask,
+                                                 mip_bbox)
         else:
             raise NotImplementedError(f"chunk {tag!r} not planned yet")
 
+    if fh.has_alpha and alpha_channel is None:
+        alpha_channel = np.full((h, w), 255, np.uint8)
     return DecodePlan(width=w, height=h, gradient=grads, tile3d=t3passes,
-                      d1=d1)
+                      d1=d1, has_alpha=fh.has_alpha, alpha=alpha_channel)
 
 
 def _plan_3d(body, hdr, w, h, claims, luts_expanded):

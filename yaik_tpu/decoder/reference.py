@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from yaik_tpu.decoder import alpha as alphamod
 from yaik_tpu.entropy import palette, zstd_backend as zstd
 from yaik_tpu.format import lut as lutmod
 from yaik_tpu.format import swizzle
@@ -346,6 +347,8 @@ def decode(stream: bytes, lut_data: bytes | dict) -> np.ndarray:
     else:
         luts_expanded = lutmod.expand_lut(lutmod.parse_lut_file(lut_data))
 
+    mip_mask = None
+    mip_bbox = None
     for tag, off, body in iter_chunks(stream):
         if tag == b"GTIL":
             hdr = HeaderGradientTile.unpack(body)
@@ -357,13 +360,18 @@ def decode(stream: bytes, lut_data: bytes | dict) -> np.ndarray:
             hdr = Header1D.unpack(body)
             _tile1d_chunk(st, hdr, body[Header1D.size():])
         elif tag == b"MIPM":
-            raise NotImplementedError("MIPM chunk (mipmap path) pending")
+            mip_mask, mip_bbox = alphamod.decode_mipm(body, fh.width, fh.height)
         elif tag == b"ALPM":
-            raise NotImplementedError("ALPM chunk (alpha path) pending")
+            st.alpha = alphamod.decode_alpm(body, fh.width, fh.height,
+                                            mip_mask, mip_bbox)
         else:
             raise ValueError(f"unknown chunk tag {tag!r}")
 
     out = st.planes[:, :fh.height, :fh.width].transpose(1, 2, 0)
-    if st.has_alpha and st.alpha is not None:
+    if st.has_alpha:
+        if st.alpha is None:
+            # hasAlpha stream without an ALPM chunk (all-0/all-1 alpha is
+            # dropped by the encoder); default opaque
+            st.alpha = np.full((fh.height, fh.width), 255, np.uint8)
         out = np.concatenate([out, st.alpha[:, :, None]], axis=2)
     return np.ascontiguousarray(out)

@@ -10,6 +10,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from yaik_tpu.encoder import alpha as alphamod
 from yaik_tpu.encoder import bank as bankmod
 from yaik_tpu.encoder import corr3d, dyn1d, gradient
 from yaik_tpu.encoder.palette_codec import PaletteState, palette_compress
@@ -28,6 +29,12 @@ class EncoderConfig:
     color_compression_lut3d: int = 250
     color_compression_1d: int = 255
     range_compression_1d: int = 15
+    # alpha/mipmap passes (decoder-supported; disabled in the reference's
+    # Convert at EncoderContext.cpp:9027-9028 but fully implemented there)
+    enable_mipmap: bool = True
+    enable_alpha: bool = True
+    alpha_force_8bit: bool = True     # Convert's ProcessAlpha(true)
+    alpha_use_inverse: bool = True
 
 
 def _compress_stream(data: bytes) -> bytes:
@@ -42,21 +49,37 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                  config: EncoderConfig | None = None) -> bytes:
-    """Encode an RGB image ([h, w, 3] u8, dims multiple of 8) to .yaik."""
+    """Encode an RGB(A) image ([h, w, 3|4] u8, dims multiple of 8) to .yaik."""
     cfg = config or EncoderConfig()
     h, w = rgb.shape[:2]
     if (w & 7) or (h & 7):
         raise ValueError("image dimensions must be multiples of 8")
-    if rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("RGB images only for now (alpha path pending)")
+    if rgb.ndim != 3 or rgb.shape[2] not in (3, 4):
+        raise ValueError("expected [h, w, 3] or [h, w, 4] u8 image")
+    has_alpha = rgb.shape[2] == 4
 
-    planes = rgb.transpose(2, 0, 1).astype(np.int32)       # [3,H,W]
+    planes = rgb[:, :, :3].transpose(2, 0, 1).astype(np.int32)  # [3,H,W]
     claims = np.zeros((3, h, w), bool)                      # mapSmoothTile
     mapped_rgb = np.zeros((3, h + 1, w + 1), bool)          # mappedRGB
 
     out = bytearray()
-    out += FileHeader(MAGIC, 1, w, h, 0).pack()
+    out += FileHeader(MAGIC, 1, w, h, 1 if has_alpha else 0).pack()
     pal_state = PaletteState()  # the reference's global CodeRGB persists across chunks
+
+    if has_alpha:
+        alpha_plane = rgb[:, :, 3]
+        mip_mask, mip_bound = None, (0, 0, w, h)
+        if cfg.enable_mipmap:
+            mip_mask, mip_chunk, mip_bound = alphamod.mip_prefilter(alpha_plane)
+            if mip_chunk:
+                out += mip_chunk
+        if cfg.enable_alpha:
+            alpm = alphamod.process_alpha(
+                alpha_plane, mip_mask, mip_bound,
+                force_8bit=cfg.alpha_force_8bit,
+                use_inverse=cfg.alpha_use_inverse)
+            if alpm:
+                out += alpm
 
     # ---- gradient passes ----
     for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
