@@ -28,6 +28,17 @@ def main():
         assert np.array_equal(got, want), f"{name}: jax decode mismatch"
         print(f"{name}: jax decode bit-exact")
 
+    # device-scored encode == host encode, byte for byte
+    from PIL import Image
+    from yaik_tpu.encoder import bank as bankmod
+    from yaik_tpu.encoder.context import encode_image
+    bank = bankmod.load_bank(str(FIX / "Bank3D"))
+    img = np.asarray(Image.open(FIX / "img64.png"))
+    host_stream = encode_image(img, bank, engine="host")
+    dev_stream = encode_image(img, bank, engine="device")
+    assert host_stream == dev_stream, "device-scored encode differs"
+    print("img64: device-scored encode byte-identical")
+
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)

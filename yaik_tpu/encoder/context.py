@@ -48,8 +48,12 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
-                 config: EncoderConfig | None = None) -> bytes:
-    """Encode an RGB(A) image ([h, w, 3|4] u8, dims multiple of 8) to .yaik."""
+                 config: EncoderConfig | None = None,
+                 engine: str = "host") -> bytes:
+    """Encode an RGB(A) image ([h, w, 3|4] u8, dims multiple of 8) to .yaik.
+
+    engine="host": numpy scoring; engine="device": all tile scoring on the
+    accelerator (encoder.jax_scoring), byte-identical output."""
     cfg = config or EncoderConfig()
     h, w = rgb.shape[:2]
     if (w & 7) or (h & 7):
@@ -81,11 +85,26 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
             if alpm:
                 out += alpm
 
+    # ---- scoring (host or device) ----
+    dev_grad_accepts = None
+    if engine == "device":
+        import jax
+        from yaik_tpu.encoder import device_pipeline as devp
+        planes_dev = jax.device_put(planes)
+        claims_dev = jax.device_put(claims)
+        dev_grad_accepts, _ = devp.run_gradient_scoring(
+            planes_dev, claims_dev, cfg.reject_factor)
+
     # ---- gradient passes ----
-    for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
-        bitmap, rgb_stream, count = gradient.run_pass(
-            planes, claims, mapped_rgb, sx, sy, cfg.reject_factor,
-            cfg.color_compression_quad)
+    for k, (sx, sy) in enumerate(swizzle.GRADIENT_PASS_ORDER):
+        if engine == "device":
+            bitmap, rgb_stream, count = gradient.emit_pass(
+                planes, claims, mapped_rgb, dev_grad_accepts[k], sx, sy,
+                cfg.color_compression_quad)
+        else:
+            bitmap, rgb_stream, count = gradient.run_pass(
+                planes, claims, mapped_rgb, sx, sy, cfg.reject_factor,
+                cfg.color_compression_quad)
         if count == 0 or not rgb_stream:
             continue
         z_bitmap = _compress_stream(bitmap)
@@ -115,8 +134,14 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                                np.uint8)
                  for key in swizzle.TILE3D_PASS_ORDER},
     }
-    for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
-        corr3d.run_pass(planes, claims, bank, sx, sy, streams)
+    if engine == "device":
+        from yaik_tpu.encoder import device_pipeline as devp
+        tables = devp.bank_device_tables(bank)
+        dev_t3 = devp.run_tile3d_scoring(planes, claims, tables)
+        devp.emit_tile3d_streams(dev_t3, w, h, streams)
+    else:
+        for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
+            corr3d.run_pass(planes, claims, bank, sx, sy, streams)
     out += _tile3d_chunk(streams, cfg, w, h)
 
     # ---- 1D residual ----

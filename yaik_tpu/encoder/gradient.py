@@ -105,12 +105,18 @@ def score_pass(planes: np.ndarray, claims: np.ndarray, sx: int, sy: int,
 
 def run_pass(planes, claims, mapped_rgb, sx, sy, reject_factor,
              color_compression):
-    """Run one gradient pass. Mutates claims ([3,H,W] bool) and mapped_rgb
-    ([3,H+1,W+1] bool, the corner-emitted marks). Returns
-    (bitmap_bytes, rgb_stream_bytes, tile_count) or (None, None, 0)."""
+    """Run one gradient pass (host scoring). Mutates claims ([3,H,W] bool)
+    and mapped_rgb. Returns (bitmap_bytes, rgb_stream_bytes, tile_count)."""
+    accept = score_pass(planes, claims, sx, sy, reject_factor)
+    return emit_pass(planes, claims, mapped_rgb, accept, sx, sy,
+                     color_compression)
+
+
+def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression):
+    """Stream emission for one gradient pass given its accept grid (from
+    host or device scoring): swizzle-scan-order corner dedup + claim update."""
     tw, th = 1 << sx, 1 << sy
     _, h, w = planes.shape
-    accept = score_pass(planes, claims, sx, sy, reject_factor)
 
     tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)
     # full-tile-inside check (reference breaks when x+tileSize > imgW)

@@ -1,0 +1,355 @@
+"""Device-side encoder scoring: every candidate tile x variant / LUT x
+pattern scored in parallel (the SURVEY section-7 design: "score everything,
+then a cheap deterministic greedy claim").
+
+Bit-exact JAX ports of the host passes in gradient.py / corr3d.py:
+
+- gradient_pass_device: the 6-variant bilinear accept test for every tile
+  position of one size (integer math, exact).
+- tile3d_pass_device: for every tile of one size, against every LUT:
+  * 48-pattern scoring. Instead of the reference's 64^3 distance field we
+    transform the 8 scoring points into each pattern's inverse frame and
+    take min-squared-distance directly - identical values by construction
+    (the field stores min over the same 8 points, Set3DPointCloud :4778+),
+    including the cumulative-mutation pattern quirk (PERMS48).
+  * computeValues3D: per-bit-depth nearest-point indices (first-min ties =
+    argmin), exact float32 normalization and integer reconstruction,
+    wrong-pixel rejection, fewest-bits mode choice.
+  * LUT selection scan (diff <= running best -> later LUT wins ties).
+
+Tiles are processed in fixed-size chunks via lax.map to bound VMEM/HBM
+transients. Claims evolve on device between passes; only stream EMISSION
+(corner dedup, cursor order, entropy coding) stays on host, driven by the
+downloaded accept/choice tensors.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yaik_tpu.encoder.corr3d import PERMS48, SWAP3D
+from yaik_tpu.encoder.gradient import WEIGHTS, ROUNDING
+
+FACTOR = 128
+SKIP = 4
+
+
+def round6(v):
+    r = v >> 2
+    return (r << 2) | (r >> 4)
+
+
+def round6p(v):
+    v = jnp.minimum(v + 1, 255)
+    r = v >> 2
+    return (r << 2) | (r >> 4)
+
+
+# ---------------------------------------------------------------------------
+# Gradient scoring
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("sx", "sy", "reject_factor"))
+def gradient_pass_device(planes, claims, sx, sy, reject_factor):
+    """planes: [3,H,W] i32; claims: [3,H,W] bool. Returns accept [nty,ntx]
+    and updated claims. Exact port of gradient.score_pass + claim update."""
+    tw, th = 1 << sx, 1 << sy
+    _, h, w = planes.shape
+    ntx, nty = w // tw, h // th
+
+    xs = jnp.minimum(jnp.arange(0, w + tw, tw), w - 1)
+    ys = jnp.minimum(jnp.arange(0, h + th, th), h - 1)
+    # int32 is sufficient: blends peak at 255*1024*1024 + 2^19 < 2^31
+    corners = planes[:, ys[:, None], xs[None, :]].astype(jnp.int32)
+
+    c00 = corners[:, :nty, :ntx]
+    c01 = corners[:, :nty, 1:]
+    c10 = corners[:, 1:, :ntx]
+    c11 = corners[:, 1:, 1:]
+
+    pix = planes[:, :nty * th, :ntx * tw].reshape(3, nty, th, ntx, tw)
+    pix = pix.transpose(0, 1, 3, 2, 4).astype(jnp.int32)
+
+    lf = jnp.asarray(WEIGHTS[tw], jnp.int32).reshape(1, 1, 1, 1, tw)
+    rf = 1024 - lf
+    tf = jnp.asarray(WEIGHTS[th], jnp.int32).reshape(1, 1, 1, th, 1)
+    bf = 1024 - tf
+
+    def blends(a, b, c, d):
+        top = a[:, :, :, None, None] * lf + b[:, :, :, None, None] * rf
+        bot = c[:, :, :, None, None] * lf + d[:, :, :, None, None] * rf
+        num = top * tf + bot * bf
+        # num is non-negative: / (1024*1024) == >> 20 (and shifts compile
+        # orders of magnitude faster than integer division on this backend)
+        return ((num + ROUNDING) >> 20, num >> 20)
+
+    ok = jnp.zeros((nty, ntx), bool)
+    for variant in (blends(c00, c01, c10, c11),
+                    blends(round6(c00), round6(c01), round6(c10), round6(c11)),
+                    blends(round6p(c00), round6p(c01),
+                           round6p(c10), round6p(c11))):
+        for bl in variant:
+            ok |= (jnp.abs(pix - bl) <= reject_factor).all(axis=(0, 3, 4))
+
+    origins = claims[:, ::th, ::tw][:, :nty, :ntx]
+    accept = ok & ~origins.any(axis=0)
+
+    up = jnp.repeat(jnp.repeat(accept, th, 0), tw, 1)
+    region = claims[:, :nty * th, :ntx * tw] | up[None]
+    claims = claims.at[:, :nty * th, :ntx * tw].set(region)
+    return accept, claims
+
+
+# ---------------------------------------------------------------------------
+# 3D-LUT pass
+# ---------------------------------------------------------------------------
+
+def transformed_points(points3bit: np.ndarray) -> np.ndarray:
+    """Host precompute: the 8 scoring points of each LUT mapped into each of
+    the 48 patterns' inverse frames: dist_field_e[T_n(c)] ==
+    min_k ||c - Q[e,n,k]||^2 with T_n: c' = flip_n(perm_n(c)), so
+    Q = perm_n^{-1}(flip_n applied on the post-perm axes... equivalently
+    Q[ax] = flip-if-bit(perm-position-of-ax)(p[ax']) - derived below."""
+    E = points3bit.shape[0]
+    q = np.zeros((E, 48, 8, 3), np.int32)
+    for n in range(48):
+        p = PERMS48[n]
+        # c' = perm(c): c'[i] = c[p[i]]; then flips on c'[i] by bit i.
+        # ||flip_i(c[p[i]]) - pt[i]||^2 = ||c[p[i]] - flip_i(pt[i])||^2
+        # so Q[p[i]] = flip_i(pt[i]).
+        pts = points3bit.astype(np.int32)
+        for i in range(3):
+            v = pts[:, :, i]
+            if n & (1 << i):
+                v = 63 - v
+            q[:, n, :, p[i]] = v
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Split 3D pass: float32 normalizations run on HOST (x86 IEEE division ==
+# the C reference; this TPU's f32 divide is up to 2 ulp off), the heavy
+# integer work (distance sums, nearest-point argmins, reconstruction) on
+# device. Everything device-side is integer -> backend-exact.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def tile3d_score_device(c, alive, qpts):
+    """Pattern scores. c: [T,P,3] i32 normalized coords; alive: [T,P] bool;
+    qpts: [E,48,8,3] i32. Returns sums [T,E,48] i32."""
+    diff = (c[:, :, None, None, None, :]
+            - qpts[None, None, :, :, :, :])                # T,P,E,48,8,3
+    dist = (diff * diff).sum(-1).min(-1)                   # T,P,E,48
+    return jnp.where(alive[:, :, None, None], dist, 0).sum(axis=1)
+
+
+@partial(jax.jit, static_argnames=())
+def tile3d_pass_hybrid(tiles, alive, c, a_c, b_c, mn, d, qpts, pts_sub,
+                       factors):
+    """Full 3D pass given host-normalized coords: one device dispatch.
+
+    mode48 selection note: GetEvaluation3D argmins f32 sums/(cnt*1024).
+    sums are exact ints < 2^21 and the divisor is shared per tile, so
+    correctly-rounded division is strictly monotonic here (relative gaps
+    >= 2^-21 > f32 ulp 2^-23 -> no rounding collisions) - argmin over the
+    INTEGER sums is exactly the reference's choice, with no division at all.
+    """
+    tiles = tiles.astype(jnp.int32)
+    c = c.astype(jnp.int32)
+    a_c, b_c = a_c.astype(jnp.int32), b_c.astype(jnp.int32)
+    mn, d = mn.astype(jnp.int32), d.astype(jnp.int32)
+    sums = tile3d_score_device.__wrapped__(c, alive, qpts)   # [T,E,48]
+    mode48 = jnp.argmin(sums, axis=-1).astype(jnp.int32)     # [T,E]
+    return tile3d_values_device.__wrapped__(
+        tiles, alive, a_c, b_c, mode48, mn, d, pts_sub, factors)
+
+
+@partial(jax.jit, static_argnames=())
+def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
+                         factors):
+    """computeValues3D for all (tile, LUT): integer only.
+
+    tiles [T,P,3] i32; alive [T,P]; a_c/b_c [T,P,3] i32 (host-truncated
+    normalizations); mode48 [T,E]; mn,d [T,3]; pts_sub [E,64,3];
+    factors [4,E,64,3]. Returns (acc_mode [T,E], diff_sel [T,E],
+    idx_by_bit [4,T,E,P])."""
+    T, P, _ = tiles.shape
+    E = mode48.shape[1]
+    flip = jnp.stack([(mode48 >> i) & 1 for i in range(3)], -1)   # T,E,3
+    m = jnp.where(flip[:, :, None, :] == 1,
+                  b_c[:, None, :, :], a_c[:, None, :, :])         # T,E,P,3
+    perms = jnp.asarray([SWAP3D[s] for s in range(6)], jnp.int32)
+    perm_te = perms[mode48 >> 3]
+    m = jnp.take_along_axis(m, perm_te[:, :, None, :], axis=3)
+
+    acc_mode = jnp.full((T, E), SKIP, jnp.int32)
+    diff_sel = jnp.zeros((T, E), jnp.int32)
+    idx_by_bit = []
+    for bi, (step, npts) in enumerate(((1, 64), (2, 32), (4, 16), (8, 8))):
+        sub = pts_sub[:, ::step][:, :npts]
+        dif = m[:, :, :, None, :] - sub[None, :, None, :, :]
+        dist = (dif * dif).sum(-1)
+        idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)          # T,E,P
+        idx_by_bit.append(idx)
+        f = factors[3 - bi]
+        fsel = f[jnp.arange(E)[None, :, None], idx]                # T,E,P,3
+        fx = jnp.where(flip[:, :, None, :] == 1, FACTOR - fsel, fsel)
+        fx = jnp.take_along_axis(fx, perm_te[:, :, None, :], axis=3)
+        recon = mn[:, None, None, :] + ((fx * d[:, None, None, :]) >> 7)
+        ldiff = jnp.abs(recon - tiles[:, None, :, :]).max(-1)
+        ldiff = jnp.where(alive[:, None, :], ldiff, 0)
+        ok = (ldiff > 5).sum(-1) <= 3
+        acc_mode = jnp.where(ok, jnp.int32(3 - bi), acc_mode)
+        diff_sel = jnp.where(ok, ldiff.sum(-1), diff_sel)
+
+    # LUT selection scan: e in order, accept if mode != SKIP and
+    # diff <= running best (later LUT wins ties) - integer, exact
+    INIT = jnp.int32(1215752191)          # (int)99999999999, :6459
+    best_diff = jnp.full((T,), INIT, jnp.int32)
+    best_e = jnp.full((T,), -1, jnp.int32)
+    for e in range(E):
+        okE = (acc_mode[:, e] != SKIP) & (diff_sel[:, e] <= best_diff)
+        best_diff = jnp.where(okE, diff_sel[:, e], best_diff)
+        best_e = jnp.where(okE, e, best_e)
+    accept = best_e >= 0
+    e_sel = jnp.maximum(best_e, 0)
+    rows = jnp.arange(T)
+    mode_sel = mode48[rows, e_sel]
+    bitmode = jnp.minimum(acc_mode[rows, e_sel], 3)
+    tile_type = mode_sel | (e_sel << 6) | (bitmode << 14)
+    idx_stack = jnp.stack(idx_by_bit, axis=0)              # [4,T,E,P]
+    idx_sel = idx_stack[(3 - bitmode)[:, None], rows[:, None],
+                        e_sel[:, None], jnp.arange(P)[None, :]]
+    return accept, tile_type, idx_sel
+
+
+def _pass_chunk(sx, sy, E, P, chunk):
+    """Build the per-chunk tile computation (closure for lax.map)."""
+
+    def body(args):
+        tiles, mask, qpts, pts_sub, factors = args
+        # tiles [Tc,P,3] i32, mask [Tc,P] bool(skip)
+        alive = ~mask
+        cnt = alive.sum(axis=1)
+        mn = jnp.min(jnp.where(alive[:, :, None], tiles, 999), axis=1)
+        mx = jnp.max(jnp.where(alive[:, :, None], tiles, -999), axis=1)
+        d = mx - mn
+        nflat = (d == 0).sum(axis=1)
+        pre = (cnt > 0) & (nflat <= 1)
+
+        nvec = jnp.where(d > 0, (1 << 20) // jnp.maximum(d, 1), 0)
+        r = (tiles - mn[:, None, :]) * nvec[:, None, :]
+        fr = r.astype(jnp.float32) / jnp.float32(1 << 20)
+        c = (fr * jnp.float32(63)).astype(jnp.int32)          # [Tc,P,3]
+
+        # all 48 patterns at once; XLA fuses the [Tc,P,E,48,8] transient
+        # into the min/sum reductions
+        diff = (c[:, :, None, None, None, :]
+                - qpts[None, None, :, :, :, :])                # Tc,P,E,48,8,3
+        dist = (diff * diff).sum(-1).min(-1)                   # Tc,P,E,48
+        sums = jnp.where(alive[:, :, None, None], dist, 0).sum(axis=1)
+        avg = sums.astype(jnp.float32) / (
+            cnt[:, None, None].astype(jnp.float32) * jnp.float32(1024.0))
+        mode48 = jnp.argmin(avg, axis=-1).astype(jnp.int32)    # [Tc,E]
+
+        rel = (tiles - mn[:, None, :]).astype(jnp.float32)
+        dd = jnp.maximum(d, 1).astype(jnp.float32)
+        rel = jnp.where(d[:, None, :] > 0, rel / dd[:, None, :], rel)
+        rel = rel * jnp.float32(63)
+        a_c = rel.astype(jnp.int32)
+        b_c = (jnp.float32(63) - rel).astype(jnp.int32)
+
+        flip = jnp.stack([(mode48 >> i) & 1 for i in range(3)], -1)
+        m = jnp.where(flip[:, :, None, :] == 1,
+                      b_c[:, None, :, :], a_c[:, None, :, :])  # Tc,E,P,3
+        perms = jnp.asarray([SWAP3D[s] for s in range(6)], jnp.int32)
+        perm_te = perms[mode48 >> 3]                           # [Tc,E,3]
+        m = jnp.take_along_axis(m, perm_te[:, :, None, :], axis=3)
+
+        Tc = tiles.shape[0]
+        acc_mode = jnp.full((Tc, E), SKIP, jnp.int32)
+        diff_sel = jnp.zeros((Tc, E), jnp.int32)
+        idx_by_bit = []
+        for bi, (step, npts) in enumerate(((1, 64), (2, 32), (4, 16), (8, 8))):
+            sub = pts_sub[:, ::step][:, :npts]                 # [E,n,3]
+            dif = m[:, :, :, None, :] - sub[None, :, None, :, :]
+            dist = (dif * dif).sum(-1)                         # Tc,E,P,n
+            idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # Tc,E,P
+            idx_by_bit.append(idx)
+            f = factors[3 - bi]                                # [E,64,3]
+            fsel = f[jnp.arange(E)[None, :, None], idx]        # Tc,E,P,3
+            fx = jnp.where(flip[:, :, None, :] == 1, FACTOR - fsel, fsel)
+            fx = jnp.take_along_axis(fx, perm_te[:, :, None, :], axis=3)
+            # fx, d >= 0: // FACTOR(=128) == >> 7
+            recon = mn[:, None, None, :] + ((fx * d[:, None, None, :]) >> 7)
+            ldiff = jnp.abs(recon - tiles[:, None, :, :]).max(-1)
+            ldiff = jnp.where(alive[:, None, :], ldiff, 0)
+            ok = (ldiff > 5).sum(-1) <= 3
+            acc_mode = jnp.where(ok, jnp.int32(3 - bi), acc_mode)
+            diff_sel = jnp.where(ok, ldiff.sum(-1), diff_sel)
+
+        INIT = jnp.int32(1215752191)      # (int)99999999999, :6459
+        best_diff = jnp.full((Tc,), INIT, jnp.int32)
+        best_e = jnp.full((Tc,), -1, jnp.int32)
+        for e in range(E):
+            okE = (acc_mode[:, e] != SKIP) & (diff_sel[:, e] <= best_diff)
+            best_diff = jnp.where(okE, diff_sel[:, e], best_diff)
+            best_e = jnp.where(okE, e, best_e)
+
+        accept = pre & (best_e >= 0)
+        e_sel = jnp.maximum(best_e, 0)
+        rows = jnp.arange(Tc)
+        mode_sel = mode48[rows, e_sel]
+        bitmode = jnp.minimum(acc_mode[rows, e_sel], 3)
+        tile_type = mode_sel | (e_sel << 6) | (bitmode << 14)
+        bbox = jnp.concatenate([mn, mx], axis=1)
+
+        idx_stack = jnp.stack(idx_by_bit, axis=0)              # [4,Tc,E,P]
+        idx_sel = idx_stack[(3 - bitmode)[:, None], rows[:, None],
+                            e_sel[:, None], jnp.arange(P)[None, :]]
+        return accept, tile_type, bbox, idx_sel
+
+    return body
+
+
+@partial(jax.jit, static_argnames=("sx", "sy"))
+def tile3d_pass_device(planes, claims, qpts, pts_sub, factors, sx, sy):
+    """One Correlation3DSearch size pass, fully on device. Returns
+    (accept [T], tile_type [T], bbox [T,6], idx_dense [T,P], mask [T,P],
+    updated claims)."""
+    tw, th = 1 << sx, 1 << sy
+    _, h, w = planes.shape
+    ntx, nty = w // tw, h // th
+    T, P = nty * ntx, th * tw
+    E = qpts.shape[0]
+
+    tiles = planes[:, :nty * th, :ntx * tw].reshape(3, nty, th, ntx, tw)
+    tiles = tiles.transpose(1, 3, 2, 4, 0).reshape(T, P, 3)
+    cmask = claims.all(axis=0)[:nty * th, :ntx * tw]
+    cmask = cmask.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3)
+    mask = cmask.reshape(T, P)
+
+    chunk = max(1, 4096 // P)
+    pad = (-T) % chunk
+    tiles_p = jnp.pad(tiles, ((0, pad), (0, 0), (0, 0)))
+    mask_p = jnp.pad(mask, ((0, pad), (0, 0)), constant_values=True)
+    nchunks = (T + pad) // chunk
+
+    body = _pass_chunk(sx, sy, E, P, chunk)
+    accept, tile_type, bbox, idx_sel = jax.lax.map(
+        lambda i: body((jax.lax.dynamic_slice_in_dim(tiles_p, i * chunk, chunk),
+                        jax.lax.dynamic_slice_in_dim(mask_p, i * chunk, chunk),
+                        qpts, pts_sub, factors)),
+        jnp.arange(nchunks))
+    accept = accept.reshape(-1)[:T]
+    tile_type = tile_type.reshape(-1)[:T]
+    bbox = bbox.reshape(-1, 6)[:T]
+    idx_sel = idx_sel.reshape(-1, P)[:T]
+
+    up = jnp.repeat(jnp.repeat(accept.reshape(nty, ntx), th, 0), tw, 1)
+    region = claims[:, :nty * th, :ntx * tw] | up[None]
+    claims = claims.at[:, :nty * th, :ntx * tw].set(region)
+    return accept, tile_type, bbox, idx_sel, mask, claims
