@@ -1,0 +1,132 @@
+"""yaik_tpu command line (the reference's ImageEncoder.exe / test app,
+unified):
+
+  python -m yaik_tpu encode  img.png out.yaik  [--bank DIR] [--engine host|device] [--stats]
+  python -m yaik_tpu decode  in.yaik out.png   [--lut FILE] [--engine host|jax]
+  python -m yaik_tpu lut     bank_dir out.lut            (build LutFile.lut)
+  python -m yaik_tpu stats   in.yaik                     (per-technique report)
+  python -m yaik_tpu roundtrip img.png                   (encode+decode+PSNR)
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+DEFAULT_FIX = pathlib.Path(__file__).parent.parent / "tests" / "fixtures"
+
+
+def _load_bank(path):
+    from yaik_tpu.encoder import bank as bankmod
+    bank = bankmod.load_bank(str(path))
+    if bank.count == 0:
+        sys.exit(f"no bank files found in {path}")
+    return bank
+
+
+def _png(path):
+    from PIL import Image
+    return np.asarray(Image.open(path))
+
+
+def cmd_encode(args):
+    from yaik_tpu.encoder.context import encode_image
+    bank = _load_bank(args.bank)
+    img = _png(args.input)
+    t0 = time.perf_counter()
+    stream = encode_image(img, bank, engine=args.engine)
+    dt = time.perf_counter() - t0
+    pathlib.Path(args.output).write_bytes(stream)
+    h, w = img.shape[:2]
+    print(f"{args.input}: {w}x{h} -> {len(stream)} B "
+          f"({len(stream)*8/(w*h):.3f} bpp) in {dt:.2f}s")
+    if args.stats:
+        from yaik_tpu.utils.stats import analyze
+        print(analyze(stream).summary())
+
+
+def cmd_decode(args):
+    from PIL import Image
+    from yaik_tpu.decoder import api
+    stream = pathlib.Path(args.input).read_bytes()
+    lut = api.assign_lut(pathlib.Path(args.lut).read_bytes())
+    t0 = time.perf_counter()
+    img = api.decode_image(stream, lut, engine=args.engine)
+    dt = time.perf_counter() - t0
+    Image.fromarray(img).save(args.output)
+    print(f"{args.input}: {img.shape[1]}x{img.shape[0]}"
+          f"{'+A' if img.shape[2] == 4 else ''} in {dt:.2f}s -> {args.output}")
+
+
+def cmd_lut(args):
+    from yaik_tpu.encoder import bank as bankmod
+    bank = _load_bank(args.bank_dir)
+    data = bankmod.write_lut_file(bank)
+    pathlib.Path(args.output).write_bytes(data)
+    print(f"{bank.count} tables -> {args.output} ({len(data)} B)")
+
+
+def cmd_stats(args):
+    from yaik_tpu.utils.stats import analyze
+    stream = pathlib.Path(args.input).read_bytes()
+    st = analyze(stream)
+    print(st.to_json() if args.json else st.summary())
+
+
+def cmd_roundtrip(args):
+    from yaik_tpu.decoder import api
+    from yaik_tpu.encoder import bank as bankmod
+    from yaik_tpu.encoder.context import encode_image
+    bank = _load_bank(args.bank)
+    img = _png(args.input)
+    stream = encode_image(img, bank, engine=args.engine)
+    lut = api.assign_lut(bankmod.write_lut_file(bank))
+    dec = api.decode_image(stream, lut)
+    rgb_in, rgb_out = img[:, :, :3].astype(float), dec[:, :, :3].astype(float)
+    mse = np.mean((rgb_in - rgb_out) ** 2)
+    psnr = 10 * np.log10(255 ** 2 / mse) if mse else float("inf")
+    h, w = img.shape[:2]
+    print(f"{args.input}: {len(stream)*8/(w*h):.3f} bpp  PSNR {psnr:.2f} dB")
+
+
+def main():
+    p = argparse.ArgumentParser(prog="yaik_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("input"); e.add_argument("output")
+    e.add_argument("--bank", default=DEFAULT_FIX / "Bank3D")
+    e.add_argument("--engine", default="host", choices=["host", "device"])
+    e.add_argument("--stats", action="store_true")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("input"); d.add_argument("output")
+    d.add_argument("--lut", default=DEFAULT_FIX / "LutFile.lut")
+    d.add_argument("--engine", default="host", choices=["host", "jax"])
+    d.set_defaults(fn=cmd_decode)
+
+    l = sub.add_parser("lut")
+    l.add_argument("bank_dir"); l.add_argument("output")
+    l.set_defaults(fn=cmd_lut)
+
+    s = sub.add_parser("stats")
+    s.add_argument("input")
+    s.add_argument("--json", action="store_true")
+    s.set_defaults(fn=cmd_stats)
+
+    r = sub.add_parser("roundtrip")
+    r.add_argument("input")
+    r.add_argument("--bank", default=DEFAULT_FIX / "Bank3D")
+    r.add_argument("--engine", default="host", choices=["host", "device"])
+    r.set_defaults(fn=cmd_roundtrip)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,7 @@ class Tile3DPassPlan:
     colors: np.ndarray    # [nty*ntx, 6] i32 (min RGB, max RGB)
     indices: np.ndarray   # [nty*ntx, th*tw] u8 LUT entry per pixel slot
     wmask: np.ndarray     # [nty*ntx, th*tw] bool pixel written by this tile
+    types: np.ndarray = None  # [nty*ntx] i32 raw tile type words (stats)
 
 
 @dataclass
@@ -227,6 +228,7 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
         cols = np.zeros((g, 6), np.int32)
         indices = np.zeros((g, th * tw), np.uint8)
         wmask = np.zeros((g, th * tw), bool)
+        type_arr = np.zeros(g, np.int32)
         if maps[(sx, sy)]:
             bits = swizzle.unpack_bitmap(
                 maps[(sx, sy)][:swizzle.bitmap_size_bytes(sx, sy, w, h)],
@@ -243,6 +245,7 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
                 fmt = (tile_type >> 14) & 3
                 bit = fmt + 3
                 accept[ty, tx] = True
+                type_arr[gid] = tile_type
                 cols[gid] = colors[tid]
                 tbl = luts_expanded[bit][combined]       # [2**bit, 3]
                 luts[gid, : tbl.shape[0]] = tbl
@@ -269,7 +272,8 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
                 claims[qy0:qy0 + th // 4, qx0:qx0 + tw // 4] = True
         passes.append(Tile3DPassPlan(shift=(sx, sy), accept=accept,
                                      luts=luts, colors=cols,
-                                     indices=indices, wmask=wmask))
+                                     indices=indices, wmask=wmask,
+                                     types=type_arr))
     return passes
 
 
