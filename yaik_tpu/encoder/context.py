@@ -68,7 +68,14 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
 
     out = bytearray()
     out += FileHeader(MAGIC, 1, w, h, 1 if has_alpha else 0).pack()
-    pal_state = PaletteState()  # the reference's global CodeRGB persists across chunks
+    # the reference's global CodeRGB persists across chunks; native runtime
+    # when built, Python fallback otherwise (identical streams, tested)
+    from yaik_tpu import native
+    use_native = native.available()
+    pal_state = (native.NativePaletteState() if use_native
+                 else PaletteState())
+    compress_palette = (native.palette_compress if use_native
+                        else palette_compress)
 
     if has_alpha:
         alpha_plane = rgb[:, :, 3]
@@ -108,7 +115,7 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
         if count == 0 or not rgb_stream:
             continue
         z_bitmap = _compress_stream(bitmap)
-        cust = palette_compress(rgb_stream, pal_state)
+        cust = compress_palette(rgb_stream, pal_state)
         if cust is None:
             raise RuntimeError("palette compression failed")
         z_rgb = _compress_stream(cust)
@@ -148,8 +155,15 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
     pix_stream = bytearray()
     type_stream = bytearray()
     for p in range(3):
-        dyn1d.run_plane(planes[p], claims[p], pix_stream, type_stream,
-                        cfg.color_compression_1d, cfg.range_compression_1d)
+        if use_native:
+            pix, typ = native.dyn1d_plane(
+                planes[p].astype(np.uint8), claims[p],
+                cfg.color_compression_1d, cfg.range_compression_1d)
+            pix_stream += pix
+            type_stream += typ
+        else:
+            dyn1d.run_plane(planes[p], claims[p], pix_stream, type_stream,
+                            cfg.color_compression_1d, cfg.range_compression_1d)
     if pix_stream:
         z_pix = zstd.compress(bytes(pix_stream), 18, len(pix_stream) * 2)
         z_type = zstd.compress(bytes(type_stream), 18, len(pix_stream))

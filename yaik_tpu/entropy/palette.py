@@ -28,7 +28,13 @@ def full_range_remap(data: np.ndarray, original_range: int) -> np.ndarray:
 
 def palette_decompress(input_: bytes, output_size: int,
                        color_compression: int) -> np.ndarray:
-    """Decode `output_size` bytes of RGB triplets. Returns u8 array."""
+    """Decode `output_size` bytes of RGB triplets. Returns u8 array.
+    Dispatches to the native runtime when built (identical output; this
+    Python body is the reference implementation and fallback)."""
+    from yaik_tpu import native
+    if native.available():
+        return native.palette_decompress(bytes(input_), output_size,
+                                         color_compression)
     inp = np.frombuffer(input_, np.uint8)
     out = np.zeros(output_size, np.uint8)
     pos = 0

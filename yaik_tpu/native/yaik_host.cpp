@@ -1,0 +1,296 @@
+// yaik_host: native host runtime for yaik_tpu.
+//
+// The sequential, data-dependent stages that sit poorly in Python AND on the
+// accelerator: the palette codec (reference PaletteCompressor/Decompressor
+// semantics, EncoderContext.cpp:3259-3502 / YAIK_GenericFunctions.cpp:139-241)
+// and the 1D residual pass (DynamicTileCompressor, :8398-8522). Written from
+// the spec in the Python modules (entropy/palette.py, encoder/palette_codec.py,
+// encoder/dyn1d.py); those remain the readable reference and the fallback.
+//
+// Build: tools/build_native.sh -> yaik_tpu/native/libyaik_host.so
+// ABI: plain C, used via ctypes.
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Palette decompressor. Returns decompressed byte count or -1 on error.
+// ---------------------------------------------------------------------------
+int palette_decompress(const uint8_t* input, int input_size,
+                       uint8_t* output, int output_size,
+                       int color_compression) {
+    if (input_size < 1) return -1;
+    int pos = 0;
+    int cb_size = input[pos++];
+    // codebook aliases the input stream in place (indices may exceed
+    // cb_size and read the following stream bytes; zero beyond the end)
+    const uint8_t* codebook = input + 1;
+    int cb_avail = input_size - 1;
+    pos += cb_size * 3;
+    if (pos + 3 > input_size) return -1;
+    output[0] = input[pos++];
+    output[1] = input[pos++];
+    output[2] = input[pos++];
+    int last = 0;
+    int write = 3;
+
+    auto cb = [&](int i) -> uint8_t {
+        return (i < cb_avail) ? codebook[i] : 0;
+    };
+
+    while (write <= output_size - 3) {
+        if (pos >= input_size) return -1;
+        int c = input[pos++];
+        if (c & 0x80) {
+            if (c & 0x40) {
+                last = write - ((c & 0x3F) + 2) * 3;
+                if (last < 0) return -1;
+            } else {
+                int sub = (c >> 3) & 7;
+                if (sub == 0) {
+                    for (int i = 0; i < 3; i++) {
+                        int d = 0;
+                        if (c & (1 << i)) {
+                            if (pos >= input_size) return -1;
+                            d = input[pos++];
+                        }
+                        output[write + i] = (uint8_t)(output[last + i] + d);
+                    }
+                } else if (sub == 1) {
+                    for (int i = 0; i < 3; i++) {
+                        if (c & (1 << i)) {
+                            if (pos >= input_size) return -1;
+                            output[write + i] = input[pos++];
+                        } else {
+                            output[write + i] = output[last + i];
+                        }
+                    }
+                } else {
+                    return -1;
+                }
+                last = write;
+                write += 3;
+            }
+        } else {
+            int k = (c & 0x7F) * 3;
+            output[write]     = (uint8_t)(output[last]     + cb(k));
+            output[write + 1] = (uint8_t)(output[last + 1] + cb(k + 1));
+            output[write + 2] = (uint8_t)(output[last + 2] + cb(k + 2));
+            last = write;
+            write += 3;
+        }
+    }
+    // full-range remap v -> (v * ((255<<16)/range)) >> 16
+    int inv = color_compression ? ((255 << 16) / color_compression)
+                                : (255 << 16);
+    for (int i = 0; i < output_size; i++) {
+        output[i] = (uint8_t)(((int)output[i] * inv) >> 16);
+    }
+    return output_size;
+}
+
+// ---------------------------------------------------------------------------
+// Palette compressor with persistent codebook state (the reference's global
+// CodeRGB). `state` is caller-owned: entries[slot*3..] deltas as int32,
+// state_len = number of valid slots (grows monotonically).
+// Returns compressed size or -1 on output overflow.
+// ---------------------------------------------------------------------------
+struct CodeEntry { int32_t ref; int32_t dr, dg, db; };
+
+static int cmp_ref_desc_stable(const void* a, const void* b) {
+    const CodeEntry* f = (const CodeEntry*)a;
+    const CodeEntry* s = (const CodeEntry*)b;
+    if (f->ref < s->ref) return 1;
+    if (f->ref > s->ref) return -1;
+    return 0;
+}
+
+int palette_compress(const uint8_t* input, int size,
+                     uint8_t* output, int max_out,
+                     int32_t* state, int32_t* state_len) {
+    int n = size / 3;
+    if (n < 1) return -1;
+
+    // phase 1: build codebook
+    CodeEntry* book = (CodeEntry*)malloc(sizeof(CodeEntry) * (size_t)(n + 1));
+    int count = 0;
+    book[count++] = {0, 0, 0, 0};
+    for (int i = 1; i < n; i++) {
+        int lo = i - 64; if (lo < 0) lo = 0;
+        long best = 0x7FFFFFFFFFFFL;
+        int br = 0, bg = 0, bb = 0;
+        const uint8_t* pix = input + i * 3;
+        for (int p = lo; p < i; p++) {
+            int dr = pix[0] - input[p * 3];
+            int dg = pix[1] - input[p * 3 + 1];
+            int db = pix[2] - input[p * 3 + 2];
+            long dist = (long)dr * dr + (long)dg * dg + (long)db * db;
+            if (dist < best) { best = dist; br = dr; bg = dg; bb = db; }
+        }
+        int found = -1;
+        for (int k = 0; k < count; k++) {
+            if (book[k].dr == br && book[k].dg == bg && book[k].db == bb) {
+                found = k; break;
+            }
+        }
+        if (found >= 0) book[found].ref++;
+        else book[count++] = {0, br, bg, bb};
+    }
+    // stable descending by refcount (entry 0 pinned); glibc qsort is
+    // mergesort-based here, but use an explicitly stable comparator path:
+    // qsort with ref-desc plus original-index tiebreak
+    for (int k = 0; k < count; k++) book[k].ref = book[k].ref * 65536 + (65535 - (k & 0xFFFF));
+    qsort(book + 1, (size_t)(count - 1), sizeof(CodeEntry),
+          cmp_ref_desc_stable);
+    for (int k = 0; k < count; k++) book[k].ref /= 65536;
+
+    int final_count = count > 128 ? 128 : count;
+    // persist into state (overwrite first `count` slots)
+    for (int k = 0; k < count && k < 4096; k++) {
+        state[k * 3] = book[k].dr;
+        state[k * 3 + 1] = book[k].dg;
+        state[k * 3 + 2] = book[k].db;
+    }
+    if (count > *state_len) *state_len = count < 4096 ? count : 4096;
+
+    int out = 0;
+    #define EMIT(v) do { if (out >= max_out) { free(book); return -1; } \
+                         output[out++] = (uint8_t)(v); } while (0)
+    EMIT(final_count);
+    for (int k = 0; k < final_count; k++) {
+        EMIT(book[k].dr); EMIT(book[k].dg); EMIT(book[k].db);
+    }
+    EMIT(input[0]); EMIT(input[1]); EMIT(input[2]);
+
+    // search table = persistent slots 0..63 (stale tail included)
+    auto find_code = [&](int dr, int dg, int db) -> int {
+        int lim = *state_len < 64 ? 64 : 64;   // always scan 64 slots
+        for (int k = 0; k < lim; k++) {
+            if (state[k * 3] == dr && state[k * 3 + 1] == dg &&
+                state[k * 3 + 2] == db)
+                return k;
+        }
+        return -1;
+    };
+
+    for (int i = 1; i < n; i++) {
+        const uint8_t* pix = input + i * 3;
+        int dr = pix[0] - input[(i - 1) * 3];
+        int dg = pix[1] - input[(i - 1) * 3 + 1];
+        int db = pix[2] - input[(i - 1) * 3 + 2];
+        int k = find_code(dr, dg, db);
+        if (k >= 0) { EMIT(k & 0x7F); continue; }
+
+        int lo = i - 65; if (lo < 0) lo = 0;
+        int best_idx = 999, best_dist = 0;
+        for (int p = i - 2; p >= lo; p--) {
+            int pr = pix[0] - input[p * 3];
+            int pg = pix[1] - input[p * 3 + 1];
+            int pb = pix[2] - input[p * 3 + 2];
+            int kk = find_code(pr, pg, pb);
+            if (kk >= 0) {
+                int distance = (i - p) - 2;
+                if (distance < 64 && kk < best_idx) {
+                    best_idx = kk; best_dist = distance;
+                }
+            }
+        }
+        if (best_idx != 999) {
+            EMIT(0xC0 | (best_dist & 0x3F));
+            EMIT(best_idx & 0x7F);
+            continue;
+        }
+        int mask = (dr ? 1 : 0) | (dg ? 2 : 0) | (db ? 4 : 0);
+        if (dr >= -128 && dr <= 127 && dg >= -128 && dg <= 127 &&
+            db >= -128 && db <= 127) {
+            EMIT(0x80 | mask);
+            if (dr) EMIT(dr);
+            if (dg) EMIT(dg);
+            if (db) EMIT(db);
+        } else {
+            EMIT(0x88 | mask);
+            if (dr) EMIT(pix[0]);
+            if (dg) EMIT(pix[1]);
+            if (db) EMIT(pix[2]);
+        }
+    }
+    #undef EMIT
+    free(book);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// 1D residual pass for one plane (DynamicTileCompressor semantics).
+// plane: [h][w] u8; claim: [h][w] u8 (nonzero = claimed).
+// pix_out / type_out are caller buffers; returns pixel stream length,
+// writes type stream length to *type_len.
+// ---------------------------------------------------------------------------
+int dyn1d_plane(const uint8_t* plane, const uint8_t* claim, int w, int h,
+                int color_compression, int range_compression,
+                uint8_t* pix_out, uint8_t* type_out, int* type_len) {
+    int pcur = 0, tcur = 0;
+    int inv_range = (1 << 24) / range_compression;  // parity w/ decoder
+    (void)inv_range;
+    for (int y = 0; y < h; y += 8) {
+        for (int x = 0; x < w; x += 8) {
+            uint8_t vals[64];
+            int histo[256];
+            memset(histo, 0, sizeof(histo));
+            int cnt = 0;
+            for (int y2 = 0; y2 < 8; y2 += 4) {
+                bool has_left = claim[(y + y2) * w + x] == 0;
+                bool has_right = claim[(y + y2) * w + x + 4] == 0;
+                if (!(has_left || has_right)) continue;
+                int x2 = 0, length = 4;
+                if (has_left && has_right) { length = 8; }
+                else if (has_right) { x2 = 4; }
+                for (int iy = 0; iy < 4; iy++) {
+                    for (int ix = 0; ix < length; ix++) {
+                        int v = plane[(y + y2 + iy) * w + x + x2 + ix];
+                        v = ((v * color_compression) + 127) / 255;
+                        histo[v]++;
+                        vals[cnt++] = (uint8_t)v;
+                    }
+                }
+            }
+            if (cnt == 0) continue;
+            // most-used: ties to the RIGHT
+            int best = -1, color0 = -1;
+            for (int v = 0; v < 256; v++) {
+                if (histo[v] >= best) { best = histo[v]; color0 = v; }
+            }
+            if (color0 == 0) color0 = 1;
+            if (color0 == 255) color0 = 254;
+            histo[color0 - 1] = histo[color0] = histo[color0 + 1] = 0;
+            int mn = 99999, mx = -99999;
+            for (int v = 0; v < 256; v++) {
+                if (histo[v]) { if (v < mn) mn = v; if (v > mx) mx = v; }
+            }
+            int min_col = 0, delta = 0;
+            if (mn != 99999) { min_col = mn; delta = mx - mn; }
+            for (int i = 0; i < cnt; i++) {
+                int v = vals[i];
+                if (v >= color0 - 1 && v <= color0 + 1) {
+                    pix_out[pcur++] = 0;
+                } else {
+                    int idx = 0;
+                    if (delta) {
+                        // C truncating division (numerator can be -1)
+                        idx = ((v - min_col) * range_compression
+                               + (delta >> 1) - 1) / delta;
+                    }
+                    pix_out[pcur++] = (uint8_t)(1 + idx);
+                }
+            }
+            type_out[tcur++] = (uint8_t)color0;
+            type_out[tcur++] = (uint8_t)min_col;
+            type_out[tcur++] = (uint8_t)delta;
+        }
+    }
+    *type_len = tcur;
+    return pcur;
+}
+
+}  // extern "C"
