@@ -1,0 +1,103 @@
+"""LUT-bank mining: build Bank3D point clouds from a training corpus.
+
+The reference's research workflow (SURVEY section 3.4): capture mode dumps
+each unclaimed full tile's normalized RGB cloud to `tile3D/*.lut`
+(Correlation3DSearch, EncoderContext.cpp:6350-6433), then evaluateLUT mode
+re-runs the encoder per candidate to measure coverage (:8904-8985). This
+module reproduces that loop in-process:
+
+  capture_clouds: normalized 64-point clouds of gradient-unclaimed 8x8 tiles
+  evaluate_candidates: greedy coverage selection - repeatedly add the
+    candidate cloud that newly covers the most captured tiles under the
+    reference's accept gate (approximated by 3-bit nearest-point error)
+  mine_bank: corpus -> Bank3D files loadable by both encoders
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from yaik_tpu.encoder import bank as bankmod
+from yaik_tpu.encoder import gradient
+from yaik_tpu.format import swizzle
+
+
+def capture_clouds(rgb: np.ndarray, reject_factor: int = 3):
+    """Run the gradient passes, then capture normalized clouds of the
+    leftover full 8x8 tiles (the reference captures pixelsInTile >= 64)."""
+    h, w = rgb.shape[:2]
+    planes = rgb[:, :, :3].transpose(2, 0, 1).astype(np.int32)
+    claims = np.zeros((3, h, w), bool)
+    mapped = np.zeros((3, h + 1, w + 1), bool)
+    for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
+        gradient.run_pass(planes, claims, mapped, sx, sy, reject_factor, 250)
+
+    clouds = []
+    for y in range(0, h, 8):
+        for x in range(0, w, 8):
+            if claims[:, y:y + 8, x:x + 8].any():
+                continue
+            tile = planes[:, y:y + 8, x:x + 8].reshape(3, -1).T  # [64,3]
+            mn, mx = tile.min(0), tile.max(0)
+            d = mx - mn
+            if (d == 0).sum() >= 2:
+                continue
+            nvec = np.where(d > 0, (1 << 20) // np.maximum(d, 1), 0)
+            r = (tile - mn) * nvec
+            fr = r.astype(np.float32) / np.float32(1 << 20)
+            c = (fr * np.float32(63)).astype(np.uint8)
+            clouds.append(c)
+    return clouds
+
+
+def _covers(cloud_pts: np.ndarray, tiles: np.ndarray, gate_px: int = 75):
+    """Accept proxy mirroring the reference gate (max-channel error <= 5,
+    <= 3 violating pixels): per-pixel squared nearest-point distance at the
+    most permissive (6-bit, 64-point) depth in the 64-cube; tile covered
+    when at most 3 pixels exceed gate_px. tiles: [n, 64, 3]."""
+    pts = cloud_pts.astype(np.int32)       # 6-bit: all 64 points
+    d = ((tiles[:, :, None, :].astype(np.int32) - pts[None, None, :, :]) ** 2
+         ).sum(-1).min(-1)            # [n, 64]
+    return (d > gate_px).sum(axis=1) <= 3
+
+
+def evaluate_candidates(clouds, max_tables=12, gate_px=75,
+                        max_candidates=256):
+    """Greedy max-coverage selection of candidate clouds."""
+    if not clouds:
+        return []
+    tiles = np.stack(clouds)                       # [n, 64, 3]
+    # candidates = a subsample of the captures themselves
+    step = max(1, len(clouds) // max_candidates)
+    cand_idx = list(range(0, len(clouds), step))
+    cands = [bankmod.sort_palette_morton(clouds[i]) for i in cand_idx]
+
+    cover = np.stack([_covers(c, tiles, gate_px) for c in cands])  # [k, n]
+    covered = np.zeros(len(tiles), bool)
+    picked = []
+    for _ in range(max_tables):
+        gains = (cover & ~covered[None, :]).sum(axis=1)
+        best = int(gains.argmax())
+        if gains[best] == 0:
+            break
+        picked.append(cands[best])
+        covered |= cover[best]
+    return picked
+
+
+def mine_bank(images, out_dir, max_tables=12):
+    """images: list of [h,w,3+] u8 arrays. Writes Bank3D-format files named
+    like the reference's hardcoded list so both encoders can load them."""
+    clouds = []
+    for img in images:
+        clouds.extend(capture_clouds(np.asarray(img)))
+    picked = evaluate_candidates(clouds, max_tables=max_tables)
+    os.makedirs(out_dir, exist_ok=True)
+    for name, cloud in zip(bankmod.BANK_FILE_NAMES, picked):
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(bytes([len(cloud) & 0xFF]))
+            f.write(cloud[:, 0].tobytes())
+            f.write(cloud[:, 1].tobytes())
+            f.write(cloud[:, 2].tobytes())
+    return len(picked), len(clouds)
