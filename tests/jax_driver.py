@@ -39,6 +39,23 @@ def main():
     assert host_stream == dev_stream, "device-scored encode differs"
     print("img64: device-scored encode byte-identical")
 
+    # batch decode over the 8-device mesh (config 5)
+    from yaik_tpu.parallel import batch as par
+    mesh = par.data_mesh(8)
+    streams = [(FIX / "img128.yaik").read_bytes()] * 8
+    want128 = np.load(FIX / "img128.dec.npz")["rgb"]
+    out = par.decode_batch(streams, lut, mesh=mesh)
+    assert out.shape[0] == 8
+    assert all(np.array_equal(out[i], want128) for i in range(8))
+    print("decode_batch over 8-device mesh: bit-exact")
+
+    # spatial sharding of one image's tile grid (config 4, scaled down)
+    want512 = np.load(FIX / "img512.dec.npz")["rgb"]
+    got = par.decode_spatial((FIX / "img512.yaik").read_bytes(), lut,
+                             mesh=mesh, n_bands=8)
+    assert np.array_equal(got, want512)
+    print("decode_spatial (8 bands over mesh): bit-exact")
+
     import __graft_entry__ as g
     fn, args = g.entry()
     out = jax.jit(fn)(*args)

@@ -1,0 +1,134 @@
+"""Scale-out: batch decode over a device mesh + spatial sharding for
+monster images.
+
+YAIK's parallelism axes (SURVEY section 2.5): there is no TP/PP/SP/EP
+analog in a codec - the axes are (a) tile-parallel inside the kernels,
+(b) DATA-parallel over the image batch (config 5: texture corpora on a
+v5e-8 mesh), and (c) spatial sharding of one large image's tile grid
+(config 4: 4K stills), which is what `decode_spatial` does by splitting
+the dense decode plan into horizontal bands (every plan tensor is
+tile-grid-indexed, so bands are pure slices; the corner grids carry their
+one-row halo naturally).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from yaik_tpu.decoder import jax_engine, planner as plannermod
+from yaik_tpu.format import lut as lutmod
+
+
+def _stack_args(list_of_args):
+    return jax.tree.map(lambda *xs: np.stack(xs), *list_of_args)
+
+
+def data_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("data",))
+
+
+def decode_batch(streams, lut, mesh: Mesh | None = None):
+    """Decode same-sized .yaik streams as one sharded device step.
+
+    streams: list of bytes (all the same WxH - group by size upstream).
+    Returns [B, h, w, 3] u8 (RGB; alpha channels are attached per image
+    host-side by the caller if needed).
+    """
+    if isinstance(lut, (bytes, bytearray)):
+        expanded = lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut)))
+    else:
+        expanded = lut.expanded
+    plans = [plannermod.build_plan(s, expanded) for s in streams]
+    w, h = plans[0].width, plans[0].height
+    if any(p.width != w or p.height != h for p in plans):
+        raise ValueError("decode_batch requires same-sized streams")
+    shifts, args0 = jax_engine.plan_to_device_args(plans[0])
+    all_args = [args0] + [jax_engine.plan_to_device_args(p)[1]
+                          for p in plans[1:]]
+    b_args = _stack_args(all_args)
+
+    core = lambda *a: jax_engine.decode_core(shifts, *a)
+    fn = jax.vmap(core)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("data"))
+        fn = jax.jit(fn,
+                     in_shardings=jax.tree.map(lambda _: sharding, b_args),
+                     out_shardings=sharding)
+    else:
+        fn = jax.jit(fn)
+    out = fn(*jax.device_put(b_args))
+    return np.asarray(out)[:, :h, :w]
+
+
+def split_plan_bands(plan: plannermod.DecodePlan, n_bands: int):
+    """Slice a decode plan into n_bands horizontal bands (band height must
+    be a multiple of 64 px so every pass's tile grid splits cleanly)."""
+    h, w = plan.height, plan.width
+    if h % (n_bands * 64):
+        raise ValueError(f"height {h} not splittable into {n_bands} bands "
+                         f"of 64px-multiple height")
+    bh = h // n_bands
+    bands = []
+    for b in range(n_bands):
+        y0 = b * bh
+        grads = []
+        for g in plan.gradient:
+            sx, sy = g.shift
+            th = 1 << sy
+            r0, r1 = y0 // th, (y0 + bh) // th
+            q0, q1 = y0 // 4, (y0 + bh) // 4
+            grads.append(plannermod.GradientPassPlan(
+                shift=g.shift, accept=g.accept[r0:r1],
+                corners=g.corners[q0:q1 + 1]))
+        t3 = []
+        for p in plan.tile3d:
+            sx, sy = p.shift
+            tw, th = 1 << sx, 1 << sy
+            ntx = w // tw
+            r0, r1 = (y0 // th) * ntx, ((y0 + bh) // th) * ntx
+            t3.append(plannermod.Tile3DPassPlan(
+                shift=p.shift, accept=p.accept[y0 // th:(y0 + bh) // th],
+                luts=p.luts[r0:r1], colors=p.colors[r0:r1],
+                indices=p.indices[r0:r1], wmask=p.wmask[r0:r1],
+                types=p.types[r0:r1] if p.types is not None else None))
+        ntx8 = w // 8
+        r0, r1 = (y0 // 8) * ntx8, ((y0 + bh) // 8) * ntx8
+        d1 = plannermod.Plan1D(params=plan.d1.params[:, r0:r1],
+                               indices=plan.d1.indices[:, r0:r1],
+                               wmask=plan.d1.wmask[:, r0:r1])
+        bands.append(plannermod.DecodePlan(
+            width=w, height=bh, gradient=grads, tile3d=t3, d1=d1))
+    return bands
+
+
+def decode_spatial(stream: bytes, lut, mesh: Mesh | None = None,
+                   n_bands: int | None = None):
+    """Decode ONE large image with its tile grid sharded across devices."""
+    if isinstance(lut, (bytes, bytearray)):
+        expanded = lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut)))
+    else:
+        expanded = lut.expanded
+    plan = plannermod.build_plan(stream, expanded)
+    n = n_bands or (len(mesh.devices.flat) if mesh is not None
+                    else len(jax.devices()))
+    bands = split_plan_bands(plan, n)
+    shifts, args0 = jax_engine.plan_to_device_args(bands[0])
+    all_args = [args0] + [jax_engine.plan_to_device_args(b)[1]
+                          for b in bands[1:]]
+    b_args = _stack_args(all_args)
+    core = lambda *a: jax_engine.decode_core(shifts, *a)
+    fn = jax.vmap(core)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("data"))
+        fn = jax.jit(fn,
+                     in_shardings=jax.tree.map(lambda _: sharding, b_args),
+                     out_shardings=sharding)
+    else:
+        fn = jax.jit(fn)
+    out = np.asarray(fn(*jax.device_put(b_args)))
+    full = out.reshape(n * out.shape[1], out.shape[2], 3)
+    return full[: plan.height, : plan.width]
