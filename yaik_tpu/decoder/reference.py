@@ -102,6 +102,11 @@ def _gradient_chunk(st: DecodeState, hdr: HeaderGradientTile, body: bytes):
         hdr.stream_rgb_size_custom)
     rgb = palette.palette_decompress(rgb_cust, hdr.stream_rgb_size_uncompressed,
                                      hdr.color_compression)
+    # security offset like the reference (YAIK_API.cpp:896-910): corrupted
+    # bitmaps may claim more corners than the stream holds; over-allocate
+    # so reads return zeros instead of faulting
+    rgb = np.concatenate(
+        [rgb, np.zeros(3 * ((w // 4 + 1) * (h // 4 + 1)), np.uint8)])
 
     if hdr.plane != 7:
         st.split_masks()
@@ -173,6 +178,10 @@ def _tile3d_size_pass(st: DecodeState, sx: int, sy: int, bitmap: bytes,
         fmt = (tile_type >> 14) & 3      # 0..3 -> 3..6 bit
         bit = fmt + 3
         lut = luts[bit]                  # [tables*64, 2**bit * 3] flat i32
+        # guard like the reference's over-allocated LUT space
+        # (YAIK_API.cpp:252-256): out-of-range table/entry reads are garbage
+        # there, clamped here - corrupt streams yield garbage pixels, not OOB
+        combined = min(combined, lut.shape[0] - 1)
         diff = rgb[3:6] - rgb[0:3]
 
         stream = idx_streams[bit]
@@ -186,21 +195,21 @@ def _tile3d_size_pass(st: DecodeState, sx: int, sy: int, bitmap: bytes,
                 b1 = claims[qy0 + gy0, qx0 + gx1]
                 px, py = x + gx0 * 4, y + gy0 * 4
                 if not b0 and not b1:
-                    idxs = stream[cur:cur + 32].astype(np.int64); cur += 32
+                    idxs = np.minimum(stream[cur:cur + 32].astype(np.int64), lut.shape[1] - 3); cur += 32
                     vals = lut[combined, idxs[:, None] + np.arange(3)]
                     out = ((rgb[None, 0:3] + ((diff[None, :] * vals) >> 7))
                            & 0xFF).astype(np.uint8)
                     st.planes[:, py:py + 4, px:px + 8] = (
                         out.reshape(4, 8, 3).transpose(2, 0, 1))
                 elif not b0:
-                    idxs = stream[cur:cur + 16].astype(np.int64); cur += 16
+                    idxs = np.minimum(stream[cur:cur + 16].astype(np.int64), lut.shape[1] - 3); cur += 16
                     vals = lut[combined, idxs[:, None] + np.arange(3)]
                     out = ((rgb[None, 0:3] + ((diff[None, :] * vals) >> 7))
                            & 0xFF).astype(np.uint8)
                     st.planes[:, py:py + 4, px:px + 4] = (
                         out.reshape(4, 4, 3).transpose(2, 0, 1))
                 elif not b1:
-                    idxs = stream[cur:cur + 16].astype(np.int64); cur += 16
+                    idxs = np.minimum(stream[cur:cur + 16].astype(np.int64), lut.shape[1] - 3); cur += 16
                     vals = lut[combined, idxs[:, None] + np.arange(3)]
                     out = ((rgb[None, 0:3] + ((diff[None, :] * vals) >> 7))
                            & 0xFF).astype(np.uint8)
@@ -210,7 +219,7 @@ def _tile3d_size_pass(st: DecodeState, sx: int, sy: int, bitmap: bytes,
                 (gx0, gy0), = group
                 px, py = x + gx0 * 4, y + gy0 * 4
                 if not claims[qy0 + gy0, qx0 + gx0]:
-                    idxs = stream[cur:cur + 16].astype(np.int64); cur += 16
+                    idxs = np.minimum(stream[cur:cur + 16].astype(np.int64), lut.shape[1] - 3); cur += 16
                     vals = lut[combined, idxs[:, None] + np.arange(3)]
                     out = ((rgb[None, 0:3] + ((diff[None, :] * vals) >> 7))
                            & 0xFF).astype(np.uint8)
@@ -257,11 +266,26 @@ def _tile3d_chunk(st: DecodeState, hdr: HeaderTile3D, body: bytes,
     luts = {bit: arr.reshape(arr.shape[0], -1)
             for bit, arr in luts_expanded.items()}
 
+    # popcount cross-validation (CheckTileCount, YAIK_API.cpp:628-641):
+    # cumulative accepted-tile count must stay within the type stream
     cursors = {"color": 0, "type": 0, 3: 0, 4: 0, 5: 0, 6: 0}
     maps = {(4, 3): m16_8, (3, 4): m8_16, (3, 3): m8_8,
             (3, 2): m8_4, (2, 3): m4_8, (2, 2): m4_4}
+    # over-allocate streams so within-tile overruns on corrupt claims read
+    # zeros (the reference's security-offset model)
+    total_px = st.planes.shape[1] * st.planes.shape[2]
+    colors = np.concatenate([colors, np.zeros(total_px * 6, np.uint8)])
+    idx_streams = {b: np.concatenate([s, np.zeros(total_px, np.uint8)])
+                   for b, s in idx_streams.items()}
+    security_count = 0
     for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
         if maps[(sx, sy)]:
+            bm = swizzle.unpack_bitmap(
+                maps[(sx, sy)][:swizzle.bitmap_size_bytes(
+                    sx, sy, st.width, st.height)], sx, sy, st.width, st.height)
+            security_count += int(bm.sum())
+            if security_count > hdr.stream_type_cnt:
+                continue
             _tile3d_size_pass(st, sx, sy, maps[(sx, sy)], cursors,
                               colors, types, idx_streams, luts)
 
@@ -275,6 +299,12 @@ def _tile1d_chunk(st: DecodeState, hdr: Header1D, body: bytes):
                              hdr.stream_type_cnt + hdr.stream_pixel_bit],
                         hdr.stream_pixel_uncmp), np.uint8)
     st.split_masks()
+    # over-allocate so corrupt claim patterns read zeros, not OOB
+    total_tiles = (st.planes.shape[1] // 8) * (st.planes.shape[2] // 8)
+    types = np.concatenate([types, np.zeros(total_tiles * 9, np.uint8)])
+    pix = np.concatenate([pix, np.zeros(total_tiles * 64 * 3, np.uint8)])
+    if hdr.compression_range == 0:
+        raise ValueError("invalid 1D compression range")
     inv_range = (1 << 24) // hdr.compression_range
     tcur = 0
     pcur = 0
@@ -347,25 +377,36 @@ def decode(stream: bytes, lut_data: bytes | dict) -> np.ndarray:
     else:
         luts_expanded = lutmod.expand_lut(lutmod.parse_lut_file(lut_data))
 
+    import struct as _struct
     mip_mask = None
     mip_bbox = None
-    for tag, off, body in iter_chunks(stream):
-        if tag == b"GTIL":
-            hdr = HeaderGradientTile.unpack(body)
-            _gradient_chunk(st, hdr, body[HeaderGradientTile.size():])
-        elif tag == b"3DTL":
-            hdr = HeaderTile3D.unpack(body)
-            _tile3d_chunk(st, hdr, body[HeaderTile3D.size():], luts_expanded)
-        elif tag == b"1DTL":
-            hdr = Header1D.unpack(body)
-            _tile1d_chunk(st, hdr, body[Header1D.size():])
-        elif tag == b"MIPM":
-            mip_mask, mip_bbox = alphamod.decode_mipm(body, fh.width, fh.height)
-        elif tag == b"ALPM":
-            st.alpha = alphamod.decode_alpm(body, fh.width, fh.height,
-                                            mip_mask, mip_bbox)
-        else:
-            raise ValueError(f"unknown chunk tag {tag!r}")
+    def _chunks_checked(s):
+        try:
+            yield from iter_chunks(s)
+        except _struct.error as e:
+            raise ValueError(f"malformed chunk: {e}") from e
+    for tag, off, body in _chunks_checked(stream):
+        try:
+            if tag == b"GTIL":
+                hdr = HeaderGradientTile.unpack(body)
+                _gradient_chunk(st, hdr, body[HeaderGradientTile.size():])
+            elif tag == b"3DTL":
+                hdr = HeaderTile3D.unpack(body)
+                _tile3d_chunk(st, hdr, body[HeaderTile3D.size():],
+                              luts_expanded)
+            elif tag == b"1DTL":
+                hdr = Header1D.unpack(body)
+                _tile1d_chunk(st, hdr, body[Header1D.size():])
+            elif tag == b"MIPM":
+                mip_mask, mip_bbox = alphamod.decode_mipm(body, fh.width,
+                                                          fh.height)
+            elif tag == b"ALPM":
+                st.alpha = alphamod.decode_alpm(body, fh.width, fh.height,
+                                                mip_mask, mip_bbox)
+            else:
+                raise ValueError(f"unknown chunk tag {tag!r}")
+        except _struct.error as e:
+            raise ValueError(f"malformed {tag!r} chunk: {e}") from e
 
     out = st.planes[:, :fh.height, :fh.width].transpose(1, 2, 0)
     if st.has_alpha:

@@ -47,6 +47,8 @@ _FLIPS = [
 
 def parse_lut_file(data: bytes):
     """Parse a LutFile.lut -> dict bit -> u8 array [n_tables, 2**bit, 3]."""
+    if len(data) < LUTHeader.size():
+        raise ValueError("LUT file too small")
     hdr = LUTHeader.unpack(data)
     if hdr.tag[:2] != b"LU" or hdr.tag[2:3] != b"L":
         raise ValueError(f"unsupported LUT type {hdr.tag!r}")
