@@ -121,3 +121,20 @@ def test_mining_produces_loadable_bank(tmp_path):
     stream = encode_image(img, bank)
     out = api.decode_image(stream, bankmod.write_lut_file(bank))
     assert out.shape == img.shape
+
+
+def test_pallas_lut3d_resolve_interpret():
+    """The Pallas 3D-LUT resolve kernel (interpret mode == CPU-safe)."""
+    import jax.numpy as jnp
+    from yaik_tpu.ops.pallas_kernels import lut3d_resolve
+    rng = np.random.default_rng(1)
+    G, Pn = 70, 16
+    idx = rng.integers(0, 64, (G, Pn)).astype(np.uint8)
+    luts = rng.integers(0, 129, (G, 64, 3)).astype(np.uint8)
+    cols = rng.integers(0, 256, (G, 6)).astype(np.int32)
+    out = np.asarray(lut3d_resolve(jnp.asarray(idx), jnp.asarray(luts),
+                                   jnp.asarray(cols), interpret=True))
+    L = luts[np.arange(G)[:, None], idx].astype(np.int32)
+    mn = cols[:, None, 0:3]
+    want = (mn + (((cols[:, None, 3:6] - mn) * L) >> 7)) & 0xFF
+    assert np.array_equal(out, want)

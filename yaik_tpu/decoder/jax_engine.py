@@ -14,6 +14,7 @@ The same function compiles for CPU tests and TPU, and batches with vmap.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -26,6 +27,11 @@ from yaik_tpu.format import swizzle
 
 GRAD_SHIFTS = tuple(swizzle.GRADIENT_PASS_ORDER)
 T3_SHIFTS = tuple(swizzle.TILE3D_PASS_ORDER)
+
+# opt-in Pallas path for the 3D-LUT resolve (identical output; keeps the
+# one-hot expansion in VMEM instead of HBM). Default off: at current batch
+# sizes both paths are dispatch-latency-bound and XLA fuses well.
+USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "0") == "1"
 
 
 def _blend_pass(plane, accept, corners, sx, sy):
@@ -64,14 +70,18 @@ def _tile3d_pass(plane, accept, luts, colors, indices, wmask, sx, sy):
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
     g, npx = indices.shape
-    # one-hot [g, npx, 64] in f32 (exact for values <= 2^24)
-    onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
-              [None, None, :]).astype(jnp.float32)
-    L = jnp.einsum("gpk,gkc->gpc", onehot, luts.astype(jnp.float32),
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
-    mn = colors[:, None, 0:3]
-    diff = colors[:, None, 3:6] - mn
-    vals = (mn + ((diff * L) >> 7)) & 0xFF                    # [g, npx, 3]
+    if USE_PALLAS and jax.devices()[0].platform == "tpu":
+        from yaik_tpu.ops.pallas_kernels import lut3d_resolve
+        vals = lut3d_resolve(indices, luts, colors)           # [g, npx, 3]
+    else:
+        # one-hot [g, npx, 64] in f32 (exact for values <= 2^24)
+        onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
+                  [None, None, :]).astype(jnp.float32)
+        L = jnp.einsum("gpk,gkc->gpc", onehot, luts.astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+        mn = colors[:, None, 0:3]
+        diff = colors[:, None, 3:6] - mn
+        vals = (mn + ((diff * L) >> 7)) & 0xFF                # [g, npx, 3]
 
     write = wmask & accept.reshape(g)[:, None]
     vals = vals.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4)
