@@ -26,7 +26,7 @@ import numpy as np
 from yaik_tpu.entropy import palette, zstd_backend as zstd
 from yaik_tpu.format import swizzle
 from yaik_tpu.format.headers import (FileHeader, Header1D, HeaderGradientTile,
-                                     HeaderTile3D, MAGIC)
+                                     HeaderTile3D, HeaderTile3DX, MAGIC)
 from yaik_tpu.decoder.reference import _PAIR_ORDER, iter_chunks
 
 
@@ -168,9 +168,10 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
                 shift=(sx, sy), accept=grid,
                 corners=map_rgb.reshape(h // 4 + 1, stride_q, 3).copy()))
 
-        elif tag == b"3DTL":
-            hdr = HeaderTile3D.unpack(body)
-            t3passes = _plan_3d(body[HeaderTile3D.size():], hdr, w, h,
+        elif tag in (b"3DTL", b"3DTX"):
+            cls = HeaderTile3D if tag == b"3DTL" else HeaderTile3DX
+            hdr = cls.unpack(body)
+            t3passes = _plan_3d(body[cls.size():], hdr, w, h,
                                 claims, luts_expanded)
 
         elif tag == b"1DTL":

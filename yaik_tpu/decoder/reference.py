@@ -22,7 +22,7 @@ from yaik_tpu.format import lut as lutmod
 from yaik_tpu.format import swizzle
 from yaik_tpu.format.headers import (END_TAG, Header1D, HeaderBase,
                                      HeaderGradientTile, HeaderTile3D,
-                                     FileHeader, MAGIC)
+                                     HeaderTile3DX, FileHeader, MAGIC)
 
 # quad-pair decode order per 3D tile size (shift_x, shift_y) -> list of
 # "columns pairs": each element is a list of quad (qx, qy) processed together
@@ -390,10 +390,10 @@ def decode(stream: bytes, lut_data: bytes | dict) -> np.ndarray:
             if tag == b"GTIL":
                 hdr = HeaderGradientTile.unpack(body)
                 _gradient_chunk(st, hdr, body[HeaderGradientTile.size():])
-            elif tag == b"3DTL":
-                hdr = HeaderTile3D.unpack(body)
-                _tile3d_chunk(st, hdr, body[HeaderTile3D.size():],
-                              luts_expanded)
+            elif tag in (b"3DTL", b"3DTX"):
+                cls = HeaderTile3D if tag == b"3DTL" else HeaderTile3DX
+                hdr = cls.unpack(body)
+                _tile3d_chunk(st, hdr, body[cls.size():], luts_expanded)
             elif tag == b"1DTL":
                 hdr = Header1D.unpack(body)
                 _tile1d_chunk(st, hdr, body[Header1D.size():])

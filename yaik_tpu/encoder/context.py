@@ -17,7 +17,8 @@ from yaik_tpu.encoder.palette_codec import PaletteState, palette_compress
 from yaik_tpu.entropy import zstd_backend as zstd
 from yaik_tpu.format import swizzle
 from yaik_tpu.format.headers import (FileHeader, Header1D, HeaderBase,
-                                     HeaderGradientTile, HeaderTile3D, MAGIC)
+                                     HeaderGradientTile, HeaderTile3D,
+                                     HeaderTile3DX, MAGIC)
 
 
 @dataclass
@@ -223,7 +224,14 @@ def _tile3d_chunk(streams, cfg, w, h) -> bytes:
         z_idx[bit] = (zstd.compress(raw, 18, len(raw) * 2 + 100)
                       if raw else b"")
 
-    hdr = HeaderTile3D(
+    sizes16 = (len(raw_t16_8), len(raw_t8_16), len(raw_t8_8),
+               len(raw_t4_8), len(raw_t8_4), len(raw_t4_4),
+               len(z_t16_8), len(z_t8_16), len(z_t8_8),
+               len(z_t4_8), len(z_t8_4), len(z_t4_4))
+    # the reference's u16 map-size fields overflow >= 1 MPix; use the
+    # u32-widened 3DTX extension there (see HeaderTile3DX)
+    hdr_cls = HeaderTile3D if max(sizes16) <= 0xFFFF else HeaderTile3DX
+    hdr = hdr_cls(
         stream_color_cnt=len(colors), stream_type_cnt=n_types,
         stream_3bit_cnt=len(streams[3]), stream_4bit_cnt=len(streams[4]),
         stream_5bit_cnt=len(streams[5]), stream_6bit_cnt=len(streams[6]),
@@ -240,4 +248,4 @@ def _tile3d_chunk(streams, cfg, w, h) -> bytes:
     body = (hdr.pack() + z_idx[3] + z_idx[4] + z_idx[5] + z_idx[6]
             + z_types + z_colors + z_t16_8 + z_t8_16 + z_t8_8
             + z_t8_4 + z_t4_8 + z_t4_4)
-    return _chunk(b"3DTL", body)
+    return _chunk(b"3DTL" if hdr_cls is HeaderTile3D else b"3DTX", body)

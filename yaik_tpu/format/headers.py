@@ -167,6 +167,42 @@ class HeaderTile3D(_Struct):
 
 
 @dataclass
+class HeaderTile3DX(_Struct):
+    """Large-image extension of HeaderTile3D (tag '3DTX'): identical layout
+    with the 12 u16 map-size fields widened to u32. The reference format's
+    u16 fields overflow for any image >= 1 MPix (the 4x4 tile map is
+    w*h/16 bytes), so the reference cannot encode 4K at all; streams that
+    fit u16 still use '3DTL' and stay byte-identical."""
+    _fmt = "IIIIIIIIIIII" + "IIIIIIIIIIII" + "BB2x"
+    stream_color_cnt: int
+    stream_type_cnt: int
+    stream_3bit_cnt: int
+    stream_4bit_cnt: int
+    stream_5bit_cnt: int
+    stream_6bit_cnt: int
+    compr_type_size: int
+    compr_color_size: int
+    compr_3bit_size: int
+    compr_4bit_size: int
+    compr_5bit_size: int
+    compr_6bit_size: int
+    size_t16_8_map: int
+    size_t8_16_map: int
+    size_t8_8_map: int
+    size_t4_8_map: int
+    size_t8_4_map: int
+    size_t4_4_map: int
+    size_t16_8_map_cmp: int
+    size_t8_16_map_cmp: int
+    size_t8_8_map_cmp: int
+    size_t4_8_map_cmp: int
+    size_t8_4_map_cmp: int
+    size_t4_4_map_cmp: int
+    component: int
+    compression_rate_color: int
+
+
+@dataclass
 class Header1D(_Struct):
     # 4 u32 + 3 u8 + 1 pad = 20
     _fmt = "IIIIBBB1x"
