@@ -79,9 +79,20 @@ def lut_flat_layout(luts_expanded: dict):
     return np.concatenate(parts).astype(np.int32), bases, strides
 
 
+_PAIR_SLOT_CACHE: dict = {}
+
+
 def _pair_slots(b0: bool, b1: bool, gx0: int, gy0: int, tw: int, single: bool):
     """Tile-pixel slot indices (row-major th*tw) + relative stream offsets
-    for one quad pair / single quad at quad coords (gx0, gy0)."""
+    for one quad pair / single quad at quad coords (gx0, gy0). Memoized -
+    the argument space is tiny and this is the planner's hottest call."""
+    key = (b0, b1, gx0, gy0, tw, single)
+    if key not in _PAIR_SLOT_CACHE:
+        _PAIR_SLOT_CACHE[key] = _pair_slots_impl(b0, b1, gx0, gy0, tw, single)
+    return _PAIR_SLOT_CACHE[key]
+
+
+def _pair_slots_impl(b0, b1, gx0, gy0, tw, single):
     if single:
         if b0:
             return None
@@ -299,14 +310,15 @@ def _plan_1d(body, hdr, w, h, claims):
     params = np.zeros((3, g, 3), np.int32)
     indices = np.zeros((3, g, 64), np.uint8)
     wmask = np.zeros((3, g, 64), bool)
+    # vectorized quad-claim lookup: [nty, ntx, 2, 2]
+    qgrid = claims[:nty * 2, :ntx * 2].reshape(nty, 2, ntx, 2).transpose(
+        0, 2, 1, 3)
+    active = ~qgrid.all(axis=(2, 3))
+    active_tiles = [(ty, tx) for ty, tx in zip(*np.nonzero(active))]
     tcur = pcur = 0
     for p in range(3):
-        for ty in range(nty):
-            for tx in range(ntx):
-                qx0, qy0 = tx * 2, ty * 2
-                quad = claims[qy0:qy0 + 2, qx0:qx0 + 2]
-                if quad.all():
-                    continue
+        for ty, tx in active_tiles:
+                quad = qgrid[ty, tx]
                 gid = ty * ntx + tx
                 color0 = int(types[tcur]); base = int(types[tcur + 1])
                 delta = int(types[tcur + 2]); tcur += 3
