@@ -50,11 +50,12 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                  config: EncoderConfig | None = None,
-                 engine: str = "host") -> bytes:
+                 engine: str = "host", precomputed=None) -> bytes:
     """Encode an RGB(A) image ([h, w, 3|4] u8, dims multiple of 8) to .yaik.
 
     engine="host": numpy scoring; engine="device": all tile scoring on the
-    accelerator (encoder.jax_scoring), byte-identical output."""
+    accelerator (encoder.jax_scoring); engine="precomputed": scoring results
+    supplied by encoder.batch. All byte-identical."""
     cfg = config or EncoderConfig()
     h, w = rgb.shape[:2]
     if (w & 7) or (h & 7):
@@ -94,18 +95,20 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                 out += alpm
 
     # ---- scoring (host or device) ----
-    dev_grad_accepts = None
+    dev_grad_accepts = planes_dev = claims_dev = None
     if engine == "device":
         import jax
         from yaik_tpu.encoder import device_pipeline as devp
         planes_dev = jax.device_put(planes)
         claims_dev = jax.device_put(claims)
-        dev_grad_accepts, _ = devp.run_gradient_scoring(
+        dev_grad_accepts, claims_dev = devp.run_gradient_scoring(
             planes_dev, claims_dev, cfg.reject_factor)
+    elif engine == "precomputed":
+        dev_grad_accepts = precomputed.grad_accepts
 
     # ---- gradient passes ----
     for k, (sx, sy) in enumerate(swizzle.GRADIENT_PASS_ORDER):
-        if engine == "device":
+        if engine in ("device", "precomputed"):
             bitmap, rgb_stream, count = gradient.emit_pass(
                 planes, claims, mapped_rgb, dev_grad_accepts[k], sx, sy,
                 cfg.color_compression_quad)
@@ -145,8 +148,25 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
     if engine == "device":
         from yaik_tpu.encoder import device_pipeline as devp
         tables = devp.bank_device_tables(bank)
-        dev_t3 = devp.run_tile3d_scoring(planes, claims, tables)
+        dev_t3, _ = devp.run_tile3d_scoring(planes_dev, claims_dev, tables)
         devp.emit_tile3d_streams(dev_t3, w, h, streams)
+        for res in dev_t3:
+            sx, sy = res["shift"]
+            tw, th = 1 << sx, 1 << sy
+            nty, ntx = h // th, w // tw
+            up = np.repeat(np.repeat(res["accept"].reshape(nty, ntx), th, 0),
+                           tw, 1)
+            claims[:, :nty * th, :ntx * tw] |= up[None]
+    elif engine == "precomputed":
+        from yaik_tpu.encoder import device_pipeline as devp
+        devp.emit_tile3d_streams(precomputed.t3_results, w, h, streams)
+        for res in precomputed.t3_results:
+            sx, sy = res["shift"]
+            tw, th = 1 << sx, 1 << sy
+            nty, ntx = h // th, w // tw
+            up = np.repeat(np.repeat(res["accept"].reshape(nty, ntx), th, 0),
+                           tw, 1)
+            claims[:, :nty * th, :ntx * tw] |= up[None]
     else:
         for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
             corr3d.run_pass(planes, claims, bank, sx, sy, streams)

@@ -37,101 +37,83 @@ def bank_device_tables(bank: bankmod.Bank):
 
 
 def run_gradient_scoring(planes_dev, claims_dev, reject_factor):
-    """All 7 gradient passes on device; returns (accept grids np, claims)."""
-    accepts = []
-    for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
-        acc, claims_dev = jax_scoring.gradient_pass_device(
-            planes_dev, claims_dev, sx, sy, reject_factor)
-        # transfer immediately: the axon runtime wedges when asked to
-        # fetch an older buffer after newer computations were enqueued
-        accepts.append(np.asarray(acc))
-    return accepts, claims_dev
+    """All 7 gradient passes in one device dispatch; returns
+    (accept grids as numpy, final claims)."""
+    accepts, claims_dev = jax_scoring.gradient_all_device(
+        planes_dev, claims_dev, reject_factor)
+    # transfer immediately: the axon runtime wedges when asked to fetch
+    # older buffers after newer computations were enqueued
+    return [np.asarray(a) for a in accepts], claims_dev
 
 
-# pixel budget per device chunk (bounds the [Tc,P,E,48,8,3] transient)
-_CHUNK_PX = 262144
+import jax.numpy as _jnp
+from functools import partial as _partial
 
 
-def _chunks(T, P):
-    tc = max(1, _CHUNK_PX // P)
-    return tc, (T + tc - 1) // tc
+@_partial(jax.jit, static_argnames=("sx", "sy"))
+def _resident_packed(planes, claims, qpts, pts, factors, sx, sy):
+    """One resident 3D pass; outputs packed into a single u8 array
+    [T, P+9] = (idx | mask<<6)(P) | acc(1) | typ(2) | bbox(6) - one
+    device->host transfer per pass, ~1 byte/pixel (the tunnel charges
+    ~100ms + ~30MB/s per transfer; idx is 6 bits, mask 1)."""
+    accept, typ, idx, mask, mn, mx, claims = \
+        jax_scoring.tile3d_pass_resident.__wrapped__(
+            planes, claims, qpts, pts, factors, sx, sy)
+    T, P = idx.shape
+    packed = _jnp.concatenate([
+        (idx | (mask.astype(_jnp.int32) << 6)).astype(_jnp.uint8),
+        accept.astype(_jnp.uint8)[:, None],
+        (typ & 0xFF).astype(_jnp.uint8)[:, None],
+        ((typ >> 8) & 0xFF).astype(_jnp.uint8)[:, None],
+        mn.astype(_jnp.uint8), mx.astype(_jnp.uint8)], axis=1)
+    return packed, claims
 
 
-def run_tile3d_scoring(planes, claims, tables):
-    """All 6 3D passes: hybrid host/device (see module docstring).
+def _unpack_pass(packed, P):
+    im = packed[:, :P]
+    idx = (im & 63).astype(np.int32)
+    mask = (im >> 6).astype(bool)
+    accept = packed[:, P].astype(bool)
+    typ = (packed[:, P + 1].astype(np.int32)
+           | (packed[:, P + 2].astype(np.int32) << 8))
+    bbox = packed[:, P + 3:P + 9].astype(np.int32)
+    return idx, mask, accept, typ, bbox
 
-    planes: np [3,H,W] i32; claims: np [3,H,W] bool (mutated in place).
-    Returns a list of per-pass dicts (accept/type/bbox/idx/mask as numpy).
-    """
+
+@jax.jit
+def _tile3d_all(planes, claims, qpts, pts, factors):
+    """All six 3D size passes in ONE dispatch (claims evolve in-graph);
+    outputs one packed u8 vector per pass."""
+    outs = []
+    for (sx, sy) in [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)]:
+        packed, claims = _resident_packed.__wrapped__(
+            planes, claims, qpts, pts, factors, sx, sy)
+        outs.append(packed.reshape(-1))
+    return jnp.concatenate(outs), claims
+
+
+def run_tile3d_scoring(planes_dev, claims_dev, tables):
+    """All 6 3D passes fully device-resident in a single dispatch
+    (planes/claims never leave the device; normalizations are exact
+    on-device - see tile3d_pass_resident). Returns
+    (list of per-pass dicts as numpy, final claims device array)."""
     qpts, pts, factors = tables
-    _, h, w = planes.shape
-    results = []
+    _, h, w = planes_dev.shape
+    packed_all, claims_dev = _tile3d_all(planes_dev, claims_dev,
+                                         qpts, pts, factors)
+    packed_all = np.asarray(packed_all)
+    results, off = [], 0
     for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
         tw, th = 1 << sx, 1 << sy
-        ntx, nty = w // tw, h // th
-        T, P = nty * ntx, th * tw
-
-        tiles = planes[:, :nty * th, :ntx * tw].reshape(3, nty, th, ntx, tw)
-        tiles = tiles.transpose(1, 3, 2, 4, 0).reshape(T, P, 3)
-        cm = claims.all(axis=0)[:nty * th, :ntx * tw]
-        mask = cm.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3).reshape(T, P)
-        alive = ~mask
-
-        cnt = alive.sum(axis=1)
-        mn = np.where(alive[:, :, None], tiles, 999).min(axis=1)
-        mx = np.where(alive[:, :, None], tiles, -999).max(axis=1)
-        d = mx - mn
-        pre = (cnt > 0) & ((d == 0).sum(axis=1) <= 1)
-
-        # float32 normalizations on host (exact IEEE, matches C)
-        nvec = np.where(d > 0, (1 << 20) // np.maximum(d, 1), 0)
-        r = (tiles - mn[:, None, :]) * nvec[:, None, :]
-        fr = r.astype(np.float32) / np.float32(1 << 20)
-        c = (fr * np.float32(63)).astype(np.int32)
-
-        rel = (tiles - mn[:, None, :]).astype(np.float32)
-        dd = np.maximum(d, 1).astype(np.float32)
-        rel = np.where(d[:, None, :] > 0, rel / dd[:, None, :], rel)
-        rel = rel * np.float32(63)
-        a_c = rel.astype(np.int32)
-        b_c = (np.float32(63) - rel).astype(np.int32)
-
-        tc, nch = _chunks(T, P)
-        pad = nch * tc - T
-
-        def padded(x, fill=0):
-            return np.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
-                          constant_values=fill)
-
-        # slim dtypes for the tunnel: coords fit i16 (masked-pixel garbage
-        # clipped; those lanes are never read), pixels are u8
-        clip16 = lambda x: np.clip(x, -32768, 32767).astype(np.int16)
-        c_p, alive_p = clip16(padded(c)), padded(alive)
-        tiles_p = padded(tiles).astype(np.uint8)
-        a_p, b_p = clip16(padded(a_c)), clip16(padded(b_c))
-        mn_p, d_p = padded(mn).astype(np.int16), padded(d).astype(np.int16)
-
-        accept = np.zeros(nch * tc, bool)
-        types = np.zeros(nch * tc, np.int32)
-        idx_sel = np.zeros((nch * tc, P), np.int32)
-        for ci in range(nch):
-            s = slice(ci * tc, (ci + 1) * tc)
-            acc_c, type_c, idx_c = jax_scoring.tile3d_pass_hybrid(
-                tiles_p[s], alive_p[s], c_p[s], a_p[s], b_p[s],
-                mn_p[s], d_p[s], qpts, pts, factors)
-            accept[s] = np.asarray(acc_c)
-            types[s] = np.asarray(type_c)
-            idx_sel[s] = np.asarray(idx_c)
-
-        accept = accept[:T] & pre
-        types, idx_sel = types[:T], idx_sel[:T]
-        bbox = np.concatenate([mn, mx], axis=1)
-        results.append({"shift": (sx, sy), "accept": accept, "type": types,
-                        "bbox": bbox, "idx": idx_sel, "mask": mask})
-
-        up = np.repeat(np.repeat(accept.reshape(nty, ntx), th, 0), tw, 1)
-        claims[:, :nty * th, :ntx * tw] |= up[None]
-    return results
+        P = tw * th
+        T = (h // th) * (w // tw)
+        n = T * (P + 9)
+        packed = packed_all[off:off + n].reshape(T, P + 9)
+        off += n
+        idx, mask, accept, typ, bbox = _unpack_pass(packed, P)
+        results.append({"shift": (sx, sy), "accept": accept, "type": typ,
+                        "bbox": bbox, "idx": idx, "mask": mask})
+    return results, claims_dev
 
 
 def emit_tile3d_streams(results, w, h, streams):

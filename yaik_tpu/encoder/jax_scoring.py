@@ -103,6 +103,18 @@ def gradient_pass_device(planes, claims, sx, sy, reject_factor):
     return accept, claims
 
 
+@partial(jax.jit, static_argnames=("reject_factor",))
+def gradient_all_device(planes, claims, reject_factor):
+    """All 7 gradient passes in ONE dispatch (claims evolve in-graph).
+    Returns (accepts tuple, final claims)."""
+    accepts = []
+    for (sx, sy) in [(4, 4), (4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)]:
+        acc, claims = gradient_pass_device.__wrapped__(
+            planes, claims, sx, sy, reject_factor)
+        accepts.append(acc)
+    return tuple(accepts), claims
+
+
 # ---------------------------------------------------------------------------
 # 3D-LUT pass
 # ---------------------------------------------------------------------------
@@ -139,11 +151,91 @@ def transformed_points(points3bit: np.ndarray) -> np.ndarray:
 @partial(jax.jit, static_argnames=())
 def tile3d_score_device(c, alive, qpts):
     """Pattern scores. c: [T,P,3] i32 normalized coords; alive: [T,P] bool;
-    qpts: [E,48,8,3] i32. Returns sums [T,E,48] i32."""
+    qpts: [E,48,8,3] i32. Returns sums [T,E,48] i32.
+
+    Deliberately elementwise, NOT an MXU matmul: XLA fuses the
+    [T,P,E,48,8,3] transient straight into the min/sum reductions so it
+    never touches HBM, while the |c|^2-2c.q+|q|^2 matmul form must
+    materialize a [T*P, E*48*8] f32 dots matrix (~26 GB of HBM traffic per
+    pass at 512^2) - measured 1.7x slower end-to-end."""
     diff = (c[:, :, None, None, None, :]
             - qpts[None, None, :, :, :, :])                # T,P,E,48,8,3
     dist = (diff * diff).sum(-1).min(-1)                   # T,P,E,48
     return jnp.where(alive[:, :, None, None], dist, 0).sum(axis=1)
+
+
+@partial(jax.jit, static_argnames=("sx", "sy"))
+def tile3d_pass_resident(planes, claims, qpts, pts_sub, factors, sx, sy):
+    """One fully device-resident 3D size pass: tiles/masks/bboxes and the
+    normalizations all on device, claims updated in-graph.
+
+    Exactness (each verified exhaustively against the host x86 float path):
+    - scoring coords: int->f32 conversion and f32 multiply are correctly
+      rounded on this TPU (only divide is off), and dividing by 2^20 is
+      exact, so c matches the reference bit-for-bit;
+    - computeValues coords: trunc(RN(RN(k/d))*63) == (k*63)//d and the
+      63-rel twin == 63 - q - (r != 0) for all k <= d <= 255 (the double-
+      rounding error, <= ~7.5e-6, cannot cross a 1/d >= 1/255 boundary).
+
+    Returns (accept [T] bool, tile_type [T] i32, idx [T,P] i32,
+             mask [T,P] bool, claims)."""
+    tw, th = 1 << sx, 1 << sy
+    _, h, w = planes.shape
+    ntx, nty = w // tw, h // th
+    T, P = nty * ntx, th * tw
+
+    tiles = planes[:, :nty * th, :ntx * tw].reshape(3, nty, th, ntx, tw)
+    tiles = tiles.transpose(1, 3, 2, 4, 0).reshape(T, P, 3).astype(jnp.int32)
+    cm = claims.all(axis=0)[:nty * th, :ntx * tw]
+    mask = cm.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3).reshape(T, P)
+    alive = ~mask
+
+    cnt = alive.sum(axis=1)
+    mn = jnp.min(jnp.where(alive[:, :, None], tiles, 999), axis=1)
+    mx = jnp.max(jnp.where(alive[:, :, None], tiles, -999), axis=1)
+    d = mx - mn
+    pre = (cnt > 0) & ((d == 0).sum(axis=1) <= 1)
+
+    k = tiles - mn[:, None, :]
+    nvec = jnp.where(d > 0, (1 << 20) // jnp.maximum(d, 1), 0)
+    r = k * nvec[:, None, :]
+    c = ((r.astype(jnp.float32) / jnp.float32(1 << 20))
+         * jnp.float32(63)).astype(jnp.int32)
+
+    # exact magic-multiply floor division (per-pixel i32 // is expanded to a
+    # long scalar sequence on TPU): q=(n*M)>>22 == n//d for n=63k, k<=d<=255
+    # since n*e <= 63*d^2 < 2^22 (Granlund-Montgomery; verified exhaustively)
+    k63 = k * 63
+    dd = jnp.maximum(d, 1)[:, None, :]
+    magic = (1 << 22) // jnp.maximum(d, 1) + 1                # [T,3] only
+    q0 = (k63 * magic[:, None, :]) >> 22
+    q = jnp.where(d[:, None, :] > 0, q0, k63)
+    rem = jnp.where(d[:, None, :] > 0, k63 - q0 * dd, 0)
+    a_c = q
+    b_c = 63 - q - (rem != 0).astype(jnp.int32)
+
+    # chunked via lax.map (single dispatch, bounded transients: the scoring
+    # intermediate is [Tc, P, E, 48, 8])
+    tc = max(1, 16384 // P)
+    pad = (-T) % tc
+    def padt(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+    nch = (T + pad) // tc
+    stacked = jax.lax.map(
+        lambda i: tile3d_pass_hybrid.__wrapped__(
+            *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
+              for v in (tiles, alive, c, a_c, b_c, mn, d)),
+            qpts, pts_sub, factors),
+        jnp.arange(nch))
+    acc = stacked[0].reshape(-1)[:T]
+    typ = stacked[1].reshape(-1)[:T]
+    idx = stacked[2].reshape(-1, P)[:T]
+    accept = acc & pre
+
+    up = jnp.repeat(jnp.repeat(accept.reshape(nty, ntx), th, 0), tw, 1)
+    region = claims[:, :nty * th, :ntx * tw] | up[None]
+    claims = claims.at[:, :nty * th, :ntx * tw].set(region)
+    return accept, typ, idx, mask, mn, mx, claims
 
 
 @partial(jax.jit, static_argnames=())
@@ -182,22 +274,37 @@ def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
     m = jnp.where(flip[:, :, None, :] == 1,
                   b_c[:, None, :, :], a_c[:, None, :, :])         # T,E,P,3
     perms = jnp.asarray([SWAP3D[s] for s in range(6)], jnp.int32)
-    perm_te = perms[mode48 >> 3]
-    m = jnp.take_along_axis(m, perm_te[:, :, None, :], axis=3)
+    # permutation as a matmul (per-pixel take_along_axis gathers are
+    # pathologically slow on TPU): pmat[t,e,o,s] = 1 iff perm[o] == s
+    pm6 = jnp.asarray(np.eye(3, dtype=np.float32)[
+        np.asarray([SWAP3D[s] for s in range(6)])])               # 6,3(o),3(s)
+    pmat = pm6[mode48 >> 3]                                       # T,E,3,3
+    mf = jnp.einsum("teps,teos->tepo", m.astype(jnp.float32), pmat)
 
     acc_mode = jnp.full((T, E), SKIP, jnp.int32)
     diff_sel = jnp.zeros((T, E), jnp.int32)
     idx_by_bit = []
     for bi, (step, npts) in enumerate(((1, 64), (2, 32), (4, 16), (8, 8))):
         sub = pts_sub[:, ::step][:, :npts]
-        dif = m[:, :, :, None, :] - sub[None, :, None, :, :]
-        dist = (dif * dif).sum(-1)
-        idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)          # T,E,P
+        # batched-over-E MXU matmul; f32 exact (all ints < 2^24), so the
+        # first-min argmin ties match the integer path
+        sf = sub.astype(jnp.float32)                               # E,n,3
+        dif = mf[:, :, :, None, :] - sf[None, :, None, :, :]
+        dist = (dif * dif).sum(-1)                                 # T,E,P,n
+        dmin = dist.min(axis=-1, keepdims=True)
+        first = jnp.cumsum((dist <= dmin).astype(jnp.int32), -1) == 1
+        onehot = ((dist <= dmin) & first).astype(jnp.float32)      # T,E,P,n
+        idx = jnp.argmax(onehot, axis=-1).astype(jnp.int32)        # T,E,P
         idx_by_bit.append(idx)
-        f = factors[3 - bi]
-        fsel = f[jnp.arange(E)[None, :, None], idx]                # T,E,P,3
-        fx = jnp.where(flip[:, :, None, :] == 1, FACTOR - fsel, fsel)
-        fx = jnp.take_along_axis(fx, perm_te[:, :, None, :], axis=3)
+        # factor gather + flip + permute, all as matmuls:
+        # flip_i(fsel)[s] = flip[s]*FACTOR + sign[s]*f[e,idx,s];
+        # both terms contract the one-hot on the MXU
+        ff = factors[3 - bi][:, :npts].astype(jnp.float32)         # E,n,3
+        fsel = jnp.einsum("tepn,ens->teps", onehot, ff)            # T,E,P,3
+        sgn = jnp.where(flip == 1, -1.0, 1.0)                      # T,E,3
+        base = (flip.astype(jnp.float32) * jnp.float32(FACTOR))[:, :, None, :]
+        fxs = base + sgn[:, :, None, :] * fsel
+        fx = jnp.einsum("teps,teos->tepo", fxs, pmat).astype(jnp.int32)
         recon = mn[:, None, None, :] + ((fx * d[:, None, None, :]) >> 7)
         ldiff = jnp.abs(recon - tiles[:, None, :, :]).max(-1)
         ldiff = jnp.where(alive[:, None, :], ldiff, 0)
