@@ -15,6 +15,13 @@ matmuls - no per-pixel gather/scatter, which do not vectorize on TPU.
     tile-pixel slots), and per-pixel write masks
   - 1D pass: per-8x8-tile params + dense index bytes + write masks, x3 planes
 
+Everything is vectorized over the accepted-tile list of each pass: claims
+only ever flip quads of ACCEPTED tiles and same-pass tiles are disjoint, so
+the claim state any tile observes is the pass-entry snapshot - which makes
+the whole cursor replay expressible as cumsums + fancy indexing (the
+reference decodes tile-by-tile, YAIK_API.cpp:1349+; same values by
+construction, checked bit-exactly in tests).
+
 Validated bit-exactly against the host reference decoder in tests.
 """
 from __future__ import annotations
@@ -79,39 +86,87 @@ def lut_flat_layout(luts_expanded: dict):
     return np.concatenate(parts).astype(np.int32), bases, strides
 
 
-_PAIR_SLOT_CACHE: dict = {}
+# Quad-pair layout cases (which halves of a 4x8 pair / 4x4 single still need
+# stream bytes given the claim bits): case id -> consumed byte count.
+_CASE_NONE, _CASE_FULL, _CASE_LEFT, _CASE_RIGHT, _CASE_SINGLE = 0, 1, 2, 3, 4
+_CASE_BYTES = np.asarray([0, 32, 16, 16, 16], np.int64)
+
+_LAYOUT_CACHE: dict = {}
 
 
-def _pair_slots(b0: bool, b1: bool, gx0: int, gy0: int, tw: int, single: bool):
-    """Tile-pixel slot indices (row-major th*tw) + relative stream offsets
-    for one quad pair / single quad at quad coords (gx0, gy0). Memoized -
-    the argument space is tiny and this is the planner's hottest call."""
-    key = (b0, b1, gx0, gy0, tw, single)
-    if key not in _PAIR_SLOT_CACHE:
-        _PAIR_SLOT_CACHE[key] = _pair_slots_impl(b0, b1, gx0, gy0, tw, single)
-    return _PAIR_SLOT_CACHE[key]
+def _case_slots(case: int, gx0: int, gy0: int, tw: int) -> np.ndarray:
+    """Row-major tile-pixel slots written by one pair/single case (the
+    4x4-quad scan layout of ReadQuadTile, YAIK_API.cpp:1248-1320)."""
+    key = (case, gx0, gy0, tw)
+    if key not in _LAYOUT_CACHE:
+        if case == _CASE_FULL:
+            ys, xs = np.mgrid[0:4, 0:8]
+            slots = (ys + gy0 * 4) * tw + xs + gx0 * 4
+        elif case in (_CASE_LEFT, _CASE_SINGLE):
+            ys, xs = np.mgrid[0:4, 0:4]
+            slots = (ys + gy0 * 4) * tw + xs + gx0 * 4
+        else:  # _CASE_RIGHT
+            ys, xs = np.mgrid[0:4, 0:4]
+            slots = (ys + gy0 * 4) * tw + xs + (gx0 + 1) * 4
+        _LAYOUT_CACHE[key] = slots.reshape(-1)
+    return _LAYOUT_CACHE[key]
 
 
-def _pair_slots_impl(b0, b1, gx0, gy0, tw, single):
-    if single:
-        if b0:
-            return None
-        ys, xs = np.mgrid[0:4, 0:4]
-        slots = (ys + gy0 * 4) * tw + xs + gx0 * 4
-        return slots.reshape(-1), np.arange(16)
-    if not b0 and not b1:
-        ys, xs = np.mgrid[0:4, 0:8]
-        slots = (ys + gy0 * 4) * tw + xs + gx0 * 4
-        return slots.reshape(-1), np.arange(32)
-    if not b0:
-        ys, xs = np.mgrid[0:4, 0:4]
-        slots = (ys + gy0 * 4) * tw + xs + gx0 * 4
-        return slots.reshape(-1), np.arange(16)
-    if not b1:
-        ys, xs = np.mgrid[0:4, 0:4]
-        slots = (ys + gy0 * 4) * tw + xs + (gx0 + 1) * 4
-        return slots.reshape(-1), np.arange(16)
-    return None
+def _claim_tiles(claims, qx0, qy0, tw, th):
+    """Set the quad-claim bits of accepted tiles (clips at the grid edge,
+    matching the reference's slice semantics for partially-inside tiles)."""
+    dq = np.mgrid[0:th // 4, 0:tw // 4]
+    qy = qy0[:, None, None] + dq[0]
+    qx = qx0[:, None, None] + dq[1]
+    ok = (qy < claims.shape[0]) & (qx < claims.shape[1])
+    claims[qy[ok], qx[ok]] = True
+
+
+def _group_cases(claims, qx0, qy0, pairs):
+    """Per accepted tile x pair-group: case ids [n, G] from the quad-claim
+    snapshot (within one pass tiles are disjoint, so the snapshot is what
+    every tile observes)."""
+    n = qx0.shape[0]
+    cases = np.zeros((n, len(pairs)), np.int8)
+    for g, group in enumerate(pairs):
+        if len(group) == 2:
+            (gx0, gy0), (gx1, _) = group
+            b0 = claims[qy0 + gy0, qx0 + gx0]
+            b1 = claims[qy0 + gy0, qx0 + gx1]
+            cases[:, g] = np.where(
+                ~b0 & ~b1, _CASE_FULL,
+                np.where(~b0, _CASE_LEFT,
+                         np.where(~b1, _CASE_RIGHT, _CASE_NONE)))
+        else:
+            (gx0, gy0), = group
+            b0 = claims[qy0 + gy0, qx0 + gx0]
+            cases[:, g] = np.where(b0, _CASE_NONE, _CASE_SINGLE)
+    return cases
+
+
+def _scatter_streams(cases, pairs, tw, base_off, gid, source, dst_idx,
+                     dst_mask, premultiplied):
+    """Copy stream bytes into dense per-tile slots: one vectorized scatter
+    per (group, case) combination. base_off [n] i64 absolute stream offsets
+    of each tile's first byte; within-tile group offsets are the prefix sums
+    of the per-group consumed counts."""
+    within = np.zeros(cases.shape, np.int64)
+    np.cumsum(_CASE_BYTES[cases[:, :-1]], axis=1, out=within[:, 1:])
+    for g, group in enumerate(pairs):
+        gx0, gy0 = group[0]
+        group_cases = ((_CASE_SINGLE,) if len(group) == 1
+                       else (_CASE_FULL, _CASE_LEFT, _CASE_RIGHT))
+        for case in group_cases:
+            m = cases[:, g] == case
+            if not m.any():
+                continue
+            slots = _case_slots(case, gx0, gy0, tw)
+            pos = (base_off[m] + within[m, g])[:, None] + \
+                np.arange(slots.size)
+            vals = source[pos]
+            dst_idx[gid[m][:, None], slots[None, :]] = \
+                vals // 3 if premultiplied else vals
+            dst_mask[gid[m][:, None], slots[None, :]] = True
 
 
 def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
@@ -154,27 +209,33 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
             # security offset like the reference (YAIK_API.cpp:896-910):
             # corrupted bitmaps may claim more corners than the stream holds;
             # over-allocate so reads get zeros instead of faulting
-            import numpy as _np
-            rgb = _np.concatenate(
-                [rgb, _np.zeros(3 * ((w // 4 + 1) * (h // 4 + 1)), _np.uint8)])
+            rgb = np.concatenate(
+                [rgb, np.zeros(3 * ((w // 4 + 1) * (h // 4 + 1)), np.uint8)])
+            rgb3 = rgb[:(rgb.size // 3) * 3].reshape(-1, 3)
 
             grid, _ = swizzle.accept_grid(bitmap, sx, sy, w, h)
             tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)
             bits = swizzle.unpack_bitmap(bitmap, sx, sy, w, h)
-            cursor = 0
-            for i in np.flatnonzero(bits & valid):
-                tx, ty = int(tx_all[i]), int(ty_all[i])
-                qx, qy = tx * (tw // 4), ty * (th // 4)
-                base = qy * stride_q + qx
-                ids = (base, base + tw // 4,
-                       base + (th // 4) * stride_q,
-                       base + (th // 4) * stride_q + tw // 4)
-                for cid in ids:
-                    if not has_rgb[cid]:
-                        has_rgb[cid] = True
-                        map_rgb[cid] = rgb[cursor:cursor + 3]
-                        cursor += 3
-                claims[qy:qy + th // 4, qx:qx + tw // 4] = True
+            acc = np.flatnonzero(bits & valid)
+            if acc.size:
+                tx, ty = tx_all[acc], ty_all[acc]
+                qx0, qy0 = tx * (tw // 4), ty * (th // 4)
+                base = qy0.astype(np.int64) * stride_q + qx0
+                # the 4 corner ids per tile in LT, RT, LB, RB read order
+                ids = np.stack([base, base + tw // 4,
+                                base + (th // 4) * stride_q,
+                                base + (th // 4) * stride_q + tw // 4],
+                               axis=1).reshape(-1)
+                # first-touch dedup in scan order == the reference's
+                # "read next rgb if corner not yet loaded" cursor
+                _, first = np.unique(ids, return_index=True)
+                isfirst = np.zeros(ids.size, bool)
+                isfirst[first] = True
+                new = isfirst & ~has_rgb[ids]
+                k = np.cumsum(new) - 1
+                map_rgb[ids[new]] = rgb3[k[new]]
+                has_rgb[ids[new]] = True
+                _claim_tiles(claims, qx0, qy0, tw, th)
             grads.append(GradientPassPlan(
                 shift=(sx, sy), accept=grid,
                 corners=map_rgb.reshape(h // 4 + 1, stride_q, 3).copy()))
@@ -233,10 +294,19 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
         np.frombuffer(colors_b, np.uint8), hdr.compression_rate_color
     ).astype(np.int32).reshape(-1, 6)
     types = np.frombuffer(types_b, "<u2")
-    streams = {bit: np.frombuffer(s[bit], np.uint8) for bit in (3, 4, 5, 6)}
+    # security padding: corrupted bitmaps may accept more tiles than the
+    # type/color/index streams hold - reads past the end yield zeros
+    max_tiles = sum((w >> sx) * (h >> sy)
+                    for (sx, sy) in swizzle.TILE3D_PASS_ORDER)
+    types = np.concatenate([types, np.zeros(max_tiles, "<u2")])
+    colors = np.concatenate([colors, np.zeros((max_tiles, 6), np.int32)])
+    streams = {bit: np.concatenate([np.frombuffer(s[bit], np.uint8),
+                                    np.zeros(max_tiles, np.uint8)])
+               for bit in (3, 4, 5, 6)}
 
     passes = []
-    cursors = {"type": 0, 3: 0, 4: 0, 5: 0, 6: 0}
+    tcur = 0
+    bitcur = {3: 0, 4: 0, 5: 0, 6: 0}
     for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
         tw, th = 1 << sx, 1 << sy
         ntx, nty = w // tw, h // th
@@ -253,41 +323,45 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
                 sx, sy, w, h)
             tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)
             pairs = _PAIR_ORDER[(sx, sy)]
-            for i in np.flatnonzero(bits & valid):
-                tx, ty = int(tx_all[i]), int(ty_all[i])
+            acc = np.flatnonzero(bits & valid)
+            n = acc.size
+            if n:
+                tx, ty = tx_all[acc], ty_all[acc]
                 gid = ty * ntx + tx
-                tid = cursors["type"]
-                tile_type = int(types[tid])
-                cursors["type"] += 1
-                combined = tile_type & 0x3FFF
-                fmt = (tile_type >> 14) & 3
-                bit = fmt + 3
+                qx0, qy0 = tx * (tw // 4), ty * (th // 4)
+
+                tid = tcur + np.arange(n)
+                ttypes = types[tid].astype(np.int32)
+                bit_arr = ((ttypes >> 14) & 3) + 3
+                combined = ttypes & 0x3FFF
                 accept[ty, tx] = True
-                type_arr[gid] = tile_type
+                type_arr[gid] = ttypes
                 cols[gid] = colors[tid]
-                tbl = luts_expanded[bit][combined]       # [2**bit, 3]
-                luts[gid, : tbl.shape[0]] = tbl
-                cur = cursors[bit]
-                qx0, qy0 = tx * tw // 4, ty * th // 4
-                for group in pairs:
-                    if len(group) == 2:
-                        (gx0, gy0), (gx1, _) = group
-                        b0 = bool(claims[qy0 + gy0, qx0 + gx0])
-                        b1 = bool(claims[qy0 + gy0, qx0 + gx1])
-                        lay = _pair_slots(b0, b1, gx0, gy0, tw, False)
-                    else:
-                        (gx0, gy0), = group
-                        b0 = bool(claims[qy0 + gy0, qx0 + gx0])
-                        lay = _pair_slots(b0, True, gx0, gy0, tw, True)
-                    if lay is None:
-                        continue
-                    slots, rel = lay
-                    # stream values are premultiplied by 3; store entry index
-                    indices[gid, slots] = streams[bit][cur + rel] // 3
-                    wmask[gid, slots] = True
-                    cur += rel.size
-                cursors[bit] = cur
-                claims[qy0:qy0 + th // 4, qx0:qx0 + tw // 4] = True
+                for bit in (3, 4, 5, 6):
+                    sel = bit_arr == bit
+                    if sel.any():
+                        tbl = luts_expanded[bit]
+                        cmb = np.minimum(combined[sel], tbl.shape[0] - 1)
+                        luts[gid[sel], : 1 << bit] = tbl[cmb]
+
+                cases = _group_cases(claims, qx0, qy0, pairs)
+                cons_tile = _CASE_BYTES[cases].sum(axis=1)
+                base_off = np.zeros(n, np.int64)
+                for bit in (3, 4, 5, 6):
+                    sel = bit_arr == bit
+                    if sel.any():
+                        c = cons_tile[sel]
+                        ex = np.concatenate([[0], np.cumsum(c[:-1])])
+                        base_off[sel] = bitcur[bit] + ex
+                        bitcur[bit] += int(c.sum())
+                for bit in (3, 4, 5, 6):
+                    sel = bit_arr == bit
+                    if sel.any():
+                        _scatter_streams(
+                            cases[sel], pairs, tw, base_off[sel], gid[sel],
+                            streams[bit], indices, wmask, premultiplied=True)
+                _claim_tiles(claims, qx0, qy0, tw, th)
+                tcur += n
         passes.append(Tile3DPassPlan(shift=(sx, sy), accept=accept,
                                      luts=luts, colors=cols,
                                      indices=indices, wmask=wmask,
@@ -314,23 +388,30 @@ def _plan_1d(body, hdr, w, h, claims):
     qgrid = claims[:nty * 2, :ntx * 2].reshape(nty, 2, ntx, 2).transpose(
         0, 2, 1, 3)
     active = ~qgrid.all(axis=(2, 3))
-    active_tiles = [(ty, tx) for ty, tx in zip(*np.nonzero(active))]
-    tcur = pcur = 0
+    ty, tx = np.nonzero(active)
+    n = ty.size
+    if n == 0:
+        return Plan1D(params=params, indices=indices, wmask=wmask)
+    gid = ty * ntx + tx
+    qx0, qy0 = tx * 2, ty * 2
+    pairs = [[(0, 0), (1, 0)], [(0, 1), (1, 1)]]
+    cases = _group_cases(claims, qx0, qy0, pairs)
+    cons_tile = _CASE_BYTES[cases].sum(axis=1)
+    ex = np.concatenate([[0], np.cumsum(cons_tile[:-1])])
+    plane_total = int(cons_tile.sum())
+
+    # security padding for corrupt streams (reads past the end yield zeros)
+    types = np.concatenate([types, np.zeros(3 * 3 * n, np.uint8)])
+    pix = np.concatenate([pix, np.zeros(3 * plane_total, np.uint8)])
+
     for p in range(3):
-        for ty, tx in active_tiles:
-                quad = qgrid[ty, tx]
-                gid = ty * ntx + tx
-                color0 = int(types[tcur]); base = int(types[tcur + 1])
-                delta = int(types[tcur + 2]); tcur += 3
-                delta2 = ((delta * inv_range) >> 8) + 1
-                params[p, gid] = (color0, base, delta2)
-                for gy in range(2):
-                    b0, b1 = bool(quad[gy, 0]), bool(quad[gy, 1])
-                    lay = _pair_slots(b0, b1, 0, gy, 8, False)
-                    if lay is None:
-                        continue
-                    slots, rel = lay
-                    indices[p, gid, slots] = pix[pcur + rel]
-                    wmask[p, gid, slots] = True
-                    pcur += rel.size
+        trip = types[3 * p * n + np.arange(3 * n)].reshape(n, 3)
+        color0, base, delta = (trip[:, 0].astype(np.int64),
+                               trip[:, 1].astype(np.int64),
+                               trip[:, 2].astype(np.int64))
+        delta2 = ((delta * inv_range) >> 8) + 1
+        params[p, gid] = np.stack([color0, base, delta2],
+                                  axis=1).astype(np.int32)
+        _scatter_streams(cases, pairs, 8, p * plane_total + ex, gid,
+                         pix, indices[p], wmask[p], premultiplied=False)
     return Plan1D(params=params, indices=indices, wmask=wmask)

@@ -58,13 +58,21 @@ def bitmap_size_bytes(sx: int, sy: int, w: int, h: int) -> int:
     return ((w + bx - 1) // bx) * ((h + by - 1) // by) * bits // 8
 
 
+_SCAN_COORD_CACHE: dict = {}
+
+
 def tile_scan_coords(sx: int, sy: int, w: int, h: int):
     """All bitmap bit positions in stream order.
 
     Returns (tx, ty, valid): int32 arrays of tile-grid coordinates (units of
     the tile size) per bit, and a bool mask of bits whose tile origin lies
-    inside the image. Length = bitmap_size_bytes * 8.
+    inside the image. Length = bitmap_size_bytes * 8. Memoized (deterministic
+    in its arguments; callers must not mutate the returned arrays).
     """
+    key = (sx, sy, w, h)
+    hit = _SCAN_COORD_CACHE.get(key)
+    if hit is not None:
+        return hit
     bx, by, bits = swizzle_spec(sx, sy)
     tw, th = 1 << sx, 1 << sy
     nbx = (w + bx - 1) // bx
@@ -83,6 +91,9 @@ def tile_scan_coords(sx: int, sy: int, w: int, h: int):
     tx = np.broadcast_to(tx, (nbx * nby, rows, cols)).reshape(-1)
     ty = np.broadcast_to(ty, (nbx * nby, rows, cols)).reshape(-1)
     valid = (tx * tw < w) & (ty * th < h)
+    for a in (tx, ty, valid):
+        a.setflags(write=False)
+    _SCAN_COORD_CACHE[key] = (tx, ty, valid)
     return tx, ty, valid
 
 
