@@ -30,6 +30,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from yaik_tpu import native
 from yaik_tpu.entropy import palette, zstd_backend as zstd
 from yaik_tpu.format import swizzle
 from yaik_tpu.format.headers import (FileHeader, Header1D, HeaderGradientTile,
@@ -228,14 +229,24 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
                                axis=1).reshape(-1)
                 # first-touch dedup in scan order == the reference's
                 # "read next rgb if corner not yet loaded" cursor
-                _, first = np.unique(ids, return_index=True)
-                isfirst = np.zeros(ids.size, bool)
-                isfirst[first] = True
-                new = isfirst & ~has_rgb[ids]
-                k = np.cumsum(new) - 1
-                map_rgb[ids[new]] = rgb3[k[new]]
-                has_rgb[ids[new]] = True
-                _claim_tiles(claims, qx0, qy0, tw, th)
+                if native.available():
+                    native.plan_gtil_corners(
+                        np.ascontiguousarray(ids),
+                        np.ascontiguousarray(rgb3),
+                        map_rgb, has_rgb.view(np.uint8))
+                    native.claim_tiles(
+                        np.ascontiguousarray(qx0, np.int32),
+                        np.ascontiguousarray(qy0, np.int32),
+                        tw // 4, th // 4, claims.view(np.uint8))
+                else:
+                    _, first = np.unique(ids, return_index=True)
+                    isfirst = np.zeros(ids.size, bool)
+                    isfirst[first] = True
+                    new = isfirst & ~has_rgb[ids]
+                    k = np.cumsum(new) - 1
+                    map_rgb[ids[new]] = rgb3[k[new]]
+                    has_rgb[ids[new]] = True
+                    _claim_tiles(claims, qx0, qy0, tw, th)
             grads.append(GradientPassPlan(
                 shift=(sx, sy), accept=grid,
                 corners=map_rgb.reshape(h // 4 + 1, stride_q, 3).copy()))
@@ -295,14 +306,20 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
     ).astype(np.int32).reshape(-1, 6)
     types = np.frombuffer(types_b, "<u2")
     # security padding: corrupted bitmaps may accept more tiles than the
-    # type/color/index streams hold - reads past the end yield zeros
+    # type/color/index streams hold - reads past the end yield zeros (the
+    # native scatter bound-checks, so index streams only pad the numpy path)
     max_tiles = sum((w >> sx) * (h >> sy)
                     for (sx, sy) in swizzle.TILE3D_PASS_ORDER)
     types = np.concatenate([types, np.zeros(max_tiles, "<u2")])
     colors = np.concatenate([colors, np.zeros((max_tiles, 6), np.int32)])
-    streams = {bit: np.concatenate([np.frombuffer(s[bit], np.uint8),
-                                    np.zeros(max_tiles, np.uint8)])
-               for bit in (3, 4, 5, 6)}
+    use_native = native.available()
+    if use_native:
+        streams = {bit: np.frombuffer(s[bit], np.uint8) for bit in (3, 4, 5, 6)}
+        cursors4 = np.zeros(4, np.int64)
+    else:
+        streams = {bit: np.concatenate([np.frombuffer(s[bit], np.uint8),
+                                        np.zeros(max_tiles, np.uint8)])
+                   for bit in (3, 4, 5, 6)}
 
     passes = []
     tcur = 0
@@ -344,23 +361,35 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
                         cmb = np.minimum(combined[sel], tbl.shape[0] - 1)
                         luts[gid[sel], : 1 << bit] = tbl[cmb]
 
-                cases = _group_cases(claims, qx0, qy0, pairs)
-                cons_tile = _CASE_BYTES[cases].sum(axis=1)
-                base_off = np.zeros(n, np.int64)
-                for bit in (3, 4, 5, 6):
-                    sel = bit_arr == bit
-                    if sel.any():
-                        c = cons_tile[sel]
-                        ex = np.concatenate([[0], np.cumsum(c[:-1])])
-                        base_off[sel] = bitcur[bit] + ex
-                        bitcur[bit] += int(c.sum())
-                for bit in (3, 4, 5, 6):
-                    sel = bit_arr == bit
-                    if sel.any():
-                        _scatter_streams(
-                            cases[sel], pairs, tw, base_off[sel], gid[sel],
-                            streams[bit], indices, wmask, premultiplied=True)
-                _claim_tiles(claims, qx0, qy0, tw, th)
+                if use_native:
+                    pid = swizzle.TILE3D_PASS_ORDER.index((sx, sy))
+                    native.plan_pass_scatter4(
+                        np.ascontiguousarray(gid, np.int32),
+                        np.ascontiguousarray(qx0, np.int32),
+                        np.ascontiguousarray(qy0, np.int32),
+                        np.ascontiguousarray(bit_arr, np.uint8), pid,
+                        claims.view(np.uint8),
+                        [streams[b] for b in (3, 4, 5, 6)], cursors4,
+                        indices, wmask, th * tw)
+                else:
+                    cases = _group_cases(claims, qx0, qy0, pairs)
+                    cons_tile = _CASE_BYTES[cases].sum(axis=1)
+                    base_off = np.zeros(n, np.int64)
+                    for bit in (3, 4, 5, 6):
+                        sel = bit_arr == bit
+                        if sel.any():
+                            c = cons_tile[sel]
+                            ex = np.concatenate([[0], np.cumsum(c[:-1])])
+                            base_off[sel] = bitcur[bit] + ex
+                            bitcur[bit] += int(c.sum())
+                    for bit in (3, 4, 5, 6):
+                        sel = bit_arr == bit
+                        if sel.any():
+                            _scatter_streams(
+                                cases[sel], pairs, tw, base_off[sel],
+                                gid[sel], streams[bit], indices, wmask,
+                                premultiplied=True)
+                    _claim_tiles(claims, qx0, qy0, tw, th)
                 tcur += n
         passes.append(Tile3DPassPlan(shift=(sx, sy), accept=accept,
                                      luts=luts, colors=cols,
@@ -395,14 +424,22 @@ def _plan_1d(body, hdr, w, h, claims):
     gid = ty * ntx + tx
     qx0, qy0 = tx * 2, ty * 2
     pairs = [[(0, 0), (1, 0)], [(0, 1), (1, 1)]]
-    cases = _group_cases(claims, qx0, qy0, pairs)
-    cons_tile = _CASE_BYTES[cases].sum(axis=1)
-    ex = np.concatenate([[0], np.cumsum(cons_tile[:-1])])
-    plane_total = int(cons_tile.sum())
 
     # security padding for corrupt streams (reads past the end yield zeros)
     types = np.concatenate([types, np.zeros(3 * 3 * n, np.uint8)])
-    pix = np.concatenate([pix, np.zeros(3 * plane_total, np.uint8)])
+
+    use_native = native.available()
+    if use_native:
+        gid32 = np.ascontiguousarray(gid, np.int32)
+        qx32 = np.ascontiguousarray(qx0, np.int32)
+        qy32 = np.ascontiguousarray(qy0, np.int32)
+        pcur = 0
+    else:
+        cases = _group_cases(claims, qx0, qy0, pairs)
+        cons_tile = _CASE_BYTES[cases].sum(axis=1)
+        ex = np.concatenate([[0], np.cumsum(cons_tile[:-1])])
+        plane_total = int(cons_tile.sum())
+        pix = np.concatenate([pix, np.zeros(3 * plane_total, np.uint8)])
 
     for p in range(3):
         trip = types[3 * p * n + np.arange(3 * n)].reshape(n, 3)
@@ -412,6 +449,13 @@ def _plan_1d(body, hdr, w, h, claims):
         delta2 = ((delta * inv_range) >> 8) + 1
         params[p, gid] = np.stack([color0, base, delta2],
                                   axis=1).astype(np.int32)
-        _scatter_streams(cases, pairs, 8, p * plane_total + ex, gid,
-                         pix, indices[p], wmask[p], premultiplied=False)
+        if use_native:
+            # pass id 2 = the (3,3) group table: the 1D pass walks the same
+            # two 4x8 quad pairs of each 8x8 tile (claims not updated)
+            pcur += native.plan_pass_scatter(
+                gid32, qx32, qy32, 2, claims.view(np.uint8), pix, pcur,
+                indices[p], wmask[p], 64, premult=0, update_claims=0)
+        else:
+            _scatter_streams(cases, pairs, 8, p * plane_total + ex, gid,
+                             pix, indices[p], wmask[p], premultiplied=False)
     return Plan1D(params=params, indices=indices, wmask=wmask)

@@ -30,6 +30,27 @@ if os.path.exists(_LIB_PATH):
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p]
+    lib.plan_gtil_corners.restype = None
+    lib.plan_gtil_corners.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.plan_pass_scatter.restype = ctypes.c_int64
+    lib.plan_pass_scatter.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.plan_pass_scatter4.restype = None
+    lib.plan_pass_scatter4.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.claim_tiles.restype = None
+    lib.claim_tiles.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
 
 
 def available() -> bool:
@@ -81,3 +102,42 @@ def dyn1d_plane(plane: np.ndarray, claim: np.ndarray,
                            typ.ctypes.data_as(ctypes.c_void_p),
                            tlen.ctypes.data_as(ctypes.c_void_p))
     return pix[:plen].tobytes(), typ[:int(tlen[0])].tobytes()
+
+
+def _vp(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def plan_gtil_corners(ids: np.ndarray, rgb3: np.ndarray,
+                      map_rgb: np.ndarray, has_rgb: np.ndarray) -> None:
+    """First-touch corner dedup (see planner.build_plan). ids i64 in read
+    order; rgb3 [*,3] u8 padded; map_rgb [nq,3] u8; has_rgb [nq] u8-view."""
+    lib.plan_gtil_corners(ids.size, _vp(ids), _vp(rgb3), _vp(map_rgb),
+                          _vp(has_rgb))
+
+
+def plan_pass_scatter(gid, qx0, qy0, pass_id, claims, stream, cur,
+                      indices, wmask, P, premult, update_claims) -> int:
+    """Claim-gated quad-pair stream replay for one pass / one plane
+    (see planner._plan_3d). Returns bytes consumed. Releases the GIL."""
+    return lib.plan_pass_scatter(
+        gid.size, _vp(gid), _vp(qx0), _vp(qy0), pass_id, _vp(claims),
+        claims.shape[1], _vp(stream), stream.size, cur, _vp(indices),
+        _vp(wmask), P, premult, update_claims)
+
+
+def plan_pass_scatter4(gid, qx0, qy0, bits, pass_id, claims, streams,
+                       cursors, indices, wmask, P) -> None:
+    """One 3D pass over all accepted tiles, 4 bit streams + cursors [4] i64
+    in/out (see planner._plan_3d). Releases the GIL."""
+    s3, s4, s5, s6 = streams
+    lib.plan_pass_scatter4(
+        gid.size, _vp(gid), _vp(qx0), _vp(qy0), _vp(bits), pass_id,
+        _vp(claims), claims.shape[1], _vp(s3), s3.size, _vp(s4), s4.size,
+        _vp(s5), s5.size, _vp(s6), s6.size, _vp(cursors), _vp(indices),
+        _vp(wmask), P)
+
+
+def claim_tiles(qx0, qy0, tqw, tqh, claims) -> None:
+    lib.claim_tiles(qx0.size, _vp(qx0), _vp(qy0), tqw, tqh, _vp(claims),
+                    claims.shape[0], claims.shape[1])

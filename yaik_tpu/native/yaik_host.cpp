@@ -293,4 +293,188 @@ int dyn1d_plane(const uint8_t* plane, const uint8_t* claim, int w, int h,
     return pcur;
 }
 
+
+// ---------------------------------------------------------------------------
+// Decode-planner replay: the per-tile sequential stages of building a dense
+// DecodePlan (decoder/planner.py is the readable reference). Mirrors the
+// reference's tile-by-tile stream walk (YAIK_API.cpp:1248-1420) but writes
+// dense per-tile tensors for the TPU engine instead of pixels.
+// ---------------------------------------------------------------------------
+
+// GTIL corner-stream first-touch dedup: ids[4n] corner grid indices in read
+// order (LT,RT,LB,RB per accepted tile); consumes 3 bytes of rgb3 per
+// first touch. rgb3 must be padded by the caller (security offset).
+void plan_gtil_corners(int64_t n4, const int64_t* ids, const uint8_t* rgb3,
+                       uint8_t* map_rgb, uint8_t* has_rgb) {
+    int64_t k = 0;
+    for (int64_t j = 0; j < n4; ++j) {
+        int64_t id = ids[j];
+        if (!has_rgb[id]) {
+            has_rgb[id] = 1;
+            map_rgb[3 * id] = rgb3[3 * k];
+            map_rgb[3 * id + 1] = rgb3[3 * k + 1];
+            map_rgb[3 * id + 2] = rgb3[3 * k + 2];
+            ++k;
+        }
+    }
+}
+
+// Quad-pair groups per 3D pass (quad coords inside the tile; gx1 = -1 marks
+// a single-quad group). Pass ids follow TILE3D_PASS_ORDER:
+//   0:(4,3) 1:(3,4) 2:(3,3) 3:(3,2) 4:(2,3) 5:(2,2)
+struct PassGroup { int gx0, gy0, gx1; };
+static const PassGroup kGroups43[] = {{0,0,1},{0,1,1},{2,0,3},{2,1,3}};
+static const PassGroup kGroups34[] = {{0,0,1},{0,1,1},{0,2,1},{0,3,1}};
+static const PassGroup kGroups33[] = {{0,0,1},{0,1,1}};
+static const PassGroup kGroups32[] = {{0,0,1}};
+static const PassGroup kGroups23[] = {{0,0,-1},{0,1,-1}};
+static const PassGroup kGroups22[] = {{0,0,-1}};
+static const PassGroup* kPassGroups[6] = {kGroups43, kGroups34, kGroups33,
+                                          kGroups32, kGroups23, kGroups22};
+static const int kPassGroupCnt[6] = {4, 4, 2, 1, 2, 1};
+static const int kPassTw[6] = {16, 8, 8, 8, 4, 4};
+static const int kPassTqw[6] = {4, 2, 2, 2, 1, 1};
+static const int kPassTqh[6] = {2, 4, 2, 1, 2, 1};
+
+static inline void copy_quad(const uint8_t* src, int64_t slen, int64_t& cur,
+                             uint8_t* idx, uint8_t* wm, int64_t base, int gx,
+                             int gy, int tw, int premult) {
+    for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+            int64_t slot = base + (int64_t)(y + gy * 4) * tw + x + gx * 4;
+            // corrupt streams read zeros past the end (security offset)
+            uint8_t v = cur < slen ? src[cur] : 0;
+            ++cur;
+            idx[slot] = premult ? (uint8_t)(v / 3) : v;
+            wm[slot] = 1;
+        }
+}
+
+// One 3D size pass (or one 1D plane with pass_id 1 semantics, see caller):
+// replays the claim-gated quad-pair stream walk for n accepted tiles in scan
+// order. streams must be padded by the caller. Returns bytes consumed.
+int64_t plan_pass_scatter(int64_t n, const int32_t* gid, const int32_t* qx0,
+                          const int32_t* qy0, int pass_id,
+                          uint8_t* claims, int64_t qw_stride,
+                          const uint8_t* stream, int64_t slen, int64_t cur,
+                          uint8_t* indices, uint8_t* wmask, int P,
+                          int premult, int update_claims) {
+    const PassGroup* groups = kPassGroups[pass_id];
+    const int ng = kPassGroupCnt[pass_id];
+    const int tw = kPassTw[pass_id];
+    const int tqw = kPassTqw[pass_id], tqh = kPassTqh[pass_id];
+    const int64_t start = cur;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t base = (int64_t)gid[i] * P;
+        const int64_t q0 = (int64_t)qy0[i] * qw_stride + qx0[i];
+        for (int g = 0; g < ng; ++g) {
+            const PassGroup& gr = groups[g];
+            const int64_t qa = q0 + (int64_t)gr.gy0 * qw_stride + gr.gx0;
+            if (gr.gx1 < 0) {                 // single quad
+                if (!claims[qa])
+                    copy_quad(stream, slen, cur, indices, wmask, base,
+                              gr.gx0, gr.gy0, tw, premult);
+                continue;
+            }
+            const bool b0 = claims[qa];
+            const bool b1 = claims[q0 + (int64_t)gr.gy0 * qw_stride + gr.gx1];
+            if (!b0 && !b1) {                 // full 4x8 pair
+                for (int y = 0; y < 4; ++y)
+                    for (int x = 0; x < 8; ++x) {
+                        int64_t slot = base + (int64_t)(y + gr.gy0 * 4) * tw
+                                       + x + gr.gx0 * 4;
+                        uint8_t v = cur < slen ? stream[cur] : 0;
+                        ++cur;
+                        indices[slot] = premult ? (uint8_t)(v / 3) : v;
+                        wmask[slot] = 1;
+                    }
+            } else if (!b0) {
+                copy_quad(stream, slen, cur, indices, wmask, base,
+                          gr.gx0, gr.gy0, tw, premult);
+            } else if (!b1) {
+                copy_quad(stream, slen, cur, indices, wmask, base,
+                          gr.gx0 + 1, gr.gy0, tw, premult);
+            }
+        }
+        if (update_claims)
+            for (int qy = 0; qy < tqh; ++qy)
+                for (int qx = 0; qx < tqw; ++qx)
+                    claims[q0 + (int64_t)qy * qw_stride + qx] = 1;
+    }
+    return cur - start;
+}
+
+// One 3D size pass over ALL accepted tiles in scan order, each consuming
+// from the stream of its own bit depth (types>>14). Cursors[4] in/out.
+void plan_pass_scatter4(int64_t n, const int32_t* gid, const int32_t* qx0,
+                        const int32_t* qy0, const uint8_t* bits,
+                        int pass_id, uint8_t* claims, int64_t qw_stride,
+                        const uint8_t* s3, int64_t l3,
+                        const uint8_t* s4, int64_t l4,
+                        const uint8_t* s5, int64_t l5,
+                        const uint8_t* s6, int64_t l6,
+                        int64_t* cursors, uint8_t* indices, uint8_t* wmask,
+                        int P) {
+    const uint8_t* streams[4] = {s3, s4, s5, s6};
+    const int64_t lens[4] = {l3, l4, l5, l6};
+    const PassGroup* groups = kPassGroups[pass_id];
+    const int ng = kPassGroupCnt[pass_id];
+    const int tw = kPassTw[pass_id];
+    const int tqw = kPassTqw[pass_id], tqh = kPassTqh[pass_id];
+    for (int64_t i = 0; i < n; ++i) {
+        const int b = bits[i] - 3;
+        const uint8_t* stream = streams[b];
+        const int64_t slen = lens[b];
+        int64_t cur = cursors[b];
+        const int64_t base = (int64_t)gid[i] * P;
+        const int64_t q0 = (int64_t)qy0[i] * qw_stride + qx0[i];
+        for (int g = 0; g < ng; ++g) {
+            const PassGroup& gr = groups[g];
+            const int64_t qa = q0 + (int64_t)gr.gy0 * qw_stride + gr.gx0;
+            if (gr.gx1 < 0) {
+                if (!claims[qa])
+                    copy_quad(stream, slen, cur, indices, wmask, base,
+                              gr.gx0, gr.gy0, tw, 1);
+                continue;
+            }
+            const bool b0 = claims[qa];
+            const bool b1 = claims[q0 + (int64_t)gr.gy0 * qw_stride + gr.gx1];
+            if (!b0 && !b1) {
+                for (int y = 0; y < 4; ++y)
+                    for (int x = 0; x < 8; ++x) {
+                        int64_t slot = base + (int64_t)(y + gr.gy0 * 4) * tw
+                                       + x + gr.gx0 * 4;
+                        uint8_t v = cur < slen ? stream[cur] : 0;
+                        ++cur;
+                        indices[slot] = (uint8_t)(v / 3);
+                        wmask[slot] = 1;
+                    }
+            } else if (!b0) {
+                copy_quad(stream, slen, cur, indices, wmask, base,
+                          gr.gx0, gr.gy0, tw, 1);
+            } else if (!b1) {
+                copy_quad(stream, slen, cur, indices, wmask, base,
+                          gr.gx0 + 1, gr.gy0, tw, 1);
+            }
+        }
+        cursors[b] = cur;
+        for (int qy = 0; qy < tqh; ++qy)
+            for (int qx = 0; qx < tqw; ++qx)
+                claims[q0 + (int64_t)qy * qw_stride + qx] = 1;
+    }
+}
+
+// Claim the quad footprints of n accepted tiles (GTIL passes).
+void claim_tiles(int64_t n, const int32_t* qx0, const int32_t* qy0,
+                 int tqw, int tqh, uint8_t* claims, int64_t qh,
+                 int64_t qw_stride) {
+    for (int64_t i = 0; i < n; ++i)
+        for (int qy = 0; qy < tqh; ++qy)
+            for (int qx = 0; qx < tqw; ++qx) {
+                int64_t y = qy0[i] + qy, x = qx0[i] + qx;
+                if (y < qh && x < qw_stride)
+                    claims[y * qw_stride + x] = 1;
+            }
+}
+
 }  // extern "C"
