@@ -199,8 +199,9 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
             payload = body[HeaderGradientTile.size():]
             sx, sy = hdr.shift_x, hdr.shift_y
             tw, th = 1 << sx, 1 << sy
-            bitmap = zstd.decompress(payload[:hdr.stream_bitmap_size],
-                                     swizzle.bitmap_size_bytes(sx, sy, w, h))
+            bitmap = zstd.decompress_arr(
+                payload[:hdr.stream_bitmap_size],
+                swizzle.bitmap_size_bytes(sx, sy, w, h))
             cust = zstd.decompress(
                 payload[hdr.stream_bitmap_size:
                         hdr.stream_bitmap_size + hdr.stream_rgb_size_zstd],
@@ -281,7 +282,8 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
 
     def take(csize, usize):
         nonlocal off
-        d = zstd.decompress(body[off:off + csize], usize) if csize else b""
+        d = (zstd.decompress_arr(body[off:off + csize], usize) if csize
+             else np.empty(0, np.uint8))
         off += csize
         return d
 
@@ -302,9 +304,8 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
         maps[key] = take(csz, usz)
 
     colors = palette.full_range_remap(
-        np.frombuffer(colors_b, np.uint8), hdr.compression_rate_color
-    ).astype(np.int32).reshape(-1, 6)
-    types = np.frombuffer(types_b, "<u2")
+        colors_b, hdr.compression_rate_color).astype(np.int32).reshape(-1, 6)
+    types = types_b.view("<u2")
     # security padding: corrupted bitmaps may accept more tiles than the
     # type/color/index streams hold - reads past the end yield zeros (the
     # native scatter bound-checks, so index streams only pad the numpy path)
@@ -314,11 +315,10 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
     colors = np.concatenate([colors, np.zeros((max_tiles, 6), np.int32)])
     use_native = native.available()
     if use_native:
-        streams = {bit: np.frombuffer(s[bit], np.uint8) for bit in (3, 4, 5, 6)}
+        streams = s
         cursors4 = np.zeros(4, np.int64)
     else:
-        streams = {bit: np.concatenate([np.frombuffer(s[bit], np.uint8),
-                                        np.zeros(max_tiles, np.uint8)])
+        streams = {bit: np.concatenate([s[bit], np.zeros(max_tiles, np.uint8)])
                    for bit in (3, 4, 5, 6)}
 
     passes = []
@@ -334,7 +334,7 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
         indices = np.zeros((g, th * tw), np.uint8)
         wmask = np.zeros((g, th * tw), bool)
         type_arr = np.zeros(g, np.int32)
-        if maps[(sx, sy)]:
+        if len(maps[(sx, sy)]):
             bits = swizzle.unpack_bitmap(
                 maps[(sx, sy)][:swizzle.bitmap_size_bytes(sx, sy, w, h)],
                 sx, sy, w, h)
@@ -399,13 +399,11 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
 
 
 def _plan_1d(body, hdr, w, h, claims):
-    types = np.frombuffer(
-        zstd.decompress(body[:hdr.stream_type_cnt], hdr.stream_type_uncmp),
-        np.uint8)
-    pix = np.frombuffer(
-        zstd.decompress(body[hdr.stream_type_cnt:
-                             hdr.stream_type_cnt + hdr.stream_pixel_bit],
-                        hdr.stream_pixel_uncmp), np.uint8)
+    types = zstd.decompress_arr(body[:hdr.stream_type_cnt],
+                                hdr.stream_type_uncmp)
+    pix = zstd.decompress_arr(
+        body[hdr.stream_type_cnt:hdr.stream_type_cnt + hdr.stream_pixel_bit],
+        hdr.stream_pixel_uncmp)
     inv_range = (1 << 24) // hdr.compression_range
 
     ntx, nty = w // 8, h // 8

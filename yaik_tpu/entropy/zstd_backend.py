@@ -65,8 +65,15 @@ def compress(data: bytes, level: int = 18, dst_capacity: int | None = None) -> b
 def decompress(data: bytes, expected_size: int) -> bytes:
     """ZSTD_decompress with exact expected-size check (DecompressData,
     YAIK_API.cpp:505-521)."""
-    out = ctypes.create_string_buffer(expected_size if expected_size else 1)
-    n = _lib.ZSTD_decompress(out, expected_size, data, len(data))
+    return decompress_arr(data, expected_size).tobytes()
+
+
+def decompress_arr(data: bytes, expected_size: int):
+    """decompress returning a u8 numpy array (no bytes-copy; the planner's
+    hot path feeds np.frombuffer anyway)."""
+    import numpy as np
+    out = np.empty(expected_size if expected_size else 1, np.uint8)
+    n = _lib.ZSTD_decompress(out.ctypes.data, expected_size, data, len(data))
     if _lib.ZSTD_isError(n) or n != expected_size:
         raise ValueError(f"zstd decompress: got {n}, expected {expected_size}")
-    return out.raw[:expected_size]
+    return out[:expected_size]

@@ -99,7 +99,8 @@ def tile_scan_coords(sx: int, sy: int, w: int, h: int):
 
 def unpack_bitmap(bitmap: bytes | np.ndarray, sx: int, sy: int, w: int, h: int):
     """Bitmap bytes -> bool array of accept flags in stream order."""
-    arr = np.frombuffer(bytes(bitmap), np.uint8)
+    arr = (bitmap.astype(np.uint8, copy=False) if isinstance(bitmap, np.ndarray)
+           else np.frombuffer(bytes(bitmap), np.uint8))
     expect = bitmap_size_bytes(sx, sy, w, h)
     if arr.size != expect:
         raise ValueError(f"bitmap size {arr.size} != expected {expect}")
