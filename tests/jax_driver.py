@@ -39,6 +39,18 @@ def main():
     assert host_stream == dev_stream, "device-scored encode differs"
     print("img64: device-scored encode byte-identical")
 
+    # pipelined corpus encode: mixed sizes + a padded short batch, all
+    # byte-identical to per-image host encode, output order preserved
+    from yaik_tpu.encoder.batch import encode_corpus
+    img128 = np.asarray(Image.open(FIX / "img128.png"))
+    corpus = [img, img128, img, img, img128]
+    streams_c = encode_corpus(corpus, bank, batch_size=2)
+    host128 = encode_image(img128, bank, engine="host")
+    assert streams_c[0] == host_stream and streams_c[2] == host_stream
+    assert streams_c[3] == host_stream
+    assert streams_c[1] == host128 and streams_c[4] == host128
+    print("encode_corpus: mixed sizes + padding byte-identical, ordered")
+
     # batch decode over the 8-device mesh (config 5)
     from yaik_tpu.parallel import batch as par
     mesh = par.data_mesh(8)
