@@ -1,0 +1,85 @@
+"""Auxiliary subsystems (SURVEY section 5): profiler stage timers,
+cross-run global statistics (globalStats.bin analog), mining checkpoints,
+and the encode CLI's .log.txt dump."""
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+
+from tests.conftest import FIXTURES
+from yaik_tpu.utils import profiler
+from yaik_tpu.utils.stats import accumulate_global, analyze
+
+
+def test_profiler_stages():
+    with profiler.enable():
+        with profiler.stage("a"):
+            with profiler.stage("b"):
+                sum(range(1000))
+        with profiler.stage("a"):
+            pass
+    rep = profiler.report()
+    assert "a" in rep and "b" in rep and "x2" in rep
+    # disabled -> no-op, no crash
+    with profiler.stage("outside"):
+        pass
+
+
+def test_global_stats_accumulate(tmp_path):
+    stream = (FIXTURES / "img128.yaik").read_bytes()
+    st = analyze(stream)
+    path = str(tmp_path / "gstats.json")
+    accumulate_global(path, st)
+    acc = accumulate_global(path, st)
+    assert acc["images"] == 2
+    assert acc["pixels"] == 2 * 128 * 128
+    assert acc["bytes"] == 2 * len(stream)
+    data = json.loads(pathlib.Path(path).read_text())
+    assert data["images"] == 2
+    # refuses to clobber an unrelated JSON file
+    bad = tmp_path / "other.json"
+    bad.write_text('{"unrelated": 1}')
+    try:
+        accumulate_global(str(bad), st)
+        assert False, "should reject a non-stats file"
+    except ValueError:
+        pass
+
+
+def test_mining_checkpoint_resume(tmp_path):
+    from yaik_tpu.encoder import bank as bankmod, mining
+    rng = np.random.default_rng(2)
+    base = np.clip(
+        np.kron(rng.integers(0, 255, (8, 8, 3)).astype(np.float32),
+                np.ones((8, 8, 1))) + rng.normal(0, 2.2, (64, 64, 3)),
+        0, 255).astype(np.uint8)
+    imgs = [base, base[::-1].copy(), base[:, ::-1].copy()]
+    ck = str(tmp_path / "mine.npz")
+    mining.mine_bank(imgs[:1], str(tmp_path / "bankA"), checkpoint=ck)
+    r_resumed = mining.mine_bank(imgs, str(tmp_path / "bankA"), checkpoint=ck)
+    os.remove(ck)
+    r_fresh = mining.mine_bank(imgs, str(tmp_path / "bankB"), checkpoint=ck)
+    assert r_resumed == r_fresh
+    name = bankmod.BANK_FILE_NAMES[0]
+    assert (tmp_path / "bankA" / name).read_bytes() == \
+        (tmp_path / "bankB" / name).read_bytes()
+
+
+def test_cli_encode_log_and_profile(tmp_path):
+    out = tmp_path / "o.yaik"
+    gs = tmp_path / "g.json"
+    r = subprocess.run(
+        [sys.executable, "-m", "yaik_tpu", "encode",
+         str(FIXTURES / "img64.png"), str(out),
+         "--bank", str(FIXTURES / "Bank3D"),
+         "--profile", "--stats", "--global-stats", str(gs)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    assert out.exists()
+    log = pathlib.Path(str(out) + ".log.txt")
+    assert log.exists() and "bpp" in log.read_text()
+    assert "encode:3d-scoring" in r.stdout
+    assert json.loads(gs.read_text())["images"] == 1

@@ -36,16 +36,30 @@ def cmd_encode(args):
     from yaik_tpu.encoder.context import encode_image
     bank = _load_bank(args.bank)
     img = _png(args.input)
+    from yaik_tpu.utils import profiler
+    import contextlib
+    prof = profiler.enable() if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
-    stream = encode_image(img, bank, engine=args.engine)
+    with prof:
+        stream = encode_image(img, bank, engine=args.engine)
     dt = time.perf_counter() - t0
     pathlib.Path(args.output).write_bytes(stream)
     h, w = img.shape[:2]
     print(f"{args.input}: {w}x{h} -> {len(stream)} B "
           f"({len(stream)*8/(w*h):.3f} bpp) in {dt:.2f}s")
+    from yaik_tpu.utils.stats import accumulate_global, analyze
+    st = analyze(stream)
+    # the reference always writes <out>.yaik.log.txt (EncoderContext.cpp:9480)
+    pathlib.Path(args.output + ".log.txt").write_text(st.summary() + "\n")
+    if args.global_stats:
+        acc = accumulate_global(args.global_stats, st)
+        print(f"global: {acc['images']} images, {acc['bpp']:.3f} bpp "
+              f"({args.global_stats})")
     if args.stats:
-        from yaik_tpu.utils.stats import analyze
-        print(analyze(stream).summary())
+        print(st.summary())
+    if args.profile:
+        from yaik_tpu.utils import profiler
+        print(profiler.report())
 
 
 def cmd_decode(args):
@@ -53,12 +67,18 @@ def cmd_decode(args):
     from yaik_tpu.decoder import api
     stream = pathlib.Path(args.input).read_bytes()
     lut = api.assign_lut(pathlib.Path(args.lut).read_bytes())
+    from yaik_tpu.utils import profiler
+    import contextlib
+    prof = profiler.enable() if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
-    img = api.decode_image(stream, lut, engine=args.engine)
+    with prof:
+        img = api.decode_image(stream, lut, engine=args.engine)
     dt = time.perf_counter() - t0
     Image.fromarray(img).save(args.output)
     print(f"{args.input}: {img.shape[1]}x{img.shape[0]}"
           f"{'+A' if img.shape[2] == 4 else ''} in {dt:.2f}s -> {args.output}")
+    if args.profile:
+        print(profiler.report())
 
 
 def cmd_lut(args):
@@ -101,12 +121,19 @@ def main():
     e.add_argument("--bank", default=DEFAULT_FIX / "Bank3D")
     e.add_argument("--engine", default="host", choices=["host", "device"])
     e.add_argument("--stats", action="store_true")
+    e.add_argument("--profile", action="store_true",
+                   help="print per-stage host timings")
+    e.add_argument("--global-stats", metavar="PATH", default=None,
+                   help="accumulate corpus statistics across runs "
+                        "(globalStats.bin analog, JSON)")
     e.set_defaults(fn=cmd_encode)
 
     d = sub.add_parser("decode")
     d.add_argument("input"); d.add_argument("output")
     d.add_argument("--lut", default=DEFAULT_FIX / "LutFile.lut")
     d.add_argument("--engine", default="host", choices=["host", "jax"])
+    d.add_argument("--profile", action="store_true",
+                   help="print per-stage host timings")
     d.set_defaults(fn=cmd_decode)
 
     l = sub.add_parser("lut")

@@ -182,14 +182,18 @@ def plan_to_device_args(plan: plannermod.DecodePlan, lut_flat=None):
 
 def decode(stream: bytes, lut) -> np.ndarray:
     """Full decode through the device path (host plan + TPU pixels)."""
+    from yaik_tpu.utils import profiler
     if isinstance(lut, (bytes, bytearray)):
         expanded = lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut)))
     else:
         expanded = lut.expanded
-    plan = plannermod.build_plan(stream, expanded)
-    shifts, args = plan_to_device_args(plan)
-    out = decode_pixels(shifts, *args)
-    rgb = np.asarray(out)[: plan.height, : plan.width]
+    with profiler.stage("decode:plan"):
+        plan = plannermod.build_plan(stream, expanded)
+    with profiler.stage("decode:pack-args"):
+        shifts, args = plan_to_device_args(plan)
+    with profiler.stage("decode:device"):
+        out = decode_pixels(shifts, *args)
+        rgb = np.asarray(out)[: plan.height, : plan.width]
     if plan.has_alpha:
         return np.concatenate([rgb, plan.alpha[:, :, None]], axis=2)
     return rgb

@@ -16,6 +16,7 @@ from yaik_tpu.encoder import corr3d, dyn1d, gradient
 from yaik_tpu.encoder.palette_codec import PaletteState, palette_compress
 from yaik_tpu.entropy import zstd_backend as zstd
 from yaik_tpu.format import swizzle
+from yaik_tpu.utils import profiler
 from yaik_tpu.format.headers import (FileHeader, Header1D, HeaderBase,
                                      HeaderGradientTile, HeaderTile3D,
                                      HeaderTile3DX, MAGIC)
@@ -107,6 +108,8 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
         dev_grad_accepts = precomputed.grad_accepts
 
     # ---- gradient passes ----
+    _grad_stage = profiler.stage("encode:gradient")
+    _grad_stage.__enter__()
     for k, (sx, sy) in enumerate(swizzle.GRADIENT_PASS_ORDER):
         if engine in ("device", "precomputed"):
             bitmap, rgb_stream, count = gradient.emit_pass(
@@ -136,6 +139,7 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
         )
         hdr.x, hdr.y, hdr.w, hdr.h = _gradient_bbox(bitmap, sx, sy, w, h)
         out += _chunk(b"GTIL", hdr.pack() + z_bitmap + z_rgb)
+    _grad_stage.__exit__(None, None, None)
 
     # ---- 3D-LUT passes ----
     streams = {
@@ -148,8 +152,10 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
     if engine == "device":
         from yaik_tpu.encoder import device_pipeline as devp
         tables = devp.bank_device_tables(bank)
-        dev_t3, _ = devp.run_tile3d_scoring(planes_dev, claims_dev, tables)
-        devp.emit_tile3d_streams(dev_t3, w, h, streams)
+        with profiler.stage("encode:3d-scoring"):
+            dev_t3, _ = devp.run_tile3d_scoring(planes_dev, claims_dev, tables)
+        with profiler.stage("encode:3d-emit"):
+            devp.emit_tile3d_streams(dev_t3, w, h, streams)
         for res in dev_t3:
             sx, sy = res["shift"]
             tw, th = 1 << sx, 1 << sy
@@ -168,8 +174,9 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                            tw, 1)
             claims[:, :nty * th, :ntx * tw] |= up[None]
     else:
-        for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
-            corr3d.run_pass(planes, claims, bank, sx, sy, streams)
+        with profiler.stage("encode:3d-scoring"):
+            for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
+                corr3d.run_pass(planes, claims, bank, sx, sy, streams)
     out += _tile3d_chunk(streams, cfg, w, h)
 
     # ---- 1D residual ----

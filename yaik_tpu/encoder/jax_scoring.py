@@ -157,7 +157,15 @@ def tile3d_score_device(c, alive, qpts):
     [T,P,E,48,8,3] transient straight into the min/sum reductions so it
     never touches HBM, while the |c|^2-2c.q+|q|^2 matmul form must
     materialize a [T*P, E*48*8] f32 dots matrix (~26 GB of HBM traffic per
-    pass at 512^2) - measured 1.7x slower end-to-end."""
+    pass at 512^2) - measured 1.7x slower end-to-end.
+
+    Also measured and NOT adopted: a Pallas kernel computing the distances
+    as a one-hot bf16 matmul (dist = onehot192(c) @ D2 with D2 = 64*H + L
+    split so every term is exact in bf16, per-tile sums via a 0/1 selector
+    matmul at Precision.HIGHEST - bit-identical, verified). It clocked
+    within 5% of this elementwise form: the 64x one-hot K-expansion spends
+    the MXU's advantage, and both sit near the VPU/dispatch floor at the
+    benchmark bank size (E=12)."""
     diff = (c[:, :, None, None, None, :]
             - qpts[None, None, :, :, :, :])                # T,P,E,48,8,3
     dist = (diff * diff).sum(-1).min(-1)                   # T,P,E,48

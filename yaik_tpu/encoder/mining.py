@@ -86,12 +86,26 @@ def evaluate_candidates(clouds, max_tables=12, gate_px=75,
     return picked
 
 
-def mine_bank(images, out_dir, max_tables=12):
+def mine_bank(images, out_dir, max_tables=12, checkpoint=None):
     """images: list of [h,w,3+] u8 arrays. Writes Bank3D-format files named
-    like the reference's hardcoded list so both encoders can load them."""
+    like the reference's hardcoded list so both encoders can load them.
+
+    checkpoint: optional .npz path - the capture phase (the long part of a
+    corpus-scale mining job) saves progress after every image and resumes
+    where it left off (SURVEY section 5: corpus datagen jobs checkpoint
+    batch progress; the reference's closest analog is globalStats.bin)."""
     clouds = []
-    for img in images:
-        clouds.extend(capture_clouds(np.asarray(img)))
+    start = 0
+    if checkpoint and os.path.exists(checkpoint):
+        saved = np.load(checkpoint)
+        start = int(saved["done"])
+        clouds = [saved[f"c{i}"] for i in range(int(saved["count"]))]
+    for k in range(start, len(images)):
+        clouds.extend(capture_clouds(np.asarray(images[k])))
+        if checkpoint:
+            np.savez(checkpoint + ".tmp.npz", done=k + 1, count=len(clouds),
+                     **{f"c{i}": c for i, c in enumerate(clouds)})
+            os.replace(checkpoint + ".tmp.npz", checkpoint)
     picked = evaluate_candidates(clouds, max_tables=max_tables)
     os.makedirs(out_dir, exist_ok=True)
     for name, cloud in zip(bankmod.BANK_FILE_NAMES, picked):

@@ -126,3 +126,42 @@ def analyze(stream: bytes, lut_data: bytes | None = None) -> EncoderStats:
                           ((t >> 14) & 3) + 3, (t >> 6) & 0xFF)
     st.pixels_1d = int(plan.d1.wmask[0].sum())
     return st
+
+
+def accumulate_global(path, st: EncoderStats) -> dict:
+    """Cross-run statistics accumulation: the reference's globalStats.bin
+    analog (read at encoder load, written at end, EncoderContext.cpp:
+    1245-1252,9474-9478) as a JSON file. Merges this encode's counters into
+    the file and returns the accumulated totals."""
+    import os
+
+    acc = {"images": 0, "pixels": 0, "bytes": 0, "gradient_pixels": {},
+           "tile3d_pixels": {}, "tile3d_bit_pixels": {}, "lut_histogram": {},
+           "pixels_1d": 0, "chunk_bytes": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            loaded = json.load(f)
+        if not isinstance(loaded, dict) or "images" not in loaded:
+            raise ValueError(f"{path} is not a yaik_tpu global-stats file")
+        acc.update(loaded)
+
+    def merge(key, src):
+        dst = acc[key]
+        for k, v in src.items():
+            dst[str(k)] = dst.get(str(k), 0) + v
+
+    acc["images"] += 1
+    acc["pixels"] += st.total_pixels
+    acc["bytes"] += st.total_bytes
+    acc["pixels_1d"] += st.pixels_1d
+    merge("gradient_pixels", st.gradient_pixels)
+    merge("tile3d_pixels", st.tile3d_pixels)
+    merge("tile3d_bit_pixels", st.tile3d_bit_pixels)
+    merge("lut_histogram", st.lut_histogram)
+    merge("chunk_bytes", st.chunk_bytes)
+    acc["bpp"] = acc["bytes"] * 8 / max(1, acc["pixels"])
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(acc, f, indent=1)
+    os.replace(tmp, path)
+    return acc
