@@ -34,13 +34,12 @@ def main():
     stream = (FIX / "img512.yaik").read_bytes()
     lut_data = (FIX / "LutFile.lut").read_bytes()
     expanded = lutmod.expand_lut(lutmod.parse_lut_file(lut_data))
-    lut_flat, _, _ = planner.lut_flat_layout(expanded)
 
     t_host0 = time.perf_counter()
     plan = planner.build_plan(stream, expanded)
     t_host = time.perf_counter() - t_host0
 
-    shifts, args = jax_engine.plan_to_device_args(plan)
+    shifts, tab, args = jax_engine.plan_to_device_args(plan, expanded)
 
     def rep(x):
         x = np.asarray(x)
@@ -48,15 +47,16 @@ def main():
 
     b_args = jax.tree.map(rep, args)
 
-    fn = jax.jit(jax.vmap(lambda *a: jax_engine.decode_core(shifts, *a)))
+    fn = jax.jit(jax.vmap(lambda t, *a: jax_engine.decode_core(shifts, t, *a),
+                 in_axes=(None,) + (0,) * len(b_args)))
     dev_args = jax.device_put(b_args)
-    out = fn(*dev_args)            # compile
+    out = fn(tab, *dev_args)       # compile
     out.block_until_ready()
 
     # steady state
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        out = fn(*dev_args)
+        out = fn(tab, *dev_args)
         out.block_until_ready()   # per-call: the axon runtime coalesces
     dt = time.perf_counter() - t0  # identical queued calls otherwise
 

@@ -65,11 +65,20 @@ def _blend_pass(plane, accept, corners, sx, sy):
     return plane.at[: nty * th, : ntx * tw].set(region)
 
 
-def _tile3d_pass(plane, accept, luts, colors, indices, wmask, sx, sy):
-    """One 3D-LUT size pass as a batched one-hot matmul over the full grid."""
+def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
+    """One 3D-LUT size pass as a batched one-hot matmul over the full grid.
+
+    Uploads are thin: the global LUT table [C,64,3] travels once per bank,
+    each tile carries its table ROW (from its type word), and index+mask
+    pack into one byte per pixel - the tunnel charges ~30MB/s, and the old
+    per-tile LUT slices were ~5MB per 512^2 image."""
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
-    g, npx = indices.shape
+    g, npx = packed.shape
+    luts = lut_tab[rows]                     # [g, 64, 3] row gather, exact
+    indices = (packed & 63).astype(jnp.int32)
+    wmask = (packed >> 6) != 0
+    colors = colors.astype(jnp.int32)
     if USE_PALLAS and jax.devices()[0].platform == "tpu":
         from yaik_tpu.ops.pallas_kernels import lut3d_resolve
         vals = lut3d_resolve(indices, luts, colors)           # [g, npx, 3]
@@ -94,10 +103,13 @@ def _tile3d_pass(plane, accept, luts, colors, indices, wmask, sx, sy):
     return plane.at[: nty * th, : ntx * tw].set(region)
 
 
-def _d1_pass(plane, params, indices, wmask, h8, w8):
-    """1D residual for all 3 planes: pure elementwise."""
+def _d1_pass(plane, params, indices, wbits, h8, w8):
+    """1D residual for all 3 planes: pure elementwise. wbits [3,g,8] u8 is
+    the write mask bit-packed 8x for the host->device link."""
     nty, ntx = h8 // 8, w8 // 8
     g = nty * ntx
+    wmask = ((wbits[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+             ).reshape(3, g, 64) != 0
     outs = []
     for p in range(3):
         L = indices[p].astype(jnp.int32)                      # [g, 64]
@@ -112,8 +124,8 @@ def _d1_pass(plane, params, indices, wmask, h8, w8):
     return jnp.stack(outs, axis=-1)
 
 
-def decode_core(shifts, grad_accepts, grad_corners,
-                t3_accepts, t3_luts, t3_colors, t3_indices, t3_wmasks,
+def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
+                t3_accepts, t3_rows, t3_colors, t3_packed,
                 d1_params, d1_indices, d1_wmask):
     # image dims (multiples of 8) from the 4x4 3D pass grid
     nty4, ntx4 = t3_accepts[-1].shape
@@ -123,8 +135,8 @@ def decode_core(shifts, grad_accepts, grad_corners,
     for k, (sx, sy) in enumerate(shifts):
         plane = _blend_pass(plane, grad_accepts[k], grad_corners[k], sx, sy)
     for k, (sx, sy) in enumerate(T3_SHIFTS):
-        plane = _tile3d_pass(plane, t3_accepts[k], t3_luts[k], t3_colors[k],
-                             t3_indices[k], t3_wmasks[k], sx, sy)
+        plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], t3_rows[k],
+                             t3_colors[k], t3_packed[k], sx, sy)
     plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
     return plane.astype(jnp.uint8)
 
@@ -133,18 +145,48 @@ decode_pixels = partial(jax.jit, static_argnames=("shifts",))(decode_core)
 
 
 def batched_decoder(shifts):
-    """jit(vmap) decode over a leading batch axis."""
-    core = lambda *args: decode_core(shifts, *args)
-    in_axes = ((0,) * 7, (0,) * 7, (0,) * 6, (0,) * 6, (0,) * 6, (0,) * 6,
-               (0,) * 6, 0, 0, 0)
+    """jit(vmap) decode over a leading batch axis (the LUT table is shared,
+    not batched)."""
+    core = lambda tab, *args: decode_core(shifts, tab, *args)
+    in_axes = (None, (0,) * 7, (0,) * 7, (0,) * 6, (0,) * 6, (0,) * 6,
+               0, 0, 0)
     return jax.jit(jax.vmap(core, in_axes=in_axes))
 
 
-def plan_to_device_args(plan: plannermod.DecodePlan, lut_flat=None):
-    """Assemble (static shifts, tensor args) from a plan. lut_flat is kept
-    for API compatibility; the dense plan no longer needs it on device."""
+_LUT_TAB_CACHE: dict = {}
+
+
+def lut_device_table(expanded: dict):
+    """Global device LUT table: per-bit expanded tables padded to 64 points
+    and concatenated -> ([C, 64, 3] u8, row base per bit). Cached per
+    expanded-dict identity (one upload per bank)."""
+    key = id(expanded)
+    hit = _LUT_TAB_CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    parts, bases, off = [], {}, 0
+    for bit in (3, 4, 5, 6):
+        t = expanded[bit]                       # [n_b, 2^bit, 3]
+        pad = np.zeros((t.shape[0], 64, 3), np.uint8)
+        pad[:, : t.shape[1]] = t
+        bases[bit] = off
+        off += t.shape[0]
+        parts.append(pad)
+    tab = jax.device_put(np.concatenate(parts, axis=0))
+    # keep a reference to the dict so its id can never be recycled to a
+    # different bank while the cache entry lives
+    _LUT_TAB_CACHE[key] = (tab, bases, expanded)
+    return tab, bases
+
+
+def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict):
+    """Assemble (static shifts, lut table + bases, per-image tensor args)
+    from a plan. Per-image tensors are packed thin for the host->device
+    link: LUT row ids instead of per-tile table slices, idx|mask<<6 bytes,
+    u8 colors."""
     w, h = plan.width, plan.height
     qh, qw = h // 4 + 1, w // 4 + 1
+    tab, bases = lut_device_table(expanded)
     by_shift = {g.shift: g for g in plan.gradient}
     accepts, corners = [], []
     for (sx, sy) in GRAD_SHIFTS:
@@ -158,26 +200,41 @@ def plan_to_device_args(plan: plannermod.DecodePlan, lut_flat=None):
             corners.append(g.corners)
 
     t3_by_shift = {p.shift: p for p in plan.tile3d}
-    t3a, t3l, t3c, t3i, t3w = [], [], [], [], []
+    t3a, t3r, t3c, t3p = [], [], [], []
+    base_arr = np.zeros(4, np.int64)
+    nrows = np.zeros(4, np.int64)
+    for bi, bit in enumerate((3, 4, 5, 6)):
+        base_arr[bi] = bases[bit]
+        nrows[bi] = expanded[bit].shape[0]
     for (sx, sy) in T3_SHIFTS:
         tw, th = 1 << sx, 1 << sy
+        ntx, nty = w // tw, h // th
+        g = nty * ntx
         p = t3_by_shift.get((sx, sy))
         if p is None:
-            ntx, nty = w // tw, h // th
-            g = nty * ntx
-            p = plannermod.Tile3DPassPlan(
-                shift=(sx, sy), accept=np.zeros((nty, ntx), bool),
-                luts=np.zeros((g, 64, 3), np.uint8),
-                colors=np.zeros((g, 6), np.int32),
-                indices=np.zeros((g, th * tw), np.uint8),
-                wmask=np.zeros((g, th * tw), bool))
-        t3a.append(p.accept); t3l.append(p.luts); t3c.append(p.colors)
-        t3i.append(p.indices); t3w.append(p.wmask)
+            t3a.append(np.zeros((nty, ntx), bool))
+            t3r.append(np.zeros(g, np.int32))
+            t3c.append(np.zeros((g, 6), np.uint8))
+            t3p.append(np.zeros((g, th * tw), np.uint8))
+            continue
+        t = p.types.astype(np.int64) & 0xFFFF
+        bi = (t >> 14) & 3
+        comb = np.minimum(t & 0x3FFF, nrows[bi] - 1)  # same clamp as planner
+        t3a.append(p.accept)
+        t3r.append((base_arr[bi] + comb).astype(np.int32))
+        t3c.append(p.colors.astype(np.uint8))         # min/max are 0..255
+        # corrupt streams can carry idx > 63 (byte//3 <= 85); the one-hot
+        # treated those as "no point" - clamping to 63 keeps the pack in
+        # 6 bits (valid streams never exceed 63)
+        t3p.append(np.minimum(p.indices, 63).astype(np.uint8)
+                   | (p.wmask.astype(np.uint8) << 6))
 
+    wbits = np.packbits(plan.d1.wmask.astype(np.uint8), axis=-1,
+                        bitorder="little")                     # [3, g, 8]
     args = (tuple(accepts), tuple(corners),
-            tuple(t3a), tuple(t3l), tuple(t3c), tuple(t3i), tuple(t3w),
-            plan.d1.params, plan.d1.indices, plan.d1.wmask)
-    return GRAD_SHIFTS, args
+            tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p),
+            plan.d1.params, plan.d1.indices, wbits)
+    return GRAD_SHIFTS, tab, args
 
 
 def decode(stream: bytes, lut) -> np.ndarray:
@@ -190,9 +247,9 @@ def decode(stream: bytes, lut) -> np.ndarray:
     with profiler.stage("decode:plan"):
         plan = plannermod.build_plan(stream, expanded)
     with profiler.stage("decode:pack-args"):
-        shifts, args = plan_to_device_args(plan)
+        shifts, tab, args = plan_to_device_args(plan, expanded)
     with profiler.stage("decode:device"):
-        out = decode_pixels(shifts, *args)
+        out = decode_pixels(shifts, tab, *args)
         rgb = np.asarray(out)[: plan.height, : plan.width]
     if plan.has_alpha:
         return np.concatenate([rgb, plan.alpha[:, :, None]], axis=2)

@@ -1,10 +1,12 @@
 """Batched device encode: score a whole corpus batch per dispatch.
 
 Single-image device encode pays per-dispatch and per-transfer tunnel costs;
-batching vmaps every scoring dispatch over B same-sized images - 7 device
-calls total regardless of B (one fused gradient bundle + six resident 3D
-passes), planes and claims stay on device, and each pass downloads ONE
-packed u8 array. The O(tiles) per-image emission/entropy runs on host.
+batching vmaps every scoring dispatch over B same-sized images - 2 device
+calls total regardless of B (one fused gradient bundle + one bundle of all
+six resident 3D passes), planes and claims stay on device, and each bundle
+downloads ONE packed u8 array. The O(tiles) per-image emission/entropy runs
+on host. RGBA is supported: the alpha/mipmap chunks are a per-image host
+stage (encode_image emits them; device scoring only sees the RGB planes).
 Streams are byte-identical to encode_image (tested).
 """
 from __future__ import annotations
@@ -57,14 +59,14 @@ def encode_batch(images, bank: bankmod.Bank,
     h, w = imgs[0].shape[:2]
     if any(im.shape != imgs[0].shape for im in imgs):
         raise ValueError("encode_batch requires same-shaped images")
-    if imgs[0].ndim != 3 or imgs[0].shape[2] != 3:
-        raise ValueError("encode_batch is RGB-only (use encode_image for RGBA)")
+    if imgs[0].ndim != 3 or imgs[0].shape[2] not in (3, 4):
+        raise ValueError("expected [h, w, 3|4] u8 images")
     if h % 8 or w % 8:
         raise ValueError("image dimensions must be multiples of 8")
     B = len(imgs)
 
     planes_b = jax.device_put(np.stack(
-        [im.transpose(2, 0, 1) for im in imgs]).astype(np.int32))
+        [im[:, :, :3].transpose(2, 0, 1) for im in imgs]).astype(np.int32))
     claims_b = jax.device_put(np.zeros((B, 3, h, w), bool))
 
     packed, claims_b = _grad_batch_fn(cfg.reject_factor)(planes_b, claims_b)
@@ -112,7 +114,7 @@ def _dispatch_batch(imgs, claims_shape, cfg, tables):
     B = len(imgs)
     h, w = imgs[0].shape[:2]
     planes_b = jax.device_put(np.stack(
-        [im.transpose(2, 0, 1) for im in imgs]).astype(np.int32))
+        [im[:, :, :3].transpose(2, 0, 1) for im in imgs]).astype(np.int32))
     claims_b = jax.device_put(np.zeros((B, 3, h, w), bool))
     packed_g, claims_b = _grad_batch_fn(cfg.reject_factor)(planes_b, claims_b)
     packed_g.copy_to_host_async()   # start BEFORE the next enqueue: fetching
@@ -170,9 +172,8 @@ def encode_corpus(images, bank: bankmod.Bank,
     cfg = config or EncoderConfig()
     imgs = [np.asarray(im) for im in images]
     for im in imgs:
-        if im.ndim != 3 or im.shape[2] != 3:
-            raise ValueError(
-                "encode_corpus is RGB-only (use encode_image for RGBA)")
+        if im.ndim != 3 or im.shape[2] not in (3, 4):
+            raise ValueError("expected [h, w, 3|4] u8 images")
         if im.shape[0] % 8 or im.shape[1] % 8:
             raise ValueError("image dimensions must be multiples of 8")
     tables = devp.bank_device_tables(bank)
