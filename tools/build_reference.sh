@@ -53,6 +53,16 @@ if [ ! -f "$OUT/ref_encoder" ]; then
     "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder"
 fi
 
+# ---- disabled-pass driver: SingleColorOut (UCOL) goldens ----
+if [ ! -f "$OUT/ref_encoder_ucol" ]; then
+  echo "building ref_encoder_ucol"
+  g++ $CXXFLAGS -iquote "$OUT/shim" -I "$REF/encoder" -DDIRENT_H -include /usr/include/dirent.h -include cstring \
+    "$HERE/ref_encode_ucol_main.cpp" "$REF"/encoder/EncoderContext.cpp \
+    "$REF"/encoder/Image.cpp "$REF"/encoder/Plane.cpp \
+    "$REF"/decoder/YAIK_GenericFunctions.cpp \
+    "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder_ucol"
+fi
+
 # ---- reference decoder + our raw-dump driver ----
 if [ ! -f "$OUT/ref_decoder" ]; then
   echo "building ref_decoder"

@@ -67,6 +67,19 @@ def main():
         ysz = os.path.getsize(os.path.join(work, name + ".yaik"))
         print(f"{name}: {w}x{h}x{ch}  yaik={ysz}B  bpp={ysz*8/(w*h):.3f}")
 
+    # UCOL goldens: the disabled SingleColorOut pass via the subclass driver
+    # (quilt128 is excluded: its tiny streams hit the reference's
+    # zstd-capacity UB, see yaik_tpu/encoder/single_color.py)
+    for name in ["img64.png", "img512.png"]:
+        base = name[:-4]
+        out = subprocess.run(
+            [os.path.join(REFBUILD, "ref_encoder_ucol"), name,
+             base + ".ucol.yaik"],
+            cwd=work, capture_output=True, text=True)
+        if out.returncode != 0:
+            raise RuntimeError(f"ref_encoder_ucol failed on {name}")
+        shutil.copy(os.path.join(work, base + ".ucol.yaik"), FIX)
+
     shutil.copy(os.path.join(work, "LutFile.lut"), os.path.join(FIX, "LutFile.lut"))
     bankdst = os.path.join(FIX, "Bank3D")
     shutil.rmtree(bankdst, ignore_errors=True)

@@ -22,7 +22,8 @@ from yaik_tpu.format import lut as lutmod
 from yaik_tpu.format import swizzle
 from yaik_tpu.format.headers import (END_TAG, Header1D, HeaderBase,
                                      HeaderGradientTile, HeaderTile3D,
-                                     HeaderTile3DX, FileHeader, MAGIC)
+                                     HeaderTile3DX, FileHeader, MAGIC,
+                                     UniqueColorHeader)
 
 # quad-pair decode order per 3D tile size (shift_x, shift_y) -> list of
 # "columns pairs": each element is a list of quad (qx, qy) processed together
@@ -344,6 +345,60 @@ def _tile1d_chunk(st: DecodeState, hdr: Header1D, body: bytes):
                         plane[py:py + 4, x + 4:x + 8] = vals.reshape(4, 4)
 
 
+def decode_ucol_map(hdr, body: bytes):
+    """Reconstruct the UCOL palette-index map: palette [n, 3] u8 plus the
+    replayed span stream as a [bh*bw] u8 map (indices in swizzle space when
+    hdr.version == 2). The encoder's verifyComp (EncoderContext.cpp:1749)
+    documents the replay: pos += deltaStart; copy length bytes."""
+    n_colors = hdr.color_count - 1 if hdr.color_count else 255
+    off = 0
+    palette = np.frombuffer(body, np.uint8, n_colors * 3, off).reshape(-1, 3)
+    off += n_colors * 3
+    z_map = body[off:off + hdr.stream_size]
+    off += hdr.stream_size
+    z_spans = body[off:off + hdr.stream_size_e]
+    stream = zstd.decompress_arr(z_map, hdr.expected_decompression_size)
+    spans = np.frombuffer(
+        zstd.decompress(z_spans, hdr.expected_decompression_skippers),
+        "<u4").reshape(-1, 2)
+    map_size = hdr.w * hdr.h
+    map_pixel = np.zeros(map_size, np.uint8)
+    pos = 0
+    cur = 0
+    for delta, length in spans:
+        pos += int(delta)
+        if pos + int(length) > map_size or cur + int(length) > stream.size:
+            raise ValueError("UCOL span exceeds map bounds")
+        map_pixel[pos:pos + length] = stream[cur:cur + length]
+        cur += int(length)
+    return palette, map_pixel
+
+
+def _ucol_chunk(st: DecodeState, body: bytes):
+    """Apply a UCOL chunk (the reference decoder deprecates the tag at
+    YAIK_API.cpp:568; semantics follow the encoder pass, which maps palette
+    slot v>0 at swizzled bbox index n to an exact RGB)."""
+    hdr = UniqueColorHeader.unpack(body)
+    palette, map_pixel = decode_ucol_map(hdr, body[UniqueColorHeader.size():])
+    n = np.flatnonzero(map_pixel)
+    if not n.size:
+        return
+    v = map_pixel[n]
+    if int(v.max()) > palette.shape[0]:
+        raise ValueError("UCOL palette index out of range")
+    if hdr.version == 2:   # swizzled: n = xL | yL<<3 | (xU + yU*(bw>>3))<<6
+        tile = n >> 6
+        wu = hdr.w >> 3
+        x = ((tile % wu) << 3) | (n & 7)
+        y = ((tile // wu) << 3) | ((n >> 3) & 7)
+    else:
+        x, y = n % hdr.w, n // hdr.w
+    cols = palette[v - 1]  # file stores colors 1..n; slot 0 never mapped
+    st.planes[0][hdr.y + y, hdr.x + x] = cols[:, 0]
+    st.planes[1][hdr.y + y, hdr.x + x] = cols[:, 1]
+    st.planes[2][hdr.y + y, hdr.x + x] = cols[:, 2]
+
+
 def iter_chunks(stream: bytes):
     """Yield (tag, header_offset, body) for each chunk; validates bounds."""
     off = FileHeader.size()
@@ -403,6 +458,8 @@ def decode(stream: bytes, lut_data: bytes | dict) -> np.ndarray:
             elif tag == b"ALPM":
                 st.alpha = alphamod.decode_alpm(body, fh.width, fh.height,
                                                 mip_mask, mip_bbox)
+            elif tag == b"UCOL":
+                _ucol_chunk(st, body)
             else:
                 raise ValueError(f"unknown chunk tag {tag!r}")
         except _struct.error as e:

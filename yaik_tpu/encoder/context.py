@@ -37,6 +37,10 @@ class EncoderConfig:
     enable_alpha: bool = True
     alpha_force_8bit: bool = True     # Convert's ProcessAlpha(true)
     alpha_use_inverse: bool = True
+    # SingleColorOut (UCOL): disabled in the reference's Convert at
+    # EncoderContext.cpp:9036; fully implemented in encoder/single_color.py
+    enable_single_color: bool = False
+    favor_accuracy: bool = False      # EncoderContext.h:262, CLI sets false
 
 
 def _compress_stream(data: bytes) -> bytes:
@@ -80,9 +84,9 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
     compress_palette = (native.palette_compress if use_native
                         else palette_compress)
 
+    mip_mask, mip_bound = None, (0, 0, w, h)
     if has_alpha:
         alpha_plane = rgb[:, :, 3]
-        mip_mask, mip_bound = None, (0, 0, w, h)
         if cfg.enable_mipmap:
             mip_mask, mip_chunk, mip_bound = alphamod.mip_prefilter(alpha_plane)
             if mip_chunk:
@@ -94,6 +98,12 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                 use_inverse=cfg.alpha_use_inverse)
             if alpm:
                 out += alpm
+
+    if cfg.enable_single_color:
+        from yaik_tpu.encoder import single_color
+        ucol, _ = single_color.single_color_out(
+            planes, mip_mask, mip_bound, favor_accuracy=cfg.favor_accuracy)
+        out += ucol
 
     # ---- scoring (host or device) ----
     dev_grad_accepts = planes_dev = claims_dev = None

@@ -203,6 +203,25 @@ class HeaderTile3DX(_Struct):
 
 
 @dataclass
+class UniqueColorHeader(_Struct):
+    """UCOL chunk header (YAIK_private.h:149-157). Written by the reference's
+    disabled SingleColorOut pass (EncoderContext.cpp:2186-2196); the two
+    trailing pad bytes are uninitialized stack garbage upstream, zero here.
+    bbox(8) + 4*u32(16) + u8 + u8 + 2 pad = 28."""
+    _fmt = "hhhhIIIIBB2x"
+    x: int
+    y: int
+    w: int
+    h: int
+    stream_size: int                  # zstd size of the palette-index map
+    expected_decompression_size: int  # uncompressed map-span bytes
+    stream_size_e: int                # zstd size of the used-span table
+    expected_decompression_skippers: int  # uncompressed span-table bytes
+    version: int                      # 1: linear map, 2: 8x8-swizzled map
+    color_count: int                  # palette entries + 1 (0 = 256)
+
+
+@dataclass
 class Header1D(_Struct):
     # 4 u32 + 3 u8 + 1 pad = 20
     _fmt = "IIIIBBB1x"
