@@ -63,6 +63,16 @@ if [ ! -f "$OUT/ref_encoder_ucol" ]; then
     "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder_ucol"
 fi
 
+# ---- disabled-pass driver: Correlation2DSearch (2DTL) goldens ----
+if [ ! -f "$OUT/ref_encoder_2d" ]; then
+  echo "building ref_encoder_2d"
+  g++ $CXXFLAGS -iquote "$OUT/shim" -I "$REF/encoder" -I "$REF/include" -DDIRENT_H -include /usr/include/dirent.h -include cstring \
+    "$HERE/ref_encode_2d_main.cpp" "$REF"/encoder/EncoderContext.cpp \
+    "$REF"/encoder/Image.cpp "$REF"/encoder/Plane.cpp \
+    "$REF"/decoder/YAIK_GenericFunctions.cpp \
+    "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder_2d"
+fi
+
 # ---- reference decoder + our raw-dump driver ----
 if [ ! -f "$OUT/ref_decoder" ]; then
   echo "building ref_decoder"

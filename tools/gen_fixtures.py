@@ -80,6 +80,25 @@ def main():
             raise RuntimeError(f"ref_encoder_ucol failed on {name}")
         shutil.copy(os.path.join(work, base + ".ucol.yaik"), FIX)
 
+    # 2DTL goldens: the disabled Correlation2DSearch path via the subclass
+    # driver (needs Bank2D: synthetic pattern PNGs)
+    subprocess.run([sys.executable, os.path.join(TOOLS, "gen_bank2d.py"),
+                    os.path.join(work, "Bank2D")], check=True)
+    shutil.copy(os.path.join(work, "images", "corr2d128.png"),
+                os.path.join(work, "corr2d128.png"))
+    out = subprocess.run(
+        [os.path.join(REFBUILD, "ref_encoder_2d"), "corr2d128.png",
+         "corr2d128.2d.yaik"],
+        cwd=work, capture_output=True, text=True)
+    if out.returncode != 0:
+        raise RuntimeError("ref_encoder_2d failed")
+    shutil.copy(os.path.join(work, "corr2d128.png"), FIX)
+    shutil.copy(os.path.join(work, "corr2d128.2d.yaik"), FIX)
+    shutil.copy(os.path.join(work, "LutFile2D.lut"), FIX)
+    bank2dst = os.path.join(FIX, "Bank2D")
+    shutil.rmtree(bank2dst, ignore_errors=True)
+    shutil.copytree(os.path.join(work, "Bank2D"), bank2dst)
+
     shutil.copy(os.path.join(work, "LutFile.lut"), os.path.join(FIX, "LutFile.lut"))
     bankdst = os.path.join(FIX, "Bank3D")
     shutil.rmtree(bankdst, ignore_errors=True)

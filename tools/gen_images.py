@@ -90,6 +90,46 @@ def make_sprite_rgba(rng, size):
     return out
 
 
+def make_corr2d(rng, size):
+    """2D-correlation food: per 8x8 tile, one channel PAIR follows a narrow
+    (delta <= 10) correlated curve while the third channel is loud noise.
+    The noise defeats the gradient pass (err > 3) and the 3D pass (no bank
+    curve matches a random axis); the quiet pair stays within the 2D pass's
+    reconstruction budget (LUT values 0..63 against a /128 divide means only
+    low-dynamic tiles fit err <= 6 - true for the reference's 2D path too).
+    Thirds of the image exercise Mode_RG, Mode_GB, Mode_RB; a sprinkling of
+    noisy quads inside otherwise-quiet tiles leaves work for the 4x4 pass."""
+    h = w = size
+    img = np.zeros((h, w, 3), np.int64)
+    curves = [
+        lambda s: (s, s),                       # diagonal
+        lambda s: (s, 63 - s),                  # anti-diagonal
+        lambda s: (s, (s * s) // 63),           # quadratic
+    ]
+    for ty in range(h // 8):
+        for tx in range(w // 8):
+            region = (3 * tx * 8) // w          # 0: RG, 1: GB, 2: RB
+            pa, pb = [(0, 1), (1, 2), (0, 2)][region]
+            pn = 3 - pa - pb
+            curve = curves[rng.integers(0, len(curves))]
+            base_a = int(rng.integers(40, 200))
+            base_b = int(rng.integers(40, 200))
+            da = int(rng.integers(6, 11))
+            db = int(rng.integers(6, 11))
+            s = rng.integers(0, 64, (8, 8))
+            ca, cb = curve(s)
+            tile = np.zeros((8, 8, 3), np.int64)
+            tile[:, :, pa] = base_a + (ca * da) // 63
+            tile[:, :, pb] = base_b + (cb * db) // 63
+            tile[:, :, pn] = rng.integers(0, 256, (8, 8))
+            if rng.random() < 0.25:
+                # one loud quad: the 8x8 2D tile rejects, 4x4 picks up rest
+                qy, qx = rng.integers(0, 2) * 4, rng.integers(0, 2) * 4
+                tile[qy:qy + 4, qx:qx + 4, pa] = rng.integers(0, 256, (4, 4))
+            img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = tile
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def main(outdir):
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(20260816)
@@ -100,6 +140,7 @@ def main(outdir):
     g = np.clip(np.round(gradient_quilt(rng, 128, 128, 32)), 0, 255).astype(np.uint8)
     Image.fromarray(g).save(os.path.join(outdir, "quilt128.png"))
     Image.fromarray(make_sprite_rgba(rng, 256)).save(os.path.join(outdir, "sprite256.png"))
+    Image.fromarray(make_corr2d(rng, 128)).save(os.path.join(outdir, "corr2d128.png"))
     print(f"wrote test images to {outdir}")
 
 

@@ -291,6 +291,141 @@ def _tile3d_chunk(st: DecodeState, hdr: HeaderTile3D, body: bytes,
                               colors, types, idx_streams, luts)
 
 
+# 2DTL component bitmask -> (plane A, plane B)
+_PAIR2D = {3: (0, 1), 6: (1, 2), 5: (0, 2)}
+
+
+def _tile2d_size_pass(st: DecodeState, pa: int, pb: int, sx: int, sy: int,
+                      bitmap: bytes, cursors: dict, colors: np.ndarray,
+                      types: np.ndarray, idx_streams: dict, luts: dict):
+    """Tile2D_{8x8,4x4}_{RG,GB,RB} (YAIK_3DTile.cpp:2145-3809): 4-byte
+    min/max color pairs, x2-premultiplied indices, two planes written as
+    min + (diff * LUT)>>7.
+
+    Claim handling deviation (documented): the reference's dead Tile2D code
+    reads AND writes only the R-plane claim section regardless of mode
+    (:2155 pixelUsed = tile4x4Mask). The encoder's model claims BOTH pair
+    planes (EncoderContext.cpp:7243-7270); we mirror the encoder so the
+    following 1DTL stays cursor-synchronized on every plane (the two agree
+    on the reference's own canonical pass order)."""
+    w, h = st.width, st.height
+    tw, th = 1 << sx, 1 << sy
+    tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)
+    bits = swizzle.unpack_bitmap(
+        bitmap[:swizzle.bitmap_size_bytes(sx, sy, w, h)], sx, sy, w, h)
+    sel = np.flatnonzero(bits & valid)
+    pairs = _PAIR_ORDER[(sx, sy)]
+    st.split_masks()
+    cl_a, cl_b = st.claims[pa], st.claims[pb]
+
+    for i in sel:
+        tx, ty = int(tx_all[i]), int(ty_all[i])
+        x, y = tx * tw, ty * th
+        ab = colors[cursors["color"]:cursors["color"] + 4].astype(np.int32)
+        cursors["color"] += 4
+        tile_type = int(types[cursors["type"]])
+        cursors["type"] += 1
+        combined = tile_type & 0x3FFF
+        fmt = (tile_type >> 14) & 3
+        bit = fmt + 3
+        lut = luts[bit]                  # [tables*8, 2**bit * 2] flat i32
+        combined = min(combined, lut.shape[0] - 1)
+        mn = ab[0:2]
+        diff = ab[2:4] - ab[0:2]
+
+        stream = idx_streams[bit]
+        cur = cursors[bit]
+        qx0, qy0 = x // 4, y // 4
+
+        def emit(px, py, qw):
+            nonlocal cur
+            npx = 16 * qw                # 16 or 32 pixels
+            idxs = np.minimum(stream[cur:cur + npx].astype(np.int64),
+                              lut.shape[1] - 2)
+            cur += npx
+            vals = lut[combined, idxs[:, None] + np.arange(2)]
+            out = ((mn[None, :] + ((diff[None, :] * vals) >> 7))
+                   & 0xFF).astype(np.uint8)
+            out = out.reshape(4, qw * 4, 2)
+            st.planes[pa, py:py + 4, px:px + qw * 4] = out[:, :, 0]
+            st.planes[pb, py:py + 4, px:px + qw * 4] = out[:, :, 1]
+
+        for group in pairs:
+            if len(group) == 2:
+                (gx0, gy0), (gx1, _) = group
+                b0 = cl_a[qy0 + gy0, qx0 + gx0] | cl_b[qy0 + gy0, qx0 + gx0]
+                b1 = cl_a[qy0 + gy0, qx0 + gx1] | cl_b[qy0 + gy0, qx0 + gx1]
+                px, py = x + gx0 * 4, y + gy0 * 4
+                if not b0 and not b1:
+                    emit(px, py, 2)
+                elif not b0:
+                    emit(px, py, 1)
+                elif not b1:
+                    emit(px + 4, py, 1)
+            else:
+                (gx0, gy0), = group
+                px, py = x + gx0 * 4, y + gy0 * 4
+                if not (cl_a[qy0 + gy0, qx0 + gx0]
+                        | cl_b[qy0 + gy0, qx0 + gx0]):
+                    emit(px, py, 1)
+        cursors[bit] = cur
+        cl_a[qy0:qy0 + th // 4, qx0:qx0 + tw // 4] = True
+        cl_b[qy0:qy0 + th // 4, qx0:qx0 + tw // 4] = True
+
+
+def _tile2d_chunk(st: DecodeState, hdr: HeaderTile3D, body: bytes,
+                  luts2d_expanded: dict):
+    """2DTL: HeaderTile3D with component 3/5/6; only the 8x8 and 4x4 maps
+    are populated (EndCorrelationSearch(false,...), EncoderContext.cpp:
+    7382-7612)."""
+    if hdr.component not in _PAIR2D:
+        raise ValueError("invalid 2DTL component")  # YAIK_INVALID_PLANE_ID
+    pa, pb = _PAIR2D[hdr.component]
+    off = 0
+
+    def take(csize: int, usize: int):
+        nonlocal off
+        d = zstd.decompress(body[off:off + csize], usize) if csize else b""
+        off += csize
+        return d
+
+    s3 = take(hdr.compr_3bit_size, hdr.stream_3bit_cnt)
+    s4 = take(hdr.compr_4bit_size, hdr.stream_4bit_cnt)
+    s5 = take(hdr.compr_5bit_size, hdr.stream_5bit_cnt)
+    s6 = take(hdr.compr_6bit_size, hdr.stream_6bit_cnt)
+    types_b = take(hdr.compr_type_size, hdr.stream_type_cnt * 2)
+    colors_b = take(hdr.compr_color_size, hdr.stream_color_cnt)
+    m8_8 = take(hdr.size_t8_8_map_cmp, hdr.size_t8_8_map)
+    m4_4 = take(hdr.size_t4_4_map_cmp, hdr.size_t4_4_map)
+
+    colors = palette.full_range_remap(np.frombuffer(colors_b, np.uint8),
+                                      hdr.compression_rate_color)
+    types = np.frombuffer(types_b, "<u2")
+    idx_streams = {3: np.frombuffer(s3, np.uint8),
+                   4: np.frombuffer(s4, np.uint8),
+                   5: np.frombuffer(s5, np.uint8),
+                   6: np.frombuffer(s6, np.uint8)}
+    luts = {bit: arr.reshape(arr.shape[0], -1)
+            for bit, arr in luts2d_expanded.items()}
+
+    cursors = {"color": 0, "type": 0, 3: 0, 4: 0, 5: 0, 6: 0}
+    total_px = st.planes.shape[1] * st.planes.shape[2]
+    colors = np.concatenate([colors, np.zeros(total_px * 4, np.uint8)])
+    idx_streams = {b: np.concatenate([s, np.zeros(total_px, np.uint8)])
+                   for b, s in idx_streams.items()}
+    security_count = 0
+    for (sx, sy), m in (((3, 3), m8_8), ((2, 2), m4_4)):
+        if m:
+            bm = swizzle.unpack_bitmap(
+                m[:swizzle.bitmap_size_bytes(sx, sy, st.width, st.height)],
+                sx, sy, st.width, st.height)
+            security_count += int(bm.sum())
+            if security_count > hdr.stream_type_cnt:
+                continue
+            _tile2d_size_pass(st, pa, pb, sx, sy, m, cursors,
+                              colors, types, idx_streams, luts)
+
+
 def _tile1d_chunk(st: DecodeState, hdr: Header1D, body: bytes):
     types = np.frombuffer(
         zstd.decompress(body[:hdr.stream_type_cnt], hdr.stream_type_uncmp),
@@ -418,9 +553,12 @@ def iter_chunks(stream: bytes):
         off = body_end
 
 
-def decode(stream: bytes, lut_data: bytes | dict) -> np.ndarray:
+def decode(stream: bytes, lut_data: bytes | dict,
+           lut2d_data: bytes | dict | None = None) -> np.ndarray:
     """Decode a .yaik stream. Returns [h, w, 3] u8 (RGBA when alpha present).
-    lut_data: raw LutFile.lut bytes or an already-expanded LUT dict."""
+    lut_data: raw LutFile.lut bytes or an already-expanded LUT dict.
+    lut2d_data: LutFile2D.lut bytes / expanded dict, required only for
+    streams carrying 2DTL chunks."""
     if len(stream) <= FileHeader.size():
         raise ValueError("stream too small")  # YAIK_INVALID_STREAM
     fh = FileHeader.unpack(stream)
@@ -449,6 +587,17 @@ def decode(stream: bytes, lut_data: bytes | dict) -> np.ndarray:
                 cls = HeaderTile3D if tag == b"3DTL" else HeaderTile3DX
                 hdr = cls.unpack(body)
                 _tile3d_chunk(st, hdr, body[cls.size():], luts_expanded)
+            elif tag == b"2DTL":
+                if lut2d_data is None:
+                    raise ValueError("2DTL chunk but no 2D LUT assigned")
+                if isinstance(lut2d_data, dict):
+                    luts2d = lut2d_data
+                else:
+                    luts2d = lutmod.expand_lut2d(
+                        lutmod.parse_lut2d_file(lut2d_data))
+                    lut2d_data = luts2d
+                hdr = HeaderTile3D.unpack(body)
+                _tile2d_chunk(st, hdr, body[HeaderTile3D.size():], luts2d)
             elif tag == b"1DTL":
                 hdr = Header1D.unpack(body)
                 _tile1d_chunk(st, hdr, body[Header1D.size():])

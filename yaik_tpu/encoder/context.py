@@ -41,6 +41,9 @@ class EncoderConfig:
     # EncoderContext.cpp:9036; fully implemented in encoder/single_color.py
     enable_single_color: bool = False
     favor_accuracy: bool = False      # EncoderContext.h:262, CLI sets false
+    # Correlation2DSearch (2DTL chunks, RG/GB/RB): inside `#if 0` in the
+    # reference's Convert (:9300-9382); needs a Bank2D (encoder/bank2d.py)
+    enable_2d: bool = False
 
 
 def _compress_stream(data: bytes) -> bytes:
@@ -55,7 +58,8 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                  config: EncoderConfig | None = None,
-                 engine: str = "host", precomputed=None) -> bytes:
+                 engine: str = "host", precomputed=None,
+                 bank2d=None) -> bytes:
     """Encode an RGB(A) image ([h, w, 3|4] u8, dims multiple of 8) to .yaik.
 
     engine="host": numpy scoring; engine="device": all tile scoring on the
@@ -189,6 +193,28 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                 corr3d.run_pass(planes, claims, bank, sx, sy, streams)
     out += _tile3d_chunk(streams, cfg, w, h)
 
+    # ---- 2D plane-pair passes (disabled upstream, Convert :9300-9382) ----
+    if cfg.enable_2d:
+        if bank2d is None:
+            raise ValueError("enable_2d requires a bank2d (encoder/bank2d.py)")
+        from yaik_tpu.encoder import corr2d
+        for plane_mode in (0, 1, 2):                 # RG, GB, RB
+            streams2 = {
+                "color": bytearray(), "type": [],
+                3: bytearray(), 4: bytearray(), 5: bytearray(),
+                6: bytearray(),
+                "maps": {key: np.zeros(
+                    swizzle.bitmap_size_bytes(*key, w, h) * 8, np.uint8)
+                    for key in ((3, 3), (2, 2))},
+            }
+            with profiler.stage("encode:2d-scoring"):
+                corr2d.run_pass(planes, claims, bank2d, plane_mode, 3, 3,
+                                streams2)
+                corr2d.run_pass(planes, claims, bank2d, plane_mode, 2, 2,
+                                streams2)
+            out += _tile2d_chunk(streams2, cfg, w, h,
+                                 corr2d.COMPONENT[plane_mode])
+
     # ---- 1D residual ----
     pix_stream = bytearray()
     type_stream = bytearray()
@@ -225,6 +251,57 @@ def _gradient_bbox(bitmap: bytes, sx: int, sy: int, w: int, h: int):
     min_x, max_x = int(tx.min()) * tw, (int(tx.max()) + 1) * tw
     min_y, max_y = int(ty.min()) * th, (int(ty.max()) + 1) * th
     return min_x, min_y, max_x - min_x, max_y - min_x
+
+
+def _tile2d_chunk(streams, cfg, w, h, component) -> bytes:
+    """EndCorrelationSearch(false, component): the 2D variant writes only
+    the 8x8 and 4x4 tile maps (all other header map fields zero), indices
+    premultiplied x2 (interleaved x,y LUT entries), tag '2DTL'
+    (EncoderContext.cpp:7382-7612)."""
+    def zmap(key):
+        raw = streams["maps"][key].astype(np.uint8).tobytes()
+        return raw, zstd.compress(raw, 18, len(raw) * 2)
+
+    raw_t8_8, z_t8_8 = zmap((3, 3))
+    raw_t4_4, z_t4_4 = zmap((2, 2))
+
+    types = np.asarray(streams["type"], "<u2").tobytes()
+    n_types = len(streams["type"])
+    z_types = zstd.compress(types, 18, len(types) * 2 + 100) if n_types else b""
+
+    colors = np.frombuffer(bytes(streams["color"]), np.uint8).astype(np.int64)
+    colors = (((colors * cfg.color_compression_lut3d) + 127) // 255
+              ).astype(np.uint8).tobytes()
+    z_colors = (zstd.compress(colors, 18, len(colors) * 2 + 100)
+                if colors else b"")
+
+    z_idx = {}
+    for bit in (3, 4, 5, 6):
+        raw = bytes((np.frombuffer(bytes(streams[bit]), np.uint8)
+                     .astype(np.int64) * 2).astype(np.uint8))
+        z_idx[bit] = (zstd.compress(raw, 18, len(raw) * 2 + 100)
+                      if raw else b"")
+
+    hdr = HeaderTile3D(
+        stream_color_cnt=len(colors), stream_type_cnt=n_types,
+        stream_3bit_cnt=len(streams[3]), stream_4bit_cnt=len(streams[4]),
+        stream_5bit_cnt=len(streams[5]), stream_6bit_cnt=len(streams[6]),
+        compr_type_size=len(z_types), compr_color_size=len(z_colors),
+        compr_3bit_size=len(z_idx[3]), compr_4bit_size=len(z_idx[4]),
+        compr_5bit_size=len(z_idx[5]), compr_6bit_size=len(z_idx[6]),
+        size_t16_8_map=0, size_t8_16_map=0,
+        size_t8_8_map=len(raw_t8_8), size_t4_8_map=0,
+        size_t8_4_map=0, size_t4_4_map=len(raw_t4_4),
+        size_t16_8_map_cmp=0, size_t8_16_map_cmp=0,
+        size_t8_8_map_cmp=len(z_t8_8), size_t4_8_map_cmp=0,
+        size_t8_4_map_cmp=0, size_t4_4_map_cmp=len(z_t4_4),
+        component=component,
+        # the reference only sets compressionRateColor when tiles exist
+        # (EncoderContext.cpp:7506-7512); uninitialized-but-zero otherwise
+        compression_rate_color=cfg.color_compression_lut3d if colors else 0)
+    body = (hdr.pack() + z_idx[3] + z_idx[4] + z_idx[5] + z_idx[6]
+            + z_types + z_colors + z_t8_8 + z_t4_4)
+    return _chunk(b"2DTL", body)
 
 
 def _tile3d_chunk(streams, cfg, w, h) -> bytes:
@@ -281,7 +358,8 @@ def _tile3d_chunk(streams, cfg, w, h) -> bytes:
         size_t16_8_map_cmp=len(z_t16_8), size_t8_16_map_cmp=len(z_t8_16),
         size_t8_8_map_cmp=len(z_t8_8), size_t4_8_map_cmp=len(z_t4_8),
         size_t8_4_map_cmp=len(z_t8_4), size_t4_4_map_cmp=len(z_t4_4),
-        component=7, compression_rate_color=cfg.color_compression_lut3d)
+        component=7,
+        compression_rate_color=cfg.color_compression_lut3d if colors else 0)
     body = (hdr.pack() + z_idx[3] + z_idx[4] + z_idx[5] + z_idx[6]
             + z_types + z_colors + z_t16_8 + z_t8_16 + z_t8_8
             + z_t8_4 + z_t4_8 + z_t4_4)

@@ -89,6 +89,56 @@ def expand_lut(tables: dict[int, np.ndarray]):
     return out
 
 
+def parse_lut2d_file(data: bytes):
+    """Parse a LutFile2D.lut ('LU20', writer RegisterAndCreate2DLut
+    EncoderContext.cpp:8070-8095) -> dict bit -> u8 [n_tables, 2**bit, 2].
+    The reference decoder's own 2D loader is deprecated (YAIK_API.cpp:
+    229-234 errors on the tag); the layout check matches its expectedSize
+    formula (:246-250) with itemSize = 2."""
+    if len(data) < LUTHeader.size():
+        raise ValueError("LUT file too small")
+    hdr = LUTHeader.unpack(data)
+    if hdr.tag != b"LU20":
+        raise ValueError(f"unsupported 2D LUT type {hdr.tag!r}")
+    n_tables = hdr.entry_count + 1
+    expect = 8 + n_tables * 2 * (8 + 16 + 32 + 64)
+    if len(data) != expect:
+        raise ValueError(f"2D LUT file size {len(data)} != expected {expect}")
+    out = {}
+    off = 8
+    for bit in (3, 4, 5, 6):
+        n = 1 << bit
+        tbl = np.frombuffer(data, np.uint8, n_tables * 2 * n, off)
+        out[bit] = tbl.reshape(n_tables, 2, n).transpose(0, 2, 1).copy()
+        off += n_tables * 2 * n
+    return out
+
+
+def expand_lut2d(tables: dict[int, np.ndarray]):
+    """8-pattern expansion -> dict bit -> i32 [n_tables*8, 2**bit, 2].
+
+    Pattern p (tile-type bits 0..2): bit0 flip x (v -> 128-v), bit1 flip y,
+    bit2 swap x/y - matching the encoder's in-loop table transform
+    (EncoderContext.cpp:7155-7167) and the Tile2D_* decoders' layout
+    TBLLUT[fmt][(tile&0x3FFF)*2 << (3+fmt)] (YAIK_3DTile.cpp:2255)."""
+    out = {}
+    for bit, tbl in tables.items():
+        n_tables, n, _ = tbl.shape
+        exp = np.empty((n_tables, 8, n, 2), np.int32)
+        t = tbl.astype(np.int32)
+        for p in range(8):
+            v = t.copy()
+            if p & 1:
+                v[:, :, 0] = 128 - v[:, :, 0]
+            if p & 2:
+                v[:, :, 1] = 128 - v[:, :, 1]
+            if p & 4:
+                v = v[:, :, ::-1]
+            exp[:, p] = v
+        out[bit] = exp.reshape(n_tables * 8, n, 2)
+    return out
+
+
 def write_lut_file(tables: dict[int, np.ndarray], version: int = 0) -> bytes:
     """Serialize tables (dict bit -> [n_tables, 2**bit, 3]) to LutFile.lut."""
     n_tables = tables[3].shape[0]
