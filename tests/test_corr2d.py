@@ -108,3 +108,15 @@ def test_expand_lut2d_layout():
     assert np.array_equal(exp[4][:, 1], base[:, 0])
     assert np.array_equal(exp[7][:, 0], 128 - base[:, 1])
     assert np.array_equal(exp[7][:, 1], 128 - base[:, 0])
+
+
+def test_corr2d_jax_engine_matches_host(lut_bytes):
+    """Device path (planner + jax_engine) is pixel-identical on 2DTL
+    streams, including the 3-bit LUT-block overrun semantics."""
+    from yaik_tpu.decoder import api
+    gold = (FIXTURES / "corr2d128.2d.yaik").read_bytes()
+    lut2d = (FIXTURES / "LutFile2D.lut").read_bytes()
+    bank = api.assign_lut(lut_bytes, lut2d)
+    host = api.decode_image(gold, bank, engine="host")
+    dev = api.decode_image(gold, bank, engine="jax")
+    assert np.array_equal(host, dev)

@@ -106,3 +106,15 @@ def test_ucol_alpha_mip_roundtrip(bank3d, lut_bytes):
     assert out.shape == rgba.shape
     # alpha plane is exact (8-bit ALPM path)
     assert np.array_equal(out[:, :, 3], rgba[:, :, 3])
+
+
+def test_ucol_jax_engine_matches_host(bank3d, lut_bytes):
+    """Device path applies UCOL palette pixels identically to the host."""
+    from yaik_tpu.decoder import api
+    rgb = _load_rgb("img64")
+    stream = encode_image(rgb, bank3d,
+                          EncoderConfig(enable_single_color=True))
+    bank = api.assign_lut(lut_bytes)
+    host = api.decode_image(stream, bank, engine="host")
+    dev = api.decode_image(stream, bank, engine="jax")
+    assert np.array_equal(host, dev)

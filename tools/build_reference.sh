@@ -73,6 +73,16 @@ if [ ! -f "$OUT/ref_encoder_2d" ]; then
     "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder_2d"
 fi
 
+# ---- dead-pass probe: SmoothMap (SMAP) aborts on heap corruption ----
+if [ ! -f "$OUT/ref_encoder_smap" ]; then
+  echo "building ref_encoder_smap"
+  g++ $CXXFLAGS -iquote "$OUT/shim" -I "$REF/encoder" -DDIRENT_H -include /usr/include/dirent.h -include cstring \
+    "$HERE/ref_encode_smap_main.cpp" "$REF"/encoder/EncoderContext.cpp \
+    "$REF"/encoder/Image.cpp "$REF"/encoder/Plane.cpp \
+    "$REF"/decoder/YAIK_GenericFunctions.cpp \
+    "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder_smap"
+fi
+
 # ---- reference decoder + our raw-dump driver ----
 if [ ! -f "$OUT/ref_decoder" ]; then
   echo "building ref_decoder"

@@ -33,15 +33,24 @@ def _png(path):
 
 
 def cmd_encode(args):
-    from yaik_tpu.encoder.context import encode_image
+    from yaik_tpu.encoder.context import EncoderConfig, encode_image
     bank = _load_bank(args.bank)
     img = _png(args.input)
+    cfg = EncoderConfig(enable_single_color=args.enable_single_color,
+                        enable_2d=args.enable_2d)
+    bank2d = None
+    if args.enable_2d:
+        from yaik_tpu.encoder import bank2d as bank2dmod
+        bank2d = bank2dmod.load_bank2d(str(args.bank2d))
+        if bank2d.count == 0:
+            sys.exit(f"no Bank2D patterns found in {args.bank2d}")
     from yaik_tpu.utils import profiler
     import contextlib
     prof = profiler.enable() if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
     with prof:
-        stream = encode_image(img, bank, engine=args.engine)
+        stream = encode_image(img, bank, cfg, engine=args.engine,
+                              bank2d=bank2d)
     dt = time.perf_counter() - t0
     pathlib.Path(args.output).write_bytes(stream)
     h, w = img.shape[:2]
@@ -66,7 +75,9 @@ def cmd_decode(args):
     from PIL import Image
     from yaik_tpu.decoder import api
     stream = pathlib.Path(args.input).read_bytes()
-    lut = api.assign_lut(pathlib.Path(args.lut).read_bytes())
+    lut2d = (pathlib.Path(args.lut2d).read_bytes()
+             if args.lut2d else None)
+    lut = api.assign_lut(pathlib.Path(args.lut).read_bytes(), lut2d)
     from yaik_tpu.utils import profiler
     import contextlib
     prof = profiler.enable() if args.profile else contextlib.nullcontext()
@@ -82,9 +93,14 @@ def cmd_decode(args):
 
 
 def cmd_lut(args):
-    from yaik_tpu.encoder import bank as bankmod
-    bank = _load_bank(args.bank_dir)
-    data = bankmod.write_lut_file(bank)
+    if args.mode == "2d":
+        from yaik_tpu.encoder import bank2d as bank2dmod
+        bank = bank2dmod.load_bank2d(args.bank_dir)
+        data = bank2dmod.write_lut2d_file(bank)
+    else:
+        from yaik_tpu.encoder import bank as bankmod
+        bank = _load_bank(args.bank_dir)
+        data = bankmod.write_lut_file(bank)
     pathlib.Path(args.output).write_bytes(data)
     print(f"{bank.count} tables -> {args.output} ({len(data)} B)")
 
@@ -121,6 +137,12 @@ def main():
     e.add_argument("--bank", default=DEFAULT_FIX / "Bank3D")
     e.add_argument("--engine", default="host", choices=["host", "device"])
     e.add_argument("--stats", action="store_true")
+    e.add_argument("--enable-single-color", action="store_true",
+                   help="UCOL pass (disabled in the reference, "
+                        "EncoderContext.cpp:9036)")
+    e.add_argument("--enable-2d", action="store_true",
+                   help="2DTL plane-pair passes (disabled upstream)")
+    e.add_argument("--bank2d", default=DEFAULT_FIX / "Bank2D")
     e.add_argument("--profile", action="store_true",
                    help="print per-stage host timings")
     e.add_argument("--global-stats", metavar="PATH", default=None,
@@ -131,6 +153,8 @@ def main():
     d = sub.add_parser("decode")
     d.add_argument("input"); d.add_argument("output")
     d.add_argument("--lut", default=DEFAULT_FIX / "LutFile.lut")
+    d.add_argument("--lut2d", default=None,
+                   help="LutFile2D.lut for streams with 2DTL chunks")
     d.add_argument("--engine", default="host", choices=["host", "jax"])
     d.add_argument("--profile", action="store_true",
                    help="print per-stage host timings")
@@ -138,6 +162,8 @@ def main():
 
     l = sub.add_parser("lut")
     l.add_argument("bank_dir"); l.add_argument("output")
+    l.add_argument("--mode", default="3d", choices=["3d", "2d"],
+                   help="2d builds a LutFile2D.lut from Bank2D PNGs")
     l.set_defaults(fn=cmd_lut)
 
     s = sub.add_parser("stats")

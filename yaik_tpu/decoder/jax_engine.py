@@ -103,6 +103,44 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
     return plane.at[: nty * th, : ntx * tw].set(region)
 
 
+_T2_ORDER = tuple((mode, shift) for mode in (0, 1, 2)
+                  for shift in ((3, 3), (2, 2)))
+_T2_PLANES = {0: (0, 1), 1: (1, 2), 2: (0, 2)}
+
+
+def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy):
+    """One 2DTL size pass: like _tile3d_pass but two channels
+    (min + (diff * L) >> 7 on the pair planes; Tile2D_* semantics)."""
+    pa, pb = _T2_PLANES[mode]
+    tw, th = 1 << sx, 1 << sy
+    nty, ntx = accept.shape
+    g, npx = packed.shape
+    luts = lut2_tab[rows]                     # [g, 64, 2]
+    indices = (packed & 63).astype(jnp.int32)
+    wmask = (packed >> 6) != 0
+    colors = colors.astype(jnp.int32)
+    onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
+              [None, None, :]).astype(jnp.float32)
+    L = jnp.einsum("gpk,gkc->gpc", onehot, luts.astype(jnp.float32),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    mn = colors[:, None, 0:2]
+    diff = colors[:, None, 2:4] - mn
+    vals = (mn + ((diff * L) >> 7)) & 0xFF                   # [g, npx, 2]
+
+    write = wmask & accept.reshape(g)[:, None]
+    vals = vals.reshape(nty, ntx, th, tw, 2).transpose(0, 2, 1, 3, 4)
+    vals = vals.reshape(nty * th, ntx * tw, 2)
+    wm = write.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3)
+    wm = wm.reshape(nty * th, ntx * tw)
+
+    region = plane[: nty * th, : ntx * tw]
+    region = region.at[:, :, pa].set(
+        jnp.where(wm, vals[:, :, 0], region[:, :, pa]))
+    region = region.at[:, :, pb].set(
+        jnp.where(wm, vals[:, :, 1], region[:, :, pb]))
+    return plane.at[: nty * th, : ntx * tw].set(region)
+
+
 def _d1_pass(plane, params, indices, wbits, h8, w8):
     """1D residual for all 3 planes: pure elementwise. wbits [3,g,8] u8 is
     the write mask bit-packed 8x for the host->device link."""
@@ -126,17 +164,29 @@ def _d1_pass(plane, params, indices, wbits, h8, w8):
 
 def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
                 t3_accepts, t3_rows, t3_colors, t3_packed,
-                d1_params, d1_indices, d1_wmask):
+                d1_params, d1_indices, d1_wmask,
+                ucol=None, t2=None):
+    """ucol: None or (map_img [h8,w8] u8, palette_ext [256,3] u8) - applied
+    first, in stream order. t2: None or (lut2_tab [C,64,2],
+    6x (accept, rows, colors, packed)) in _T2_ORDER."""
     # image dims (multiples of 8) from the 4x4 3D pass grid
     nty4, ntx4 = t3_accepts[-1].shape
     h8, w8 = nty4 * 4, ntx4 * 4
 
     plane = jnp.full((h8, w8, 3), 0x80, jnp.int32)
+    if ucol is not None:
+        map_img, pal_ext = ucol
+        vals = pal_ext.astype(jnp.int32)[map_img.astype(jnp.int32)]
+        plane = jnp.where((map_img > 0)[:, :, None], vals, plane)
     for k, (sx, sy) in enumerate(shifts):
         plane = _blend_pass(plane, grad_accepts[k], grad_corners[k], sx, sy)
     for k, (sx, sy) in enumerate(T3_SHIFTS):
         plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], t3_rows[k],
                              t3_colors[k], t3_packed[k], sx, sy)
+    if t2 is not None:
+        lut2_tab, t2passes = t2
+        for k, (mode, (sx, sy)) in enumerate(_T2_ORDER):
+            plane = _tile2d_pass(plane, lut2_tab, *t2passes[k], mode, sx, sy)
     plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
     return plane.astype(jnp.uint8)
 
@@ -179,7 +229,37 @@ def lut_device_table(expanded: dict):
     return tab, bases
 
 
-def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict):
+def lut2d_device_table(expanded2d: dict):
+    """2D analog of lut_device_table: [C, 64, 2] u8 + per-bit row bases.
+
+    Rows are cut as 128-byte windows of the FLAT per-bit section rather than
+    zero-padded blocks: 3-bit tiles legitimately index past their 16-byte
+    block into the next pattern's entries (the encoder's 4-bit-map idx3Bit
+    bug, EncoderContext.cpp:5642; the reference decoder reads straight
+    through its contiguous table memory, YAIK_3DTile.cpp:2255)."""
+    key = ("2d", id(expanded2d))
+    hit = _LUT_TAB_CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    parts, bases, off = [], {}, 0
+    for bit in (3, 4, 5, 6):
+        t = expanded2d[bit]                     # [n*8, 2^bit, 2]
+        n_rows = t.shape[0]
+        flat = np.concatenate([t.reshape(-1).astype(np.uint8),
+                               np.zeros(128, np.uint8)])
+        row_size = t.shape[1] * 2
+        starts = np.arange(n_rows) * row_size
+        pad = flat[starts[:, None] + np.arange(128)].reshape(n_rows, 64, 2)
+        bases[bit] = off
+        off += n_rows
+        parts.append(pad)
+    tab = jax.device_put(np.concatenate(parts, axis=0))
+    _LUT_TAB_CACHE[key] = (tab, bases, expanded2d)
+    return tab, bases
+
+
+def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
+                        expanded2d: dict | None = None):
     """Assemble (static shifts, lut table + bases, per-image tensor args)
     from a plan. Per-image tensors are packed thin for the host->device
     link: LUT row ids instead of per-tile table slices, idx|mask<<6 bytes,
@@ -231,23 +311,60 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict):
 
     wbits = np.packbits(plan.d1.wmask.astype(np.uint8), axis=-1,
                         bitorder="little")                     # [3, g, 8]
+
+    ucol_arg = None
+    if plan.ucol is not None:
+        pal_ext = np.zeros((256, 3), np.uint8)
+        pal_ext[1:1 + plan.ucol.palette.shape[0]] = plan.ucol.palette
+        ucol_arg = (plan.ucol.map_img, pal_ext)
+
+    t2_arg = None
+    if plan.tile2d:
+        if expanded2d is None:
+            raise ValueError("plan carries 2DTL passes but no 2D LUT given")
+        tab2, bases2 = lut2d_device_table(expanded2d)
+        by_key = {(p.mode, p.shift): p for p in plan.tile2d}
+        entries = []
+        for mode, (sx, sy) in _T2_ORDER:
+            tw, th = 1 << sx, 1 << sy
+            ntx, nty = w // tw, h // th
+            g = nty * ntx
+            p = by_key.get((mode, (sx, sy)))
+            if p is None:
+                entries.append((np.zeros((nty, ntx), bool),
+                                np.zeros(g, np.int32),
+                                np.zeros((g, 4), np.uint8),
+                                np.zeros((g, th * tw), np.uint8)))
+                continue
+            t = p.types.astype(np.int64) & 0xFFFF
+            bi = (t >> 14) & 3
+            n2 = np.array([expanded2d[b].shape[0] for b in (3, 4, 5, 6)])
+            b2 = np.array([bases2[b] for b in (3, 4, 5, 6)], np.int64)
+            comb = np.minimum(t & 0x3FFF, n2[bi] - 1)
+            rows = (b2[bi] + comb).astype(np.int32)
+            entries.append((p.accept, rows, p.colors.astype(np.uint8),
+                            p.packed))
+        t2_arg = (tab2, tuple(entries))
+
     args = (tuple(accepts), tuple(corners),
             tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p),
-            plan.d1.params, plan.d1.indices, wbits)
+            plan.d1.params, plan.d1.indices, wbits, ucol_arg, t2_arg)
     return GRAD_SHIFTS, tab, args
 
 
 def decode(stream: bytes, lut) -> np.ndarray:
     """Full decode through the device path (host plan + TPU pixels)."""
     from yaik_tpu.utils import profiler
+    expanded2d = None
     if isinstance(lut, (bytes, bytearray)):
         expanded = lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut)))
     else:
         expanded = lut.expanded
+        expanded2d = getattr(lut, "expanded2d", None)
     with profiler.stage("decode:plan"):
-        plan = plannermod.build_plan(stream, expanded)
+        plan = plannermod.build_plan(stream, expanded, expanded2d)
     with profiler.stage("decode:pack-args"):
-        shifts, tab, args = plan_to_device_args(plan, expanded)
+        shifts, tab, args = plan_to_device_args(plan, expanded, expanded2d)
     with profiler.stage("decode:device"):
         out = decode_pixels(shifts, tab, *args)
         rgb = np.asarray(out)[: plan.height, : plan.width]

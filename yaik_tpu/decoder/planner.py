@@ -57,6 +57,22 @@ class Tile3DPassPlan:
 
 
 @dataclass
+class Tile2DPassPlan:
+    mode: int             # 0 RG, 1 GB, 2 RB (plane pair)
+    shift: tuple          # (3, 3) or (2, 2)
+    accept: np.ndarray    # [nty, ntx] bool
+    types: np.ndarray     # [nty*ntx] i32 raw tile type words
+    colors: np.ndarray    # [nty*ntx, 4] i32 (minA, minB, maxA, maxB)
+    packed: np.ndarray    # [nty*ntx, th*tw] u8 idx | wmask<<6
+
+
+@dataclass
+class PlanUCol:
+    map_img: np.ndarray   # [h8, w8] u8 palette index in image space (0=none)
+    palette: np.ndarray   # [n, 3] u8
+
+
+@dataclass
 class Plan1D:
     params: np.ndarray    # [3, nT, 3] i32 (color0, base, delta2)
     indices: np.ndarray   # [3, nT, 64] u8
@@ -72,6 +88,8 @@ class DecodePlan:
     d1: Plan1D
     has_alpha: bool = False
     alpha: np.ndarray | None = None   # [H, W] u8, host-decoded (byte-level)
+    ucol: PlanUCol | None = None
+    tile2d: list | None = None        # list[Tile2DPassPlan] (6 when present)
 
 
 def lut_flat_layout(luts_expanded: dict):
@@ -170,7 +188,8 @@ def _scatter_streams(cases, pairs, tw, base_off, gid, source, dst_idx,
             dst_mask[gid[m][:, None], slots[None, :]] = True
 
 
-def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
+def build_plan(stream: bytes, luts_expanded: dict,
+               luts2d_expanded: dict | None = None) -> DecodePlan:
     fh = FileHeader.unpack(stream)
     if fh.tag != MAGIC:
         raise ValueError("not a YAIK stream")
@@ -181,9 +200,12 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
     map_rgb = np.zeros((nq, 3), np.uint8)
     has_rgb = np.zeros(nq, bool)               # plane-7 path only
     claims = np.zeros(swizzle.claim_shape(w, h), bool)
+    claims3 = None                             # split on first 2DTL chunk
 
     grads: list[GradientPassPlan] = []
     t3passes: list[Tile3DPassPlan] = []
+    t2passes: list[Tile2DPassPlan] = []
+    ucol = None
     d1 = Plan1D(params=np.zeros((3, 1, 3), np.int32),
                 indices=np.zeros((3, 1, 64), np.uint8),
                 wmask=np.zeros((3, 1, 64), bool))
@@ -258,9 +280,36 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
             t3passes = _plan_3d(body[cls.size():], hdr, w, h,
                                 claims, luts_expanded)
 
+        elif tag == b"2DTL":
+            if luts2d_expanded is None:
+                raise ValueError("2DTL chunk but no 2D LUT assigned")
+            hdr = HeaderTile3D.unpack(body)
+            if claims3 is None:   # UpdateTileAndRGBMask split
+                claims3 = np.repeat(claims[None], 3, axis=0).copy()
+            t2passes += _plan_2d(body[HeaderTile3D.size():], hdr, w, h,
+                                 claims3, luts2d_expanded)
+        elif tag == b"UCOL":
+            from yaik_tpu.decoder.reference import decode_ucol_map
+            from yaik_tpu.format.headers import UniqueColorHeader
+            uhdr = UniqueColorHeader.unpack(body)
+            pal, mp = decode_ucol_map(uhdr, body[UniqueColorHeader.size():])
+            h8, w8 = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
+            map_img = np.zeros((h8, w8), np.uint8)
+            n = np.flatnonzero(mp)
+            if n.size:
+                if uhdr.version == 2:
+                    tile = n >> 6
+                    wu = uhdr.w >> 3
+                    xs = ((tile % wu) << 3) | (n & 7)
+                    ys = ((tile // wu) << 3) | ((n >> 3) & 7)
+                else:
+                    xs, ys = n % uhdr.w, n // uhdr.w
+                map_img[uhdr.y + ys, uhdr.x + xs] = mp[n]
+            ucol = PlanUCol(map_img=map_img, palette=pal)
         elif tag == b"1DTL":
             hdr = Header1D.unpack(body)
-            d1 = _plan_1d(body[Header1D.size():], hdr, w, h, claims)
+            d1 = _plan_1d(body[Header1D.size():], hdr, w, h,
+                          claims if claims3 is None else claims3)
         elif tag == b"MIPM":
             from yaik_tpu.decoder import alpha as alphamod
             mip_mask, mip_bbox = alphamod.decode_mipm(body, w, h)
@@ -274,7 +323,8 @@ def build_plan(stream: bytes, luts_expanded: dict) -> DecodePlan:
     if fh.has_alpha and alpha_channel is None:
         alpha_channel = np.full((h, w), 255, np.uint8)
     return DecodePlan(width=w, height=h, gradient=grads, tile3d=t3passes,
-                      d1=d1, has_alpha=fh.has_alpha, alpha=alpha_channel)
+                      d1=d1, has_alpha=fh.has_alpha, alpha=alpha_channel,
+                      ucol=ucol, tile2d=t2passes or None)
 
 
 def _plan_3d(body, hdr, w, h, claims, luts_expanded):
@@ -399,6 +449,11 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
 
 
 def _plan_1d(body, hdr, w, h, claims):
+    """claims: [QH, QW] shared (gradient/3D only) or [3, QH, QW] per-plane
+    (after 2DTL chunks split the masks). With per-plane claims, each plane
+    has its own active-tile set, type-triplet count, and pixel-stream span -
+    the reference encoder writes R, G, B plane sections back to back
+    (Convert :9451-9460)."""
     types = zstd.decompress_arr(body[:hdr.stream_type_cnt],
                                 hdr.stream_type_uncmp)
     pix = zstd.decompress_arr(
@@ -411,36 +466,31 @@ def _plan_1d(body, hdr, w, h, claims):
     params = np.zeros((3, g, 3), np.int32)
     indices = np.zeros((3, g, 64), np.uint8)
     wmask = np.zeros((3, g, 64), bool)
-    # vectorized quad-claim lookup: [nty, ntx, 2, 2]
-    qgrid = claims[:nty * 2, :ntx * 2].reshape(nty, 2, ntx, 2).transpose(
-        0, 2, 1, 3)
-    active = ~qgrid.all(axis=(2, 3))
-    ty, tx = np.nonzero(active)
-    n = ty.size
-    if n == 0:
-        return Plan1D(params=params, indices=indices, wmask=wmask)
-    gid = ty * ntx + tx
-    qx0, qy0 = tx * 2, ty * 2
+    per_plane = claims.ndim == 3
     pairs = [[(0, 0), (1, 0)], [(0, 1), (1, 1)]]
+    use_native = native.available()
 
     # security padding for corrupt streams (reads past the end yield zeros)
-    types = np.concatenate([types, np.zeros(3 * 3 * n, np.uint8)])
+    types = np.concatenate([types, np.zeros(3 * 3 * g + 9, np.uint8)])
+    if not use_native:
+        pix = np.concatenate([pix, np.zeros(3 * g * 64, np.uint8)])
 
-    use_native = native.available()
-    if use_native:
-        gid32 = np.ascontiguousarray(gid, np.int32)
-        qx32 = np.ascontiguousarray(qx0, np.int32)
-        qy32 = np.ascontiguousarray(qy0, np.int32)
-        pcur = 0
-    else:
-        cases = _group_cases(claims, qx0, qy0, pairs)
-        cons_tile = _CASE_BYTES[cases].sum(axis=1)
-        ex = np.concatenate([[0], np.cumsum(cons_tile[:-1])])
-        plane_total = int(cons_tile.sum())
-        pix = np.concatenate([pix, np.zeros(3 * plane_total, np.uint8)])
-
+    tcur = 0   # type-triplet cursor (bytes)
+    pcur = 0   # pixel-stream cursor
     for p in range(3):
-        trip = types[3 * p * n + np.arange(3 * n)].reshape(n, 3)
+        cl = claims[p] if per_plane else claims
+        qgrid = cl[:nty * 2, :ntx * 2].reshape(nty, 2, ntx, 2).transpose(
+            0, 2, 1, 3)
+        active = ~qgrid.all(axis=(2, 3))
+        ty, tx = np.nonzero(active)
+        n = ty.size
+        if n == 0:
+            continue
+        gid = ty * ntx + tx
+        qx0, qy0 = tx * 2, ty * 2
+
+        trip = types[tcur + np.arange(3 * n)].reshape(n, 3)
+        tcur += 3 * n
         color0, base, delta = (trip[:, 0].astype(np.int64),
                                trip[:, 1].astype(np.int64),
                                trip[:, 2].astype(np.int64))
@@ -451,9 +501,116 @@ def _plan_1d(body, hdr, w, h, claims):
             # pass id 2 = the (3,3) group table: the 1D pass walks the same
             # two 4x8 quad pairs of each 8x8 tile (claims not updated)
             pcur += native.plan_pass_scatter(
-                gid32, qx32, qy32, 2, claims.view(np.uint8), pix, pcur,
+                np.ascontiguousarray(gid, np.int32),
+                np.ascontiguousarray(qx0, np.int32),
+                np.ascontiguousarray(qy0, np.int32),
+                2, np.ascontiguousarray(cl).view(np.uint8), pix, pcur,
                 indices[p], wmask[p], 64, premult=0, update_claims=0)
         else:
-            _scatter_streams(cases, pairs, 8, p * plane_total + ex, gid,
+            cases = _group_cases(cl, qx0, qy0, pairs)
+            cons_tile = _CASE_BYTES[cases].sum(axis=1)
+            ex = np.concatenate([[0], np.cumsum(cons_tile[:-1])])
+            _scatter_streams(cases, pairs, 8, pcur + ex, gid,
                              pix, indices[p], wmask[p], premultiplied=False)
+            pcur += int(cons_tile.sum())
     return Plan1D(params=params, indices=indices, wmask=wmask)
+
+
+def _plan_2d(body, hdr, w, h, claims3, luts2d_expanded):
+    """One 2DTL chunk -> [Tile2DPassPlan (3,3), Tile2DPassPlan (2,2)].
+    Mirrors decoder/reference._tile2d_chunk: 4-byte colors, x2-premultiplied
+    indices, claims read as the pair union and written to both pair planes."""
+    from yaik_tpu.decoder.reference import _PAIR2D
+    if hdr.component not in _PAIR2D:
+        raise ValueError("invalid 2DTL component")
+    pa, pb = _PAIR2D[hdr.component]
+    mode = {3: 0, 6: 1, 5: 2}[hdr.component]
+    off = 0
+
+    def take(csize, usize):
+        nonlocal off
+        d = (zstd.decompress_arr(body[off:off + csize], usize) if csize
+             else np.empty(0, np.uint8))
+        off += csize
+        return d
+
+    s = {3: take(hdr.compr_3bit_size, hdr.stream_3bit_cnt),
+         4: take(hdr.compr_4bit_size, hdr.stream_4bit_cnt),
+         5: take(hdr.compr_5bit_size, hdr.stream_5bit_cnt),
+         6: take(hdr.compr_6bit_size, hdr.stream_6bit_cnt)}
+    types_b = take(hdr.compr_type_size, hdr.stream_type_cnt * 2)
+    colors_b = take(hdr.compr_color_size, hdr.stream_color_cnt)
+    m8_8 = take(hdr.size_t8_8_map_cmp, hdr.size_t8_8_map)
+    m4_4 = take(hdr.size_t4_4_map_cmp, hdr.size_t4_4_map)
+    maps = {(3, 3): m8_8, (2, 2): m4_4}
+
+    colors = palette.full_range_remap(
+        colors_b, hdr.compression_rate_color).astype(np.int32).reshape(-1, 4)
+    types = types_b.view("<u2")
+    max_tiles = (w >> 3) * (h >> 3) + (w >> 2) * (h >> 2)
+    types = np.concatenate([types, np.zeros(max_tiles, "<u2")])
+    colors = np.concatenate([colors, np.zeros((max_tiles, 4), np.int32)])
+    streams = {bit: np.concatenate([s[bit], np.zeros(w * h, np.uint8)])
+               for bit in (3, 4, 5, 6)}
+
+    n2_tables = luts2d_expanded[3].shape[0]
+    union = claims3[pa] | claims3[pb]
+
+    passes = []
+    tcur = 0
+    bitcur = {3: 0, 4: 0, 5: 0, 6: 0}
+    for (sx, sy) in ((3, 3), (2, 2)):
+        tw, th = 1 << sx, 1 << sy
+        ntx, nty = w // tw, h // th
+        g = nty * ntx
+        accept = np.zeros((nty, ntx), bool)
+        type_arr = np.zeros(g, np.int32)
+        cols = np.zeros((g, 4), np.int32)
+        idx_arr = np.zeros((g, th * tw), np.uint8)
+        wm = np.zeros((g, th * tw), bool)
+        if len(maps[(sx, sy)]):
+            bits = swizzle.unpack_bitmap(
+                maps[(sx, sy)][:swizzle.bitmap_size_bytes(sx, sy, w, h)],
+                sx, sy, w, h)
+            tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)
+            pairs = _PAIR_ORDER[(sx, sy)]
+            acc = np.flatnonzero(bits & valid)
+            n = acc.size
+            if n:
+                tx, ty = tx_all[acc], ty_all[acc]
+                gid = ty * ntx + tx
+                qx0, qy0 = tx * (tw // 4), ty * (th // 4)
+
+                tid = tcur + np.arange(n)
+                ttypes = types[tid].astype(np.int32)
+                bit_arr = ((ttypes >> 14) & 3) + 3
+                accept[ty, tx] = True
+                type_arr[gid] = ttypes
+                cols[gid] = colors[tid]
+
+                cases = _group_cases(union, qx0, qy0, pairs)
+                cons_tile = _CASE_BYTES[cases].sum(axis=1)
+                base_off = np.zeros(n, np.int64)
+                for bit in (3, 4, 5, 6):
+                    selb = bit_arr == bit
+                    if selb.any():
+                        c = cons_tile[selb]
+                        ex = np.concatenate([[0], np.cumsum(c[:-1])])
+                        base_off[selb] = bitcur[bit] + ex
+                        bitcur[bit] += int(c.sum())
+                for bit in (3, 4, 5, 6):
+                    selb = bit_arr == bit
+                    if selb.any():
+                        _scatter_streams(
+                            cases[selb], pairs, tw, base_off[selb],
+                            gid[selb], streams[bit] // 2, idx_arr, wm,
+                            premultiplied=False)
+                _claim_tiles(claims3[pa], qx0, qy0, tw, th)
+                _claim_tiles(claims3[pb], qx0, qy0, tw, th)
+                _claim_tiles(union, qx0, qy0, tw, th)
+                tcur += n
+        passes.append(Tile2DPassPlan(mode=mode, shift=(sx, sy), accept=accept,
+                                     types=type_arr, colors=cols,
+                                     packed=(np.minimum(idx_arr, 63)
+                                             | (wm.astype(np.uint8) << 6))))
+    return passes

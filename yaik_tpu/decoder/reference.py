@@ -291,6 +291,65 @@ def _tile3d_chunk(st: DecodeState, hdr: HeaderTile3D, body: bytes,
                               colors, types, idx_streams, luts)
 
 
+def decode_smap_seeds(hdr, body: bytes, w: int, h: int):
+    """Reconstruct the SMAP seed list: replay the encoder's 1/16-res
+    enumeration (encoder/smooth_map.py) over the 1-bit half-res map,
+    including the clamped reads and the in-buffer 128-marker evolution.
+    Returns [n, 5] i32 (x, y, Y, Co, Cg)."""
+    qh, qw = h // 2, w // 2
+    n_bits = hdr.w * hdr.h
+    raw = zstd.decompress_arr(body[:hdr.stream_size], (n_bits + 7) >> 3) \
+        if hdr.stream_size else np.zeros(0, np.uint8)
+    rgb = zstd.decompress_arr(
+        body[hdr.stream_size:hdr.stream_size + hdr.rgb_stream_size],
+        hdr.expected_rgb_stream_size) if hdr.rgb_stream_size else \
+        np.zeros(0, np.uint8)
+
+    q = np.zeros(qh * qw, np.int32)
+    if n_bits:
+        bits = np.unpackbits(raw, bitorder="little")[:n_bits]
+        ys, xs = np.mgrid[hdr.y:hdr.y + hdr.h, hdr.x:hdr.x + hdr.w]
+        idx = (xs + ys * qw).reshape(-1)
+        ok = idx < q.size
+        q[idx[ok]] = bits[ok] * 255
+
+    q2 = q.reshape(qh, qw)
+    seeds = []
+    cur = 0
+    for y in range(0, h, 4):
+        for x in range(0, w, 4):
+            cx, cy = min(x, qw - 1), min(y, qh - 1)
+            if q2[cy, cx]:
+                if x + y * qw < qw * qh:
+                    q[x + y * qw] = 128
+                if cur + 3 <= rgb.size:
+                    seeds.append((x, y, int(rgb[cur]), int(rgb[cur + 1]),
+                                  int(rgb[cur + 2])))
+                cur += 3
+    return np.asarray(seeds, np.int32).reshape(-1, 5)
+
+
+def _smap_chunk(st: DecodeState, body: bytes):
+    """Apply a SMAP chunk (tag deprecated by the reference decoder,
+    YAIK_API.cpp:569): paint the YCoCg seed points, converted to RGB, at
+    their full-res positions. No claims (the pass never touched
+    mapSmoothTile)."""
+    from yaik_tpu.format.headers import HeaderSmoothMap
+    from yaik_tpu.ops import plane as ops
+    hdr = HeaderSmoothMap.unpack(body)
+    seeds = decode_smap_seeds(hdr, body[HeaderSmoothMap.size():],
+                              st.width, st.height)
+    if not len(seeds):
+        return
+    # Co/Cg are signed halves stored as wrapped bytes (&0xFF at encode)
+    co = ((seeds[:, 3].astype(np.int64) + 128) % 256) - 128
+    cg = ((seeds[:, 4].astype(np.int64) + 128) % 256) - 128
+    r, g, b = ops.ycocg_to_rgb(seeds[:, 2].astype(np.int64), co, cg)
+    st.planes[0][seeds[:, 1], seeds[:, 0]] = r & 0xFF
+    st.planes[1][seeds[:, 1], seeds[:, 0]] = g & 0xFF
+    st.planes[2][seeds[:, 1], seeds[:, 0]] = b & 0xFF
+
+
 # 2DTL component bitmask -> (plane A, plane B)
 _PAIR2D = {3: (0, 1), 6: (1, 2), 5: (0, 2)}
 
@@ -328,8 +387,9 @@ def _tile2d_size_pass(st: DecodeState, pa: int, pb: int, sx: int, sy: int,
         combined = tile_type & 0x3FFF
         fmt = (tile_type >> 14) & 3
         bit = fmt + 3
-        lut = luts[bit]                  # [tables*8, 2**bit * 2] flat i32
-        combined = min(combined, lut.shape[0] - 1)
+        flat, row_size, n_rows = luts[bit]   # flat i32 bit section + guard
+        combined = min(combined, n_rows - 1)
+        base = combined * row_size
         mn = ab[0:2]
         diff = ab[2:4] - ab[0:2]
 
@@ -340,10 +400,15 @@ def _tile2d_size_pass(st: DecodeState, pa: int, pb: int, sx: int, sy: int,
         def emit(px, py, qw):
             nonlocal cur
             npx = 16 * qw                # 16 or 32 pixels
-            idxs = np.minimum(stream[cur:cur + npx].astype(np.int64),
-                              lut.shape[1] - 2)
+            # stream bytes are x2-premultiplied byte offsets into the flat
+            # section; 3-bit tiles legitimately overrun their 16-byte block
+            # into the NEXT pattern's entries (the encoder's 4-bit-map
+            # idx3Bit bug, EncoderContext.cpp:5642 - the reference decoder
+            # reads straight through, YAIK_3DTile.cpp:2255)
+            idxs = np.minimum(base + stream[cur:cur + npx].astype(np.int64),
+                              flat.size - 2)
             cur += npx
-            vals = lut[combined, idxs[:, None] + np.arange(2)]
+            vals = flat[idxs[:, None] + np.arange(2)]
             out = ((mn[None, :] + ((diff[None, :] * vals) >> 7))
                    & 0xFF).astype(np.uint8)
             out = out.reshape(4, qw * 4, 2)
@@ -405,8 +470,13 @@ def _tile2d_chunk(st: DecodeState, hdr: HeaderTile3D, body: bytes,
                    4: np.frombuffer(s4, np.uint8),
                    5: np.frombuffer(s5, np.uint8),
                    6: np.frombuffer(s6, np.uint8)}
-    luts = {bit: arr.reshape(arr.shape[0], -1)
-            for bit, arr in luts2d_expanded.items()}
+    # flat per-bit sections + guard so 3-bit block overruns read the next
+    # pattern's entries like the reference (see _tile2d_size_pass.emit)
+    luts = {}
+    for bit, arr in luts2d_expanded.items():
+        flat = np.concatenate([arr.reshape(-1).astype(np.int64),
+                               np.zeros(256, np.int64)])
+        luts[bit] = (flat, arr.shape[1] * 2, arr.shape[0])
 
     cursors = {"color": 0, "type": 0, 3: 0, 4: 0, 5: 0, 6: 0}
     total_px = st.planes.shape[1] * st.planes.shape[2]
@@ -609,6 +679,8 @@ def decode(stream: bytes, lut_data: bytes | dict,
                                                 mip_mask, mip_bbox)
             elif tag == b"UCOL":
                 _ucol_chunk(st, body)
+            elif tag == b"SMAP":
+                _smap_chunk(st, body)
             else:
                 raise ValueError(f"unknown chunk tag {tag!r}")
         except _struct.error as e:

@@ -44,6 +44,9 @@ class EncoderConfig:
     # Correlation2DSearch (2DTL chunks, RG/GB/RB): inside `#if 0` in the
     # reference's Convert (:9300-9382); needs a Bank2D (encoder/bank2d.py)
     enable_2d: bool = False
+    # SmoothMap (SMAP): dead code upstream (no call site; the pass as
+    # written aborts on heap corruption - see encoder/smooth_map.py)
+    enable_smooth_map: bool = False
 
 
 def _compress_stream(data: bytes) -> bytes:
@@ -105,9 +108,18 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
 
     if cfg.enable_single_color:
         from yaik_tpu.encoder import single_color
-        ucol, _ = single_color.single_color_out(
+        ucol, mip_after = single_color.single_color_out(
             planes, mip_mask, mip_bound, favor_accuracy=cfg.favor_accuracy)
         out += ucol
+        if mip_mask is not None:
+            mip_mask = mip_after
+
+    if cfg.enable_smooth_map:
+        from yaik_tpu.encoder import smooth_map
+        smap, mip_after, _seeds = smooth_map.smooth_map(planes, mip_mask)
+        out += smap
+        if mip_mask is not None:
+            mip_mask = mip_after
 
     # ---- scoring (host or device) ----
     dev_grad_accepts = planes_dev = claims_dev = None

@@ -222,6 +222,23 @@ class UniqueColorHeader(_Struct):
 
 
 @dataclass
+class HeaderSmoothMap(_Struct):
+    """SMAP chunk header (YAIK_private.h:158-169, marked DEPRECATED there;
+    written by the dead SmoothMap pass). bbox(8) + 3*u32 + u8 + u8 + 2 pad
+    = 24. bbox is in half-res smooth-map space, 8px aligned."""
+    _fmt = "hhhhIIIBB2x"
+    x: int
+    y: int
+    w: int
+    h: int
+    stream_size: int              # zstd size of the 1-bit map
+    rgb_stream_size: int          # zstd size of the YCoCg seed stream
+    expected_rgb_stream_size: int
+    version: int
+    grid: int                     # bits 0:3 X offset, 4:7 Y offset
+
+
+@dataclass
 class Header1D(_Struct):
     # 4 u32 + 3 u8 + 1 pad = 20
     _fmt = "IIIIBBB1x"

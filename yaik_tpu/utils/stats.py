@@ -21,6 +21,10 @@ class EncoderStats:
     tile3d_pixels: dict = field(default_factory=dict)
     # pixels per 3D bit depth 3..6
     tile3d_bit_pixels: dict = field(default_factory=dict)
+    # pixels written per 2D plane-pair pass, keyed "RG 8x8".."RB 4x4"
+    tile2d_pixels: dict = field(default_factory=dict)
+    # UCOL palette map pixels
+    ucol_pixels: int = 0
     # 3D LUT usage histogram (lut index -> tiles)
     lut_histogram: dict = field(default_factory=dict)
     tile3d_count: int = 0
@@ -65,6 +69,11 @@ class EncoderStats:
             claimed += px
         for bit, px in sorted(self.tile3d_bit_pixels.items()):
             lines.append(f"  3d-lut   {bit}-bit  : {px:8d} px")
+        for key, px in sorted(self.tile2d_pixels.items()):
+            lines.append(f"  2d-lut   {key:7s}: {px:8d} px")
+            claimed += px // 2     # two of three planes written per pixel
+        if self.ucol_pixels:
+            lines.append(f"  ucol palette    : {self.ucol_pixels:8d} px")
         lines.append(f"  1d residual     : {self.pixels_1d:8d} px")
         claimed += self.pixels_1d
         lines.append(f"  claimed total   : {claimed:8d} / {self.total_pixels}")
@@ -81,6 +90,8 @@ class EncoderStats:
             "tile3d_bit_pixels": {str(k): v for k, v
                                   in self.tile3d_bit_pixels.items()},
             "lut_histogram": {str(k): v for k, v in self.lut_histogram.items()},
+            "tile2d_pixels": self.tile2d_pixels,
+            "ucol_pixels": self.ucol_pixels,
             "tile3d_count": self.tile3d_count,
             "pixels_1d": self.pixels_1d,
             "chunk_bytes": self.chunk_bytes,
@@ -106,6 +117,8 @@ def analyze(stream: bytes, lut_data: bytes | None = None) -> EncoderStats:
         # stats need shapes only; dummy full-size tables
         expanded = {bit: np.zeros((256 * 64, 1 << bit, 3), np.int32)
                     for bit in (3, 4, 5, 6)}
+    expanded2d = {bit: np.zeros((256 * 8, 1 << bit, 2), np.int32)
+                  for bit in (3, 4, 5, 6)}
     fh = FileHeader.unpack(stream)
     st = EncoderStats(width=fh.width, height=fh.height)
     st.total_bytes = len(stream)
@@ -113,7 +126,7 @@ def analyze(stream: bytes, lut_data: bytes | None = None) -> EncoderStats:
     for tag, off, body in iter_chunks(stream):
         st.add_chunk(tag.decode(), len(body) + HeaderBase.size())
 
-    plan = plannermod.build_plan(stream, expanded)
+    plan = plannermod.build_plan(stream, expanded, expanded2d)
     for g in plan.gradient:
         sx, sy = g.shift
         st.add_gradient(sx, sy, int(g.accept.sum()))
@@ -124,6 +137,16 @@ def analyze(stream: bytes, lut_data: bytes | None = None) -> EncoderStats:
             t = int(p.types[gid])
             st.add_tile3d(sx, sy, int(p.wmask[gid].sum()),
                           ((t >> 14) & 3) + 3, (t >> 6) & 0xFF)
+    if plan.tile2d:
+        names = {0: "RG", 1: "GB", 2: "RB"}
+        for p in plan.tile2d:
+            sx, sy = p.shift
+            key = f"{names[p.mode]} {1 << sx}x{1 << sy}"
+            px = int((p.packed >> 6).astype(bool).sum())
+            if px:
+                st.tile2d_pixels[key] = st.tile2d_pixels.get(key, 0) + px
+    if plan.ucol is not None:
+        st.ucol_pixels = int((plan.ucol.map_img != 0).sum())
     st.pixels_1d = int(plan.d1.wmask[0].sum())
     return st
 
