@@ -83,3 +83,31 @@ def test_cli_encode_log_and_profile(tmp_path):
     assert log.exists() and "bpp" in log.read_text()
     assert "encode:3d-scoring" in r.stdout
     assert json.loads(gs.read_text())["images"] == 1
+
+
+def test_dynamic_tile_analyze():
+    """DynamicTileAnalyze research analyzer (EncoderContext.cpp:8578-8897):
+    format classing, mask dedup, 1-based popcount ranks."""
+    import numpy as np
+    from yaik_tpu.encoder.analysis import (dynamic_tile_analyze, _bit_index,
+                                           _find_mask)
+    # 1-based rank semantics: value 0 in mask 0b1 -> rank 1
+    assert _bit_index(0b1, 0) == 1
+    assert _bit_index(0b1010, 3) == 2
+    tables = {}
+    assert _find_mask(tables, 3, 0b101) == 0
+    assert _find_mask(tables, 3, 0b001) == 0      # superset match hits
+    assert _find_mask(tables, 3, 0b110) == 1      # new entry
+
+    rng = np.random.default_rng(7)
+    plane = rng.integers(0, 256, (32, 32)).astype(np.int32)
+    plane[:16] = 40                               # flat half: 2-bit natural
+    rep = dynamic_tile_analyze(plane)
+    assert rep.total_pixels == 32 * 32
+    assert 0 in rep.tiles_by_format                # flat tiles -> format 0
+    assert rep.summary()
+    # claims suppress quads
+    claims = np.zeros((32, 32), bool)
+    claims[:, :16] = True
+    rep2 = dynamic_tile_analyze(plane, claims)
+    assert rep2.total_pixels == 32 * 16

@@ -99,6 +99,17 @@ def main():
     shutil.rmtree(bank2dst, ignore_errors=True)
     shutil.copytree(os.path.join(work, "Bank2D"), bank2dst)
 
+    # PLNT goldens: the disabled DynamicTileEncode path via its driver
+    for name in ["img64.png", "corr2d128.png"]:
+        base = name[:-4]
+        out = subprocess.run(
+            [os.path.join(REFBUILD, "ref_encoder_plnt"), name,
+             base + ".plnt.yaik"],
+            cwd=work, capture_output=True, text=True)
+        if out.returncode != 0:
+            raise RuntimeError(f"ref_encoder_plnt failed on {name}")
+        shutil.copy(os.path.join(work, base + ".plnt.yaik"), FIX)
+
     shutil.copy(os.path.join(work, "LutFile.lut"), os.path.join(FIX, "LutFile.lut"))
     bankdst = os.path.join(FIX, "Bank3D")
     shutil.rmtree(bankdst, ignore_errors=True)

@@ -166,18 +166,20 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
                 t3_accepts, t3_rows, t3_colors, t3_packed,
                 d1_params, d1_indices, d1_wmask,
                 ucol=None, t2=None):
-    """ucol: None or (map_img [h8,w8] u8, palette_ext [256,3] u8) - applied
-    first, in stream order. t2: None or (lut2_tab [C,64,2],
-    6x (accept, rows, colors, packed)) in _T2_ORDER."""
+    """ucol: None or the pre-pass overlay (vals [h8,w8,3] u8, mask
+    packbits [h8,w8/8] u8) carrying UCOL + SMAP pixels - applied first, in
+    stream order. t2: None or (lut2_tab [C,64,2], 6x (accept, rows, colors,
+    packed)) in _T2_ORDER."""
     # image dims (multiples of 8) from the 4x4 3D pass grid
     nty4, ntx4 = t3_accepts[-1].shape
     h8, w8 = nty4 * 4, ntx4 * 4
 
     plane = jnp.full((h8, w8, 3), 0x80, jnp.int32)
     if ucol is not None:
-        map_img, pal_ext = ucol
-        vals = pal_ext.astype(jnp.int32)[map_img.astype(jnp.int32)]
-        plane = jnp.where((map_img > 0)[:, :, None], vals, plane)
+        ov_vals, ov_bits = ucol        # overlay (UCOL + SMAP, stream order)
+        m = ((ov_bits[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+             ).reshape(h8, w8) != 0
+        plane = jnp.where(m[:, :, None], ov_vals.astype(jnp.int32), plane)
     for k, (sx, sy) in enumerate(shifts):
         plane = _blend_pass(plane, grad_accepts[k], grad_corners[k], sx, sy)
     for k, (sx, sy) in enumerate(T3_SHIFTS):
@@ -313,10 +315,10 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
                         bitorder="little")                     # [3, g, 8]
 
     ucol_arg = None
-    if plan.ucol is not None:
-        pal_ext = np.zeros((256, 3), np.uint8)
-        pal_ext[1:1 + plan.ucol.palette.shape[0]] = plan.ucol.palette
-        ucol_arg = (plan.ucol.map_img, pal_ext)
+    if plan.overlay is not None:
+        wbits_ov = np.packbits(plan.overlay.mask.astype(np.uint8),
+                               axis=-1, bitorder="little")
+        ucol_arg = (plan.overlay.vals, wbits_ov)
 
     t2_arg = None
     if plan.tile2d:

@@ -67,9 +67,12 @@ class Tile2DPassPlan:
 
 
 @dataclass
-class PlanUCol:
-    map_img: np.ndarray   # [h8, w8] u8 palette index in image space (0=none)
-    palette: np.ndarray   # [n, 3] u8
+class PlanOverlay:
+    """Pre-pass pixel overlay in stream order: UCOL palette pixels and SMAP
+    seed points (both precede the gradient/3D/1D chunks and make no
+    claims)."""
+    vals: np.ndarray      # [h8, w8, 3] u8
+    mask: np.ndarray      # [h8, w8] bool
 
 
 @dataclass
@@ -88,7 +91,7 @@ class DecodePlan:
     d1: Plan1D
     has_alpha: bool = False
     alpha: np.ndarray | None = None   # [H, W] u8, host-decoded (byte-level)
-    ucol: PlanUCol | None = None
+    overlay: PlanOverlay | None = None
     tile2d: list | None = None        # list[Tile2DPassPlan] (6 when present)
 
 
@@ -205,7 +208,15 @@ def build_plan(stream: bytes, luts_expanded: dict,
     grads: list[GradientPassPlan] = []
     t3passes: list[Tile3DPassPlan] = []
     t2passes: list[Tile2DPassPlan] = []
-    ucol = None
+    overlay = None
+
+    def get_overlay():
+        nonlocal overlay
+        if overlay is None:
+            h8, w8 = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
+            overlay = PlanOverlay(vals=np.zeros((h8, w8, 3), np.uint8),
+                                  mask=np.zeros((h8, w8), bool))
+        return overlay
     d1 = Plan1D(params=np.zeros((3, 1, 3), np.int32),
                 indices=np.zeros((3, 1, 64), np.uint8),
                 wmask=np.zeros((3, 1, 64), bool))
@@ -293,8 +304,6 @@ def build_plan(stream: bytes, luts_expanded: dict,
             from yaik_tpu.format.headers import UniqueColorHeader
             uhdr = UniqueColorHeader.unpack(body)
             pal, mp = decode_ucol_map(uhdr, body[UniqueColorHeader.size():])
-            h8, w8 = ((h + 7) // 8) * 8, ((w + 7) // 8) * 8
-            map_img = np.zeros((h8, w8), np.uint8)
             n = np.flatnonzero(mp)
             if n.size:
                 if uhdr.version == 2:
@@ -304,8 +313,39 @@ def build_plan(stream: bytes, luts_expanded: dict,
                     ys = ((tile // wu) << 3) | ((n >> 3) & 7)
                 else:
                     xs, ys = n % uhdr.w, n // uhdr.w
-                map_img[uhdr.y + ys, uhdr.x + xs] = mp[n]
-            ucol = PlanUCol(map_img=map_img, palette=pal)
+                ov = get_overlay()
+                ov.vals[uhdr.y + ys, uhdr.x + xs] = pal[mp[n] - 1]
+                ov.mask[uhdr.y + ys, uhdr.x + xs] = True
+        elif tag == b"SMAP":
+            from yaik_tpu.decoder.reference import decode_smap_seeds
+            from yaik_tpu.format.headers import HeaderSmoothMap
+            from yaik_tpu.ops import plane as ops
+            shdr = HeaderSmoothMap.unpack(body)
+            seeds = decode_smap_seeds(shdr, body[HeaderSmoothMap.size():],
+                                      w, h)
+            if len(seeds):
+                co = ((seeds[:, 3].astype(np.int64) + 128) % 256) - 128
+                cg = ((seeds[:, 4].astype(np.int64) + 128) % 256) - 128
+                r, g, b = ops.ycocg_to_rgb(seeds[:, 2].astype(np.int64),
+                                           co, cg)
+                ov = get_overlay()
+                ov.vals[seeds[:, 1], seeds[:, 0]] = np.stack(
+                    [r & 0xFF, g & 0xFF, b & 0xFF], axis=1).astype(np.uint8)
+                ov.mask[seeds[:, 1], seeds[:, 0]] = True
+        elif tag == b"PLNT":
+            # deprecated research chunk, structure-validated and skipped
+            # (see decoder/reference.py PLNT handling)
+            from yaik_tpu.format.headers import PlaneTile
+            ph = PlaneTile.unpack(body)
+            pb = body[PlaneTile.size():]
+            usize = zstd.frame_content_size(pb[:ph.stream_size_tile_map])
+            if usize is None or usize > (ph.w // 8) * (ph.h // 8) * 2:
+                raise ValueError("PLNT tile map size out of bounds")
+            zstd.decompress(pb[:ph.stream_size_tile_map], usize)
+            zstd.decompress(
+                pb[ph.stream_size_tile_map:
+                   ph.stream_size_tile_map + ph.stream_size_tile_stream],
+                ph.expected_size_tile_stream)
         elif tag == b"1DTL":
             hdr = Header1D.unpack(body)
             d1 = _plan_1d(body[Header1D.size():], hdr, w, h,
@@ -324,7 +364,7 @@ def build_plan(stream: bytes, luts_expanded: dict,
         alpha_channel = np.full((h, w), 255, np.uint8)
     return DecodePlan(width=w, height=h, gradient=grads, tile3d=t3passes,
                       d1=d1, has_alpha=fh.has_alpha, alpha=alpha_channel,
-                      ucol=ucol, tile2d=t2passes or None)
+                      overlay=overlay, tile2d=t2passes or None)
 
 
 def _plan_3d(body, hdr, w, h, claims, luts_expanded):

@@ -350,6 +350,66 @@ def _smap_chunk(st: DecodeState, body: bytes):
     st.planes[2][seeds[:, 1], seeds[:, 0]] = b & 0xFF
 
 
+def decode_plnt_plane(hdr, body: bytes, valid: np.ndarray | None = None):
+    """Reconstruct one PLNT plane (the disabled DynamicTileEncode chunk,
+    encoder/plnt.py). Returns (plane i32 [h, w] with -999 at never-written
+    pixels, n_tiles).
+
+    The stream does NOT record per-tile signedness: Co/Cg tiles whose
+    minimum was negative were shifted +128 at encode and nothing marks
+    them (the reference never wrote a PLNT decoder; its encoder preview
+    guesses at EncoderContext.cpp:4444). Values returned are the raw
+    0..255 LUT outputs; callers owning the sign convention shift them."""
+    from yaik_tpu.encoder.plnt import curves_from, min_range_decode, \
+        diff_range_decode
+    h, w = hdr.h, hdr.w   # bbox in plane space; planes start at (x, y)
+    # the tile count is not in the header; the zstd frame records it
+    usize = zstd.frame_content_size(body[:hdr.stream_size_tile_map])
+    if usize is None or usize > (hdr.w // 8) * (hdr.h // 8) * 2:
+        raise ValueError("PLNT tile map size missing or out of bounds")
+    types = np.frombuffer(
+        zstd.decompress(body[:hdr.stream_size_tile_map], usize), "<u2")
+    codes_packed = zstd.decompress(
+        body[hdr.stream_size_tile_map:
+             hdr.stream_size_tile_map + hdr.stream_size_tile_stream],
+        hdr.expected_size_tile_stream)
+    nib = np.frombuffer(codes_packed, np.uint8)
+    codes = np.empty(nib.size * 2, np.uint8)
+    codes[0::2] = nib & 0xF
+    codes[1::2] = nib >> 4
+
+    if valid is None:
+        valid = np.ones((hdr.y + h, hdr.x + w), bool)
+    plane = np.full((hdr.y + h, hdr.x + w), -999, np.int32)
+    ti = 0
+    ci = 0
+    for ty in range(hdr.y, hdr.y + h, 8):
+        for tx in range(hdr.x, hdr.x + w, 8):
+            sel = valid[ty:ty + 8, tx:tx + 8]
+            n_valid = int(sel.sum())
+            if n_valid == 0:
+                continue
+            if ti >= len(types):
+                raise ValueError("PLNT tile map shorter than claimed tiles")
+            t = int(types[ti])
+            ti += 1
+            mode = t >> 13
+            rng = (t >> 7) & 0x3F
+            base = t & 0x7F
+            # rebuild the mode LUT straight from the decoded (BN, dist)
+            bn = min_range_decode(base)
+            dist = diff_range_decode(rng, bn)
+            luts = curves_from(bn, dist)
+            lut = np.asarray(luts[mode], np.int64)
+            tile_codes = codes[ci:ci + n_valid]
+            ci += n_valid
+            vals = lut[np.minimum(tile_codes, len(lut) - 1)]
+            block = np.full((sel.shape[0], sel.shape[1]), -999, np.int64)
+            block[sel] = vals
+            plane[ty:ty + 8, tx:tx + 8] = block
+    return plane, ti
+
+
 # 2DTL component bitmask -> (plane A, plane B)
 _PAIR2D = {3: (0, 1), 6: (1, 2), 5: (0, 2)}
 
@@ -681,6 +741,24 @@ def decode(stream: bytes, lut_data: bytes | dict,
                 _ucol_chunk(st, body)
             elif tag == b"SMAP":
                 _smap_chunk(st, body)
+            elif tag == b"PLNT":
+                # structure-validated but not applied: the chunk carries
+                # YCoCg planes for a pipeline the reference never finished
+                # (tag deprecated at YAIK_API.cpp:567, no decoder exists,
+                # and per-tile signedness is unrecorded). Standalone
+                # reconstruction: decode_plnt_plane.
+                from yaik_tpu.format.headers import PlaneTile
+                ph = PlaneTile.unpack(body)
+                pb = body[PlaneTile.size():]
+                usize = zstd.frame_content_size(
+                    pb[:ph.stream_size_tile_map])
+                if usize is None or usize > (ph.w // 8) * (ph.h // 8) * 2:
+                    raise ValueError("PLNT tile map size out of bounds")
+                zstd.decompress(pb[:ph.stream_size_tile_map], usize)
+                zstd.decompress(
+                    pb[ph.stream_size_tile_map:
+                       ph.stream_size_tile_map + ph.stream_size_tile_stream],
+                    ph.expected_size_tile_stream)
             else:
                 raise ValueError(f"unknown chunk tag {tag!r}")
         except _struct.error as e:

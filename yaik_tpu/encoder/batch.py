@@ -27,7 +27,11 @@ from yaik_tpu.format import swizzle
 
 @lru_cache(maxsize=None)
 def _grad_batch_fn(reject_factor):
-    def core(p, c):
+    # planes travel the tunnel as u8 (4x less than int32) and claims are
+    # materialized on device - the cast/zeros are free next to the transfer
+    def core(p8):
+        p = p8.astype(jnp.int32)
+        c = jnp.zeros(p8.shape, bool)
         accepts, claims = jax_scoring.gradient_all_device.__wrapped__(
             p, c, reject_factor)
         packed = jnp.concatenate([a.reshape(-1).astype(jnp.uint8)
@@ -37,10 +41,11 @@ def _grad_batch_fn(reject_factor):
 
 
 @jax.jit
-def _tile3d_all_batch(planes_b, claims_b, qpts, pts, factors):
+def _tile3d_all_batch(planes8_b, claims_b, qpts, pts, factors):
     return jax.vmap(
-        lambda p, c: devp._tile3d_all.__wrapped__(
-            p, c, qpts, pts, factors))(planes_b, claims_b)
+        lambda p8, c: devp._tile3d_all.__wrapped__(
+            p8.astype(jnp.int32), c, qpts, pts, factors))(
+        planes8_b, claims_b)
 
 
 class _Precomputed:
@@ -65,11 +70,10 @@ def encode_batch(images, bank: bankmod.Bank,
         raise ValueError("image dimensions must be multiples of 8")
     B = len(imgs)
 
-    planes_b = jax.device_put(np.stack(
-        [im[:, :, :3].transpose(2, 0, 1) for im in imgs]).astype(np.int32))
-    claims_b = jax.device_put(np.zeros((B, 3, h, w), bool))
+    planes_b = jax.device_put(np.ascontiguousarray(np.stack(
+        [im[:, :, :3].transpose(2, 0, 1) for im in imgs])))
 
-    packed, claims_b = _grad_batch_fn(cfg.reject_factor)(planes_b, claims_b)
+    packed, claims_b = _grad_batch_fn(cfg.reject_factor)(planes_b)
     packed = np.asarray(packed)
     grad_accepts, off = [], 0
     for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
@@ -111,12 +115,9 @@ def _dispatch_batch(imgs, claims_shape, cfg, tables):
     """Upload one padded batch and enqueue gradient + 3D scoring; start the
     device->host copies without blocking (the axon runtime otherwise wedges
     when an older buffer is fetched after newer enqueues)."""
-    B = len(imgs)
-    h, w = imgs[0].shape[:2]
-    planes_b = jax.device_put(np.stack(
-        [im[:, :, :3].transpose(2, 0, 1) for im in imgs]).astype(np.int32))
-    claims_b = jax.device_put(np.zeros((B, 3, h, w), bool))
-    packed_g, claims_b = _grad_batch_fn(cfg.reject_factor)(planes_b, claims_b)
+    planes_b = jax.device_put(np.ascontiguousarray(np.stack(
+        [im[:, :, :3].transpose(2, 0, 1) for im in imgs])))
+    packed_g, claims_b = _grad_batch_fn(cfg.reject_factor)(planes_b)
     packed_g.copy_to_host_async()   # start BEFORE the next enqueue: fetching
     packed_3d, _ = _tile3d_all_batch(planes_b, claims_b, *tables)
     packed_3d.copy_to_host_async()  # an older buffer after newer work wedges

@@ -47,6 +47,9 @@ class EncoderConfig:
     # SmoothMap (SMAP): dead code upstream (no call site; the pass as
     # written aborts on heap corruption - see encoder/smooth_map.py)
     enable_smooth_map: bool = False
+    # DynamicTileEncode (PLNT, YCoCg range-coded tiles): disabled in the
+    # reference's Convert (`#if 0` :9539-9545); see encoder/plnt.py
+    enable_plnt: bool = False
 
 
 def _compress_stream(data: bytes) -> bytes:
@@ -191,7 +194,8 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
             claims[:, :nty * th, :ntx * tw] |= up[None]
     elif engine == "precomputed":
         from yaik_tpu.encoder import device_pipeline as devp
-        devp.emit_tile3d_streams(precomputed.t3_results, w, h, streams)
+        with profiler.stage("encode:3d-emit"):
+            devp.emit_tile3d_streams(precomputed.t3_results, w, h, streams)
         for res in precomputed.t3_results:
             sx, sy = res["shift"]
             tw, th = 1 << sx, 1 << sy
@@ -203,7 +207,8 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
         with profiler.stage("encode:3d-scoring"):
             for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
                 corr3d.run_pass(planes, claims, bank, sx, sy, streams)
-    out += _tile3d_chunk(streams, cfg, w, h)
+    with profiler.stage("encode:3d-chunk"):
+        out += _tile3d_chunk(streams, cfg, w, h)
 
     # ---- 2D plane-pair passes (disabled upstream, Convert :9300-9382) ----
     if cfg.enable_2d:
@@ -228,6 +233,8 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                                  corr2d.COMPONENT[plane_mode])
 
     # ---- 1D residual ----
+    _d1_stage = profiler.stage("encode:1d")
+    _d1_stage.__enter__()
     pix_stream = bytearray()
     type_stream = bytearray()
     for p in range(3):
@@ -249,6 +256,13 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
             compression_color=cfg.color_compression_1d,
             compression_range=cfg.range_compression_1d, version=0)
         out += _chunk(b"1DTL", hdr.pack() + z_type + z_pix)
+    _d1_stage.__exit__(None, None, None)
+
+    if cfg.enable_plnt:
+        # the reference's #if 0 block sits at the very end of Convert
+        # (:9539-9545), after the 1D pass
+        from yaik_tpu.encoder import plnt as plntmod
+        out += plntmod.encode_plnt(planes, mip_mask, mip_bound)
 
     out += struct.pack("<I", 0xDEADBEEF)
     return bytes(out)

@@ -127,21 +127,37 @@ def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression):
 
     corners6 = round6(_corner_grids(planes, tw, th).astype(np.int64))
 
-    rgb_stream = bytearray()
     order = np.flatnonzero(bits)
-    for i in order:
-        tx, ty = int(tx_all[i]), int(ty_all[i])
-        x, y = tx * tw, ty * th
-        # corner dedup in LT, RT, LB, RB order, per plane R,G,B
-        for (cy, cx) in ((y, x), (y, x + tw), (y + th, x), (y + th, x + tw)):
-            for p in range(3):
-                if not mapped_rgb[p, cy, cx]:
-                    mapped_rgb[p, cy, cx] = True
-                    v = int(corners6[p, cy // th, cx // tw])
-                    rgb_stream.append(compress_f(v, color_compression))
-        claims[:, y:y + th, x:x + tw] = True
-
     if len(order) == 0:
         return None, None, 0
+
+    # vectorized corner dedup: first touch in tile-scan x (LT, RT, LB, RB)
+    # order == the reference's per-tile "emit corner if unseen" cursor.
+    # plane-7 passes map/emit all three planes together, so plane 0's
+    # mapped state stands in for all (run_pass keeps the per-plane loop).
+    txs, tys = tx_all[order], ty_all[order]
+    xs, ys = txs.astype(np.int64) * tw, tys.astype(np.int64) * th
+    w1 = w + 1
+    cids = np.stack([ys * w1 + xs, ys * w1 + xs + tw,
+                     (ys + th) * w1 + xs, (ys + th) * w1 + xs + tw],
+                    axis=1).reshape(-1)
+    m0 = mapped_rgb[0].reshape(-1)
+    _, first = np.unique(cids, return_index=True)
+    isfirst = np.zeros(cids.size, bool)
+    isfirst[first] = True
+    new = isfirst & ~m0[cids]
+    new_ids = cids[new]                      # stream order preserved
+    for p in range(3):
+        mapped_rgb[p].reshape(-1)[new_ids] = True
+    cy, cx = new_ids // w1, new_ids % w1
+    vals = corners6[:, cy // th, cx // tw]   # [3, k]
+    rgb_stream = (compress_f(vals.T, color_compression)
+                  .astype(np.uint8).tobytes())
+
+    up = np.zeros((h // th, w // tw), bool)
+    up[tys, txs] = True
+    rep = np.repeat(np.repeat(up, th, 0), tw, 1)
+    claims[:, :rep.shape[0], :rep.shape[1]] |= rep[None]
+
     bitmap = swizzle.pack_bitmap(bits)
-    return bitmap, bytes(rgb_stream), len(order)
+    return bitmap, rgb_stream, len(order)

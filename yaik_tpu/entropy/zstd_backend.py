@@ -45,6 +45,13 @@ _lib.ZSTD_decompress.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
 _lib.ZSTD_isError.restype = ctypes.c_uint
 _lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
 _lib.ZSTD_versionNumber.restype = ctypes.c_uint
+try:
+    _lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+    _lib.ZSTD_getFrameContentSize.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_size_t]
+    _HAS_FCS = True
+except AttributeError:   # very old zstd
+    _HAS_FCS = False
 
 VERSION = int(_lib.ZSTD_versionNumber())
 
@@ -77,3 +84,15 @@ def decompress_arr(data: bytes, expected_size: int):
     if _lib.ZSTD_isError(n) or n != expected_size:
         raise ValueError(f"zstd decompress: got {n}, expected {expected_size}")
     return out[:expected_size]
+
+
+def frame_content_size(data: bytes) -> int | None:
+    """Decoded size recorded in the zstd frame header, or None if unknown.
+    (Single-shot ZSTD_compress always records it, so streams written by the
+    reference or by us carry it.)"""
+    if not _HAS_FCS or not data:
+        return None
+    n = int(_lib.ZSTD_getFrameContentSize(data, len(data)))
+    if n >= 2 ** 63:   # ZSTD_CONTENTSIZE_UNKNOWN / _ERROR wrap
+        return None
+    return n

@@ -239,6 +239,24 @@ class HeaderSmoothMap(_Struct):
 
 
 @dataclass
+class PlaneTile(_Struct):
+    """PLNT chunk header (YAIK_private.h:290-300). Written by the disabled
+    DynamicTileEncode pass; the reference decoder deprecates the tag.
+    bbox(8) + 3*u32 + u8 + u8 + 2 pad = 24. bbox is in the (possibly
+    chroma-reduced) plane's coordinates, 8px aligned."""
+    _fmt = "hhhhIIIBB2x"
+    x: int
+    y: int
+    w: int
+    h: int
+    stream_size_tile_map: int       # zstd size of the u16 tile-type stream
+    stream_size_tile_stream: int    # zstd size of the nibble index stream
+    expected_size_tile_stream: int
+    version: int
+    format: int   # bit0 halfX, bit1 halfY, bits 2..3 plane (0 Y, 1 Co, 2 Cg)
+
+
+@dataclass
 class Header1D(_Struct):
     # 4 u32 + 3 u8 + 1 pad = 20
     _fmt = "IIIIBBB1x"

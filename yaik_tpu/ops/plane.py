@@ -165,12 +165,15 @@ def sample_down(plane, half_x, half_y, mode="average"):
     C = p[1::2, ::2 if half_x else 1] if half_y else A
     D = p[1::2, 1::2] if (half_x and half_y) else (C if half_x else B)
     if mode == "average":
+        # C '/' truncates toward zero - matters for signed (Co/Cg) planes
+        def cdiv(s, d):
+            return np.sign(s) * (np.abs(s) // d)
         if half_x and half_y:
-            v = (A + B + C + D) // 4
+            v = cdiv(A + B + C + D, 4)
         elif half_x:
-            v = (A + B) // 2
+            v = cdiv(A + B, 2)
         else:
-            v = (A + C) // 2
+            v = cdiv(A + C, 2)
     elif mode == "nearest_tl":
         v = A
     elif mode == "nearest_br":

@@ -145,8 +145,8 @@ def analyze(stream: bytes, lut_data: bytes | None = None) -> EncoderStats:
             px = int((p.packed >> 6).astype(bool).sum())
             if px:
                 st.tile2d_pixels[key] = st.tile2d_pixels.get(key, 0) + px
-    if plan.ucol is not None:
-        st.ucol_pixels = int((plan.ucol.map_img != 0).sum())
+    if plan.overlay is not None:
+        st.ucol_pixels = int(plan.overlay.mask.sum())
     st.pixels_1d = int(plan.d1.wmask[0].sum())
     return st
 
