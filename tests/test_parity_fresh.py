@@ -63,3 +63,63 @@ def test_fresh_image_parity(bank, tmp_path):
         a = api.decode_image(ref_stream, lut, engine="host")
         b = api.decode_image(mine, lut, engine="jax")
         assert np.array_equal(a, b)
+
+
+@pytest.mark.skipif(not (REFBUILD / "ref_encoder_plnt").exists(),
+                    reason="disabled-pass drivers not built")
+def test_fresh_disabled_pass_parity(bank, tmp_path):
+    """FRESH content through the disabled passes: UCOL, 2DTL (full
+    pipeline), and PLNT streams must match the compiled reference passes
+    byte-for-byte on images the fixtures never saw."""
+    import shutil
+    import struct
+    import sys
+    from yaik_tpu.encoder import bank2d as bank2dmod
+    from yaik_tpu.encoder import plnt as plntmod
+    from yaik_tpu.encoder import single_color
+    from yaik_tpu.encoder.context import EncoderConfig
+    from yaik_tpu.format.headers import FileHeader, MAGIC
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import gen_images
+    rng = np.random.default_rng(424242)
+    img = gen_images.make_corr2d(rng, 64)
+    png = tmp_path / "fresh2d.png"
+    Image.fromarray(img).save(png)
+    shutil.copytree(FIXTURES / "Bank3D", tmp_path / "Bank3D")
+    shutil.copytree(FIXTURES / "Bank2D", tmp_path / "Bank2D")
+    h, w = img.shape[:2]
+    planes = img.transpose(2, 0, 1).astype(np.int32)
+
+    # UCOL
+    res = subprocess.run(
+        [str(REFBUILD / "ref_encoder_ucol"), png.name, "f.ucol.yaik"],
+        cwd=tmp_path, capture_output=True, text=True)
+    assert res.returncode == 0
+    gold = (tmp_path / "f.ucol.yaik").read_bytes()
+    chunk, _ = single_color.single_color_out(planes, None, (0, 0, w, h))
+    gm = bytearray(gold)
+    gm[12 + 8 + 26:12 + 8 + 28] = b"\0\0"   # uninitialized header pad
+    assert (FileHeader(MAGIC, 1, w, h, 0).pack() + chunk
+            + struct.pack("<I", 0xDEADBEEF)) == bytes(gm)
+
+    # full pipeline with 2DTL
+    res = subprocess.run(
+        [str(REFBUILD / "ref_encoder_2d"), png.name, "f.2d.yaik"],
+        cwd=tmp_path, capture_output=True, text=True)
+    assert res.returncode == 0
+    gold = (tmp_path / "f.2d.yaik").read_bytes()
+    b2 = bank2dmod.load_bank2d(str(FIXTURES / "Bank2D"))
+    mine = encode_image(img, bank, EncoderConfig(enable_2d=True), bank2d=b2)
+    assert normalize(mine) == normalize(gold)
+
+    # PLNT
+    res = subprocess.run(
+        [str(REFBUILD / "ref_encoder_plnt"), png.name, "f.plnt.yaik"],
+        cwd=tmp_path, capture_output=True, text=True)
+    assert res.returncode == 0
+    gold = (tmp_path / "f.plnt.yaik").read_bytes()
+    mine = (FileHeader(MAGIC, 1, w, h, 0).pack()
+            + plntmod.encode_plnt(planes, None, (0, 0, w, h))
+            + struct.pack("<I", 0xDEADBEEF))
+    assert mine == gold

@@ -25,15 +25,21 @@ COMPONENT = {0: 3, 1: 6, 2: 5}              # R|G, G|B, R|B bitmasks
 
 
 def score_patterns(ia, ib, dist_field):
-    """sumDistance2D for the 8 transforms (EvaluatePoint2D): bit0 flip X,
-    bit1 flip Y, bit2 swap X/Y. dist_field indexed [y, x]."""
+    """sumDistance2D for the 8 transforms (EvaluatePoint2D,
+    EncoderContext.h:544-560): bit0 flip X, bit1 flip Y, bit2 swap X/Y -
+    with the flips applied to the POST-swap coordinates (case 5 is
+    (63-y, x<<6)). Note this is the OPPOSITE composition order from
+    computeValues2D (:5630-5638, flip-then-swap), so patterns 5 and 6 score
+    one transform but reconstruct another - a reference inconsistency that
+    affects which pattern wins per LUT. dist_field indexed [y, x]."""
     sums = np.empty(8, np.int64)
     for n in range(8):
-        x = (63 - ia) if (n & 1) else ia
-        y = (63 - ib) if (n & 2) else ib
-        if n & 4:
-            x, y = y, x
-        sums[n] = dist_field[y, x].sum()
+        cx, cy = (ib, ia) if (n & 4) else (ia, ib)
+        if n & 1:
+            cx = 63 - cx
+        if n & 2:
+            cy = 63 - cy
+        sums[n] = dist_field[cy, cx].sum()
     return sums
 
 
