@@ -144,17 +144,30 @@ def emit_tile3d_streams(results, w, h, streams):
         else:
             order = np.arange(th * tw)
 
-        for i in np.flatnonzero(valid & inside):
-            tx, ty = int(tx_all[i]), int(ty_all[i])
-            gid = ty * ntx + tx
-            if not accept[gid]:
-                continue
-            bits[i] = True
-            streams["color"] += bytes(int(v) for v in bbox[gid])
-            streams["type"].append(int(types[gid]))
-            bit = ((int(types[gid]) >> 14) & 3) + 3
-            slots = order[~mask[gid][order]]
-            streams[bit] += idx[gid][slots].astype(np.uint8).tobytes()
+        # vectorized scan-order emission (bit-identical to the old per-tile
+        # loop): accepted tiles in scan order, colors/types appended per
+        # tile, per-bit index streams built from the slot-reordered
+        # (idx, mask) rows - the row-major ravel of [tile, slot] preserves
+        # both the tile order and the within-tile slot order
+        sel = np.flatnonzero(valid & inside)
+        gids = ty_all[sel].astype(np.int64) * ntx + tx_all[sel]
+        acc = accept[gids].astype(bool)
+        sel = sel[acc]
+        gids = gids[acc]
+        if gids.size:
+            bits[sel] = True
+            streams["color"] += bbox[gids].astype(np.uint8).tobytes()
+            tvals = types[gids].astype(np.int64)
+            streams["type"].extend(int(t) for t in tvals)
+            idxo = idx[gids][:, order]
+            masko = mask[gids][:, order].astype(bool)
+            bit_arr = ((tvals >> 14) & 3) + 3
+            for bit in (3, 4, 5, 6):
+                tb = bit_arr == bit
+                if tb.any():
+                    rows = idxo[tb]
+                    streams[bit] += rows[~masko[tb]].astype(
+                        np.uint8).tobytes()
 
         packed = np.frombuffer(swizzle.pack_bitmap(bits), np.uint8)
         m = streams["maps"][(sx, sy)]
