@@ -48,6 +48,23 @@ def _tile3d_all_batch(planes8_b, claims_b, qpts, pts, factors):
         planes8_b, claims_b)
 
 
+@lru_cache(maxsize=None)
+def _all_batch_fn(reject_factor):
+    """Gradient + all-six-3D scoring in ONE dispatch per batch: one tunnel
+    round trip instead of two (claims flow gradient -> 3D in-graph)."""
+    def core(p8, qpts, pts, factors):
+        p = p8.astype(jnp.int32)
+        c = jnp.zeros(p8.shape, bool)
+        accepts, claims = jax_scoring.gradient_all_device.__wrapped__(
+            p, c, reject_factor)
+        packed_g = jnp.concatenate([a.reshape(-1).astype(jnp.uint8)
+                                    for a in accepts])
+        packed_3d, _ = devp._tile3d_all.__wrapped__(
+            p, claims, qpts, pts, factors)
+        return packed_g, packed_3d
+    return jax.jit(jax.vmap(core, in_axes=(0, None, None, None)))
+
+
 class _Precomputed:
     """Per-image scoring results injected into the standard emission path."""
 
@@ -117,10 +134,9 @@ def _dispatch_batch(imgs, claims_shape, cfg, tables):
     when an older buffer is fetched after newer enqueues)."""
     planes_b = jax.device_put(np.ascontiguousarray(np.stack(
         [im[:, :, :3].transpose(2, 0, 1) for im in imgs])))
-    packed_g, claims_b = _grad_batch_fn(cfg.reject_factor)(planes_b)
-    packed_g.copy_to_host_async()   # start BEFORE the next enqueue: fetching
-    packed_3d, _ = _tile3d_all_batch(planes_b, claims_b, *tables)
-    packed_3d.copy_to_host_async()  # an older buffer after newer work wedges
+    packed_g, packed_3d = _all_batch_fn(cfg.reject_factor)(planes_b, *tables)
+    packed_g.copy_to_host_async()
+    packed_3d.copy_to_host_async()
     return packed_g, packed_3d
 
 

@@ -24,6 +24,7 @@ downloaded accept/choice tensors.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -148,6 +149,24 @@ def transformed_points(points3bit: np.ndarray) -> np.ndarray:
 # device. Everything device-side is integer -> backend-exact.
 # ---------------------------------------------------------------------------
 
+SCORING_MODE = os.environ.get("YAIK_SCORING", "dense")
+
+
+def _pattern_matrix():
+    """[18, 48] 0/1 recombination matrix: column n sums the three
+    (c-axis a, point-axis i, flip f) terms of pattern n at flat index
+    a*6 + i*2 + f (see transformed_points)."""
+    import numpy as _np
+    from yaik_tpu.encoder.corr3d import PERMS48 as _P
+    M = _np.zeros((18, 48), _np.float32)
+    for n in range(48):
+        p = _P[n]
+        for i in range(3):
+            f = 1 if (n & (1 << i)) else 0
+            M[p[i] * 6 + i * 2 + f, n] += 1.0
+    return M
+
+
 @partial(jax.jit, static_argnames=())
 def tile3d_score_device(c, alive, qpts):
     """Pattern scores. c: [T,P,3] i32 normalized coords; alive: [T,P] bool;
@@ -166,9 +185,36 @@ def tile3d_score_device(c, alive, qpts):
     within 5% of this elementwise form: the 64x one-hot K-expansion spends
     the MXU's advantage, and both sit near the VPU/dispatch floor at the
     benchmark bank size (E=12)."""
-    diff = (c[:, :, None, None, None, :]
-            - qpts[None, None, :, :, :, :])                # T,P,E,48,8,3
-    dist = (diff * diff).sum(-1).min(-1)                   # T,P,E,48
+    if SCORING_MODE == "factored":
+        # factored form (opt-in via YAIK_SCORING=factored): 18 axis-variant
+        # squared terms per (px, LUT, point) recombined per pattern by a
+        # 0/1 matmul - 8x fewer multiplies than the dense diff tensor, and
+        # the hi/lo split keeps every bf16 product exact (f32 accumulate)
+        # so it is bit-identical to dense (validated on-chip). Measured
+        # 0.72-1.07 MPix/s across sessions vs 0.88-0.96 dense: the delta
+        # is inside tunnel-session noise, so dense stays the default.
+        pts0 = qpts[:, 0]                                  # untransformed
+        ptv = jnp.stack([pts0, 63 - pts0], axis=-1)        # [E,8,3,2]
+        d2 = (c[:, :, None, None, :, None, None]
+              - ptv[None, None, :, :, None, :, :])         # [T,P,E,8,3,3,2]
+        sq = (d2 * d2).reshape(c.shape[0], c.shape[1],
+                               qpts.shape[0], 8, 18)
+        # split so every bf16 product is exact (sq <= 2*63^2 = 13 bits;
+        # hi <= 124 and lo <= 63 are bf16-exact, the 0/1 matrix too, and
+        # TPU matmuls accumulate in f32) - DEFAULT precision, two passes
+        M = jnp.asarray(_pattern_matrix(), jnp.float32)
+        hi = (sq >> 6).astype(jnp.float32)
+        lo = (sq & 63).astype(jnp.float32)
+        dist = (jnp.einsum("tpekj,jn->tpekn", hi, M,
+                           preferred_element_type=jnp.float32) * 64
+                + jnp.einsum("tpekj,jn->tpekn", lo, M,
+                             preferred_element_type=jnp.float32)
+                ).astype(jnp.int32)
+        dist = dist.min(axis=3)                            # [T,P,E,48]
+    else:
+        diff = (c[:, :, None, None, None, :]
+                - qpts[None, None, :, :, :, :])            # T,P,E,48,8,3
+        dist = (diff * diff).sum(-1).min(-1)               # T,P,E,48
     return jnp.where(alive[:, :, None, None], dist, 0).sum(axis=1)
 
 
