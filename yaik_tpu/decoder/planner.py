@@ -217,9 +217,12 @@ def build_plan(stream: bytes, luts_expanded: dict,
             overlay = PlanOverlay(vals=np.zeros((h8, w8, 3), np.uint8),
                                   mask=np.zeros((h8, w8), bool))
         return overlay
-    d1 = Plan1D(params=np.zeros((3, 1, 3), np.int32),
-                indices=np.zeros((3, 1, 64), np.uint8),
-                wmask=np.zeros((3, 1, 64), bool))
+    # correctly-shaped empty default: streams with no 1DTL chunk (fully
+    # gradient/3D-claimed images) must still feed the dense device kernel
+    _g1 = max(1, (h // 8) * (w // 8))
+    d1 = Plan1D(params=np.zeros((3, _g1, 3), np.int32),
+                indices=np.zeros((3, _g1, 64), np.uint8),
+                wmask=np.zeros((3, _g1, 64), bool))
     alpha_channel = None
     mip_mask = mip_bbox = None
 
