@@ -36,17 +36,12 @@ def test_3dtx_roundtrip(bank3d, lut_bytes):
     assert err.max() <= 5    # gradient gate 3 + corner posterization
 
 
-def test_3dtx_jax_engine(bank3d, lut_bytes):
-    rgb = _mpix_image()
-    s = encode_image(rgb, bank3d)
-    bank = api.assign_lut(lut_bytes)
-    host = api.decode_image(s, bank, engine="host")
-    dev = api.decode_image(s, bank, engine="jax")
-    assert np.array_equal(host, dev)
-
-
 def test_3dtx_spatial_bands(bank3d, lut_bytes):
-    """decode_spatial splits the 1 MPix plan into bands; bit-exact."""
+    """decode_spatial splits the 1 MPix plan into 4 bands and runs the jax
+    engine per band; equality with the host decode doubles as the
+    host-vs-device check at 3DTX scale (a full-image device compile at
+    1 MPix costs ~30 min on the CPU backend, so the banded form is the
+    suite's deliberate choice)."""
     from yaik_tpu.parallel import batch
     rgb = _mpix_image()
     s = encode_image(rgb, bank3d)

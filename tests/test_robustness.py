@@ -70,3 +70,88 @@ def test_lut_corruptions():
             api.assign_lut(bytes(base[:n]))
         except ACCEPTABLE:
             pass
+
+
+@pytest.fixture(scope="module")
+def lut2(lut):
+    return api.assign_lut((FIXTURES / "LutFile.lut").read_bytes(),
+                          (FIXTURES / "LutFile2D.lut").read_bytes())
+
+
+def _streams_with_new_chunks():
+    """Streams carrying the disabled-pass chunks (UCOL / 2DTL / PLNT)."""
+    out = [
+        (FIXTURES / "img64.ucol.yaik").read_bytes(),
+        (FIXTURES / "corr2d128.2d.yaik").read_bytes(),
+        (FIXTURES / "img64.plnt.yaik").read_bytes(),
+    ]
+    return out
+
+
+def test_new_chunk_byte_flips(lut2):
+    """UCOL/2DTL/PLNT chunks under random corruption: clean decode or
+    ValueError, never an internal exception (the reference's own security
+    model extended to the chunks its decoder deprecated)."""
+    rng = np.random.default_rng(1234)
+    for base in _streams_with_new_chunks():
+        base = bytearray(base)
+        for _ in range(150):
+            s = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                pos = int(rng.integers(0, len(s)))
+                s[pos] ^= int(rng.integers(1, 256))
+            try:
+                api.decode_image(bytes(s), lut2, engine="host")
+            except ACCEPTABLE:
+                pass
+
+
+def test_new_chunk_truncations(lut2):
+    for base in _streams_with_new_chunks():
+        for cut in range(8, len(base), max(1, len(base) // 60)):
+            try:
+                api.decode_image(bytes(base[:cut]), lut2, engine="host")
+            except ACCEPTABLE:
+                pass
+
+
+def test_lut2d_corruptions():
+    lut3 = (FIXTURES / "LutFile.lut").read_bytes()
+    base = bytearray((FIXTURES / "LutFile2D.lut").read_bytes())
+    rng = np.random.default_rng(7)
+    for cut in (0, 5, 9, len(base) - 3):
+        try:
+            api.assign_lut(lut3, bytes(base[:cut]))
+        except ACCEPTABLE:
+            pass
+    for _ in range(50):
+        s = bytearray(base)
+        pos = int(rng.integers(0, len(s)))
+        s[pos] ^= int(rng.integers(1, 256))
+        try:
+            bank = api.assign_lut(lut3, bytes(s))
+            api.decode_image((FIXTURES / "corr2d128.2d.yaik").read_bytes(),
+                             bank, engine="host")
+        except ACCEPTABLE:
+            pass
+
+
+def test_planner_fuzz(lut2):
+    """The device-path planner parses chunks independently of the host
+    decoder; corrupted streams must yield ValueError (or plan fine), never
+    IndexError/struct.error."""
+    from yaik_tpu.decoder import planner as plannermod
+    rng = np.random.default_rng(99)
+    bases = [(FIXTURES / "img128.yaik").read_bytes()] + \
+        _streams_with_new_chunks()
+    for base in bases:
+        for _ in range(60):
+            s = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                pos = int(rng.integers(0, len(s)))
+                s[pos] ^= int(rng.integers(1, 256))
+            try:
+                plannermod.build_plan(bytes(s), lut2.expanded,
+                                      lut2.expanded2d)
+            except ACCEPTABLE:
+                pass

@@ -226,7 +226,16 @@ def build_plan(stream: bytes, luts_expanded: dict,
     alpha_channel = None
     mip_mask = mip_bbox = None
 
-    for tag, off, body in iter_chunks(stream):
+    import struct as _struct
+
+    def _chunks_checked(st):
+        try:
+            yield from iter_chunks(st)
+        except _struct.error as e:
+            raise ValueError(f"malformed chunk: {e}") from e
+
+    for tag, off, body in _chunks_checked(stream):
+      try:
         if tag == b"GTIL":
             hdr = HeaderGradientTile.unpack(body)
             if hdr.plane != 7:
@@ -362,6 +371,8 @@ def build_plan(stream: bytes, luts_expanded: dict,
                                                  mip_bbox)
         else:
             raise NotImplementedError(f"chunk {tag!r} not planned yet")
+      except _struct.error as e:
+        raise ValueError(f"malformed {tag!r} chunk: {e}") from e
 
     if fh.has_alpha and alpha_channel is None:
         alpha_channel = np.full((h, w), 255, np.uint8)
