@@ -32,6 +32,16 @@ def _png(path):
     return np.asarray(Image.open(path))
 
 
+def _maybe_trace(args):
+    """jax.profiler trace context (SURVEY section 5: the reference has only
+    wall timers; the rebuild exposes real device traces)."""
+    import contextlib
+    if not getattr(args, "trace", None):
+        return contextlib.nullcontext()
+    import jax
+    return jax.profiler.trace(args.trace)
+
+
 def cmd_encode(args):
     from yaik_tpu.encoder.context import EncoderConfig, encode_image
     bank = _load_bank(args.bank)
@@ -48,7 +58,7 @@ def cmd_encode(args):
     import contextlib
     prof = profiler.enable() if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
-    with prof:
+    with prof, _maybe_trace(args):
         stream = encode_image(img, bank, cfg, engine=args.engine,
                               bank2d=bank2d)
     dt = time.perf_counter() - t0
@@ -82,7 +92,7 @@ def cmd_decode(args):
     import contextlib
     prof = profiler.enable() if args.profile else contextlib.nullcontext()
     t0 = time.perf_counter()
-    with prof:
+    with prof, _maybe_trace(args):
         img = api.decode_image(stream, lut, engine=args.engine)
     dt = time.perf_counter() - t0
     Image.fromarray(img).save(args.output)
@@ -143,6 +153,9 @@ def main():
     e.add_argument("--enable-2d", action="store_true",
                    help="2DTL plane-pair passes (disabled upstream)")
     e.add_argument("--bank2d", default=DEFAULT_FIX / "Bank2D")
+    e.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a jax.profiler device trace into DIR "
+                        "(view with TensorBoard / Perfetto)")
     e.add_argument("--profile", action="store_true",
                    help="print per-stage host timings")
     e.add_argument("--global-stats", metavar="PATH", default=None,
@@ -156,6 +169,8 @@ def main():
     d.add_argument("--lut2d", default=None,
                    help="LutFile2D.lut for streams with 2DTL chunks")
     d.add_argument("--engine", default="host", choices=["host", "jax"])
+    d.add_argument("--trace", metavar="DIR", default=None,
+                   help="capture a jax.profiler device trace into DIR")
     d.add_argument("--profile", action="store_true",
                    help="print per-stage host timings")
     d.set_defaults(fn=cmd_decode)
