@@ -111,3 +111,25 @@ def test_dynamic_tile_analyze():
     claims[:, :16] = True
     rep2 = dynamic_tile_analyze(plane, claims)
     assert rep2.total_pixels == 32 * 16
+
+
+def test_mine_bank2d(tmp_path):
+    """2D bank mining (the reference's isCaptureMode2D workflow,
+    EncoderContext.cpp:6965-6982): captured pair clouds -> greedy coverage
+    -> Bank2D PNGs loadable by both our bank2d loader and, format-wise,
+    the reference's Load2DPattern."""
+    import sys, pathlib
+    import numpy as np
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import gen_images
+    from yaik_tpu.encoder import mining, bank2d as bank2dmod
+    rng = np.random.default_rng(5)
+    imgs = [gen_images.make_corr2d(rng, 64)]
+    n, total = mining.mine_bank2d(imgs, str(tmp_path), max_tables=4)
+    assert n >= 1 and total > 0
+    b2 = bank2dmod.load_bank2d(str(tmp_path))
+    assert b2.count == n
+    data = bank2dmod.write_lut2d_file(b2)
+    from yaik_tpu.format import lut as lutmod
+    t = lutmod.parse_lut2d_file(data)
+    assert t[6].shape == (n, 64, 2)

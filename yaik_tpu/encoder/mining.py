@@ -115,3 +115,90 @@ def mine_bank(images, out_dir, max_tables=12, checkpoint=None):
             f.write(cloud[:, 1].tobytes())
             f.write(cloud[:, 2].tobytes())
     return len(picked), len(clouds)
+
+
+# ---------------------------------------------------------------------------
+# 2D bank mining: the reference's isCaptureMode2D workflow
+# (Correlation2DSearch, EncoderContext.cpp:6965-6982: tiles with
+# pixelsInTile >= 32 dump their normalized (a, b) samples as 64x64 PNG
+# point maps into tile2DImg/ - exactly the Bank2D input format).
+# ---------------------------------------------------------------------------
+
+def capture_clouds_2d(rgb: np.ndarray, reject_factor: int = 3):
+    """Capture normalized pair-channel clouds of 8x8 tiles left unclaimed by
+    the gradient passes, per plane mode (RG/GB/RB). Returns a list of
+    [n <= 64, 2] u8 point sets (deduplicated, like the PNG round trip)."""
+    from yaik_tpu.encoder.corr2d import PAIR
+    h, w = rgb.shape[:2]
+    planes = rgb[:, :, :3].transpose(2, 0, 1).astype(np.int32)
+    claims = np.zeros((3, h, w), bool)
+    mapped = np.zeros((3, h + 1, w + 1), bool)
+    for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
+        gradient.run_pass(planes, claims, mapped, sx, sy, reject_factor, 250)
+
+    clouds = []
+    for mode in (0, 1, 2):
+        pa, pb = PAIR[mode]
+        for y in range(0, h, 8):
+            for x in range(0, w, 8):
+                if (claims[pa, y:y + 8, x:x + 8]
+                        | claims[pb, y:y + 8, x:x + 8]).any():
+                    continue
+                a = planes[pa, y:y + 8, x:x + 8].reshape(-1)
+                b = planes[pb, y:y + 8, x:x + 8].reshape(-1)
+                mna, mxa = int(a.min()), int(a.max())
+                mnb, mxb = int(b.min()), int(b.max())
+                if mxa == mna or mxb == mnb:
+                    continue
+                na = (1 << 20) // (mxa - mna)
+                nb = (1 << 20) // (mxb - mnb)
+                fa = ((a - mna) * na).astype(np.float32) / np.float32(1 << 20)
+                fb = ((b - mnb) * nb).astype(np.float32) / np.float32(1 << 20)
+                ia = (fa * np.float32(63)).astype(np.uint8)
+                ib = (fb * np.float32(63)).astype(np.uint8)
+                pts = np.unique(np.stack([ia, ib], 1), axis=0)
+                clouds.append(pts[:64])
+    return clouds
+
+
+def _covers_2d(cloud_pts: np.ndarray, tiles, gate: int = 36):
+    """2D accept proxy: nearest-point squared distance in the 64x64 plane
+    (the real gate is the /128 reconstruction error <= 6; squared-distance
+    36 is its scale-free stand-in, like _covers for 3D)."""
+    out = np.empty(len(tiles), bool)
+    p = cloud_pts.astype(np.int32)
+    for i, t in enumerate(tiles):
+        d = ((t[:, None, :].astype(np.int32) - p[None, :, :]) ** 2
+             ).sum(-1).min(-1)
+        out[i] = (d > gate).sum() <= 3
+    return out
+
+
+def mine_bank2d(images, out_dir, max_tables=12, max_candidates=256):
+    """images -> Bank2D pattern PNGs loadable by encoder.bank2d (and by the
+    reference's Load2DPattern). Greedy max-coverage like the 3D miner."""
+    from PIL import Image as _Image
+    clouds = []
+    for im in images:
+        clouds.extend(capture_clouds_2d(np.asarray(im)))
+    if not clouds:
+        return 0, 0
+    step = max(1, len(clouds) // max_candidates)
+    cands = [clouds[i] for i in range(0, len(clouds), step)]
+    cover = np.stack([_covers_2d(c, clouds) for c in cands])
+    covered = np.zeros(len(clouds), bool)
+    picked = []
+    for _ in range(max_tables):
+        gains = (cover & ~covered[None, :]).sum(axis=1)
+        best = int(gains.argmax())
+        if gains[best] == 0:
+            break
+        picked.append(cands[best])
+        covered |= cover[best]
+    os.makedirs(out_dir, exist_ok=True)
+    for k, pts in enumerate(picked):
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[pts[:, 1], pts[:, 0]] = 255
+        _Image.fromarray(img).save(
+            os.path.join(out_dir, f"t{k + 1}_tileMap{2000 + k}.lut.png"))
+    return len(picked), len(clouds)
