@@ -5,6 +5,7 @@ unified):
   python -m yaik_tpu decode  in.yaik out.png   [--lut FILE] [--engine host|jax]
   python -m yaik_tpu lut     bank_dir out.lut            (build LutFile.lut)
   python -m yaik_tpu stats   in.yaik                     (per-technique report)
+  python -m yaik_tpu mine    out_dir imgs...  [--mode 2d] (LUT-bank mining)
   python -m yaik_tpu roundtrip img.png                   (encode+decode+PSNR)
 """
 from __future__ import annotations
@@ -115,6 +116,20 @@ def cmd_lut(args):
     print(f"{bank.count} tables -> {args.output} ({len(data)} B)")
 
 
+def cmd_mine(args):
+    from PIL import Image
+    from yaik_tpu.encoder import mining
+    imgs = [np.asarray(Image.open(p).convert("RGB")) for p in args.images]
+    if args.mode == "2d":
+        n, total = mining.mine_bank2d(imgs, args.out_dir,
+                                      max_tables=args.max_tables)
+    else:
+        n, total = mining.mine_bank(imgs, args.out_dir,
+                                    max_tables=args.max_tables,
+                                    checkpoint=args.checkpoint)
+    print(f"{n} bank tables from {total} captured tiles -> {args.out_dir}")
+
+
 def cmd_stats(args):
     from yaik_tpu.utils.stats import analyze
     stream = pathlib.Path(args.input).read_bytes()
@@ -180,6 +195,15 @@ def main():
     l.add_argument("--mode", default="3d", choices=["3d", "2d"],
                    help="2d builds a LutFile2D.lut from Bank2D PNGs")
     l.set_defaults(fn=cmd_lut)
+
+    m = sub.add_parser("mine", help="mine a LUT bank from training images")
+    m.add_argument("out_dir")
+    m.add_argument("images", nargs="+")
+    m.add_argument("--mode", default="3d", choices=["3d", "2d"])
+    m.add_argument("--max-tables", type=int, default=12)
+    m.add_argument("--checkpoint", default=None,
+                   help="capture-phase checkpoint file (resumable)")
+    m.set_defaults(fn=cmd_mine)
 
     s = sub.add_parser("stats")
     s.add_argument("input")
