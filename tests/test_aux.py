@@ -133,3 +133,14 @@ def test_mine_bank2d(tmp_path):
     from yaik_tpu.format import lut as lutmod
     t = lutmod.parse_lut2d_file(data)
     assert t[6].shape == (n, 64, 2)
+
+
+def test_analyze_color_count():
+    import numpy as np
+    from yaik_tpu.encoder.analysis import analyze_color_count
+    planes = np.zeros((3, 16, 16), np.int32)
+    planes[:, 8:, 8:] = np.arange(64*3).reshape(3, 8, 8) % 251
+    counts, hist = analyze_color_count(planes)
+    assert counts.shape == (2, 2)
+    assert counts[0, 0] == 1 and hist["1 (flat)"] == 3
+    assert counts[1, 1] >= 16

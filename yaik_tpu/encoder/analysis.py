@@ -128,3 +128,32 @@ def dynamic_tile_analyze(plane: np.ndarray,
     probe("lut_ids", np.asarray(lut_ids, "<u2").tobytes())
     rep.mask_table_sizes = {b: len(t) for b, t in mask_tables.items()}
     return rep
+
+
+def analyze_color_count(planes: np.ndarray, tile_size: int = 8):
+    """AnalyzeColorCount (EncoderContext.cpp:6096-6185): per-tile unique
+    6-bit-quantized RGB counts. The reference body is dead (immediate
+    `return` at :6098) and, when read past that, only zeroes plane channels
+    as a PALETTE.png visualization; this analyzer returns the numbers.
+
+    planes: [3, H, W] i32. Returns (counts [nty, ntx] i32, class histogram
+    dict keyed by the reference's visualization classes)."""
+    _, h, w = planes.shape
+    q = (planes >> 2).astype(np.int64)
+    nty, ntx = h // tile_size, w // tile_size
+    counts = np.zeros((nty, ntx), np.int32)
+    packed = (q[0] << 12) | (q[1] << 6) | q[2]
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = packed[ty * tile_size:(ty + 1) * tile_size,
+                       tx * tile_size:(tx + 1) * tile_size]
+            counts[ty, tx] = len(np.unique(t))
+    hist = {
+        "1 (flat)": int((counts == 1).sum()),
+        "<=4": int(((counts > 1) & (counts <= 4)).sum()),
+        "<=8": int(((counts > 4) & (counts <= 8)).sum()),
+        "<12": int(((counts > 8) & (counts < 12)).sum()),
+        "<16": int(((counts >= 12) & (counts < 16)).sum()),
+        ">=16": int((counts >= 16).sum()),
+    }
+    return counts, hist
