@@ -83,6 +83,16 @@ if [ ! -f "$OUT/ref_encoder_plnt" ]; then
     "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder_plnt"
 fi
 
+# ---- disabled-pass driver: plane-subset gradients (GTIL plane != 7) ----
+if [ ! -f "$OUT/ref_encoder_gradpair" ]; then
+  echo "building ref_encoder_gradpair"
+  g++ $CXXFLAGS -iquote "$OUT/shim" -I "$REF/encoder" -I "$REF/include" -DDIRENT_H -include /usr/include/dirent.h -include cstring \
+    "$HERE/ref_encode_gradpair_main.cpp" "$REF"/encoder/EncoderContext.cpp \
+    "$REF"/encoder/Image.cpp "$REF"/encoder/Plane.cpp \
+    "$REF"/decoder/YAIK_GenericFunctions.cpp \
+    "$OUT/zstd134.a" -lm -lpthread -o "$OUT/ref_encoder_gradpair"
+fi
+
 # ---- dead-pass probe: SmoothMap (SMAP) aborts on heap corruption ----
 if [ ! -f "$OUT/ref_encoder_smap" ]; then
   echo "building ref_encoder_smap"

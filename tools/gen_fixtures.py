@@ -99,6 +99,19 @@ def main():
     shutil.rmtree(bank2dst, ignore_errors=True)
     shutil.copytree(os.path.join(work, "Bank2D"), bank2dst)
 
+    # plane-subset gradient goldens (cwd needs Bank3D; decode oracle N/A:
+    # the reference's own plane-variant decode garbles these streams)
+    shutil.copy(os.path.join(work, "images", "gradpair192.png"),
+                os.path.join(work, "gradpair192.png"))
+    out = subprocess.run(
+        [os.path.join(REFBUILD, "ref_encoder_gradpair"), "gradpair192.png",
+         "gradpair192.gp.yaik"],
+        cwd=work, capture_output=True, text=True)
+    if out.returncode != 0:
+        raise RuntimeError("ref_encoder_gradpair failed")
+    shutil.copy(os.path.join(work, "gradpair192.png"), FIX)
+    shutil.copy(os.path.join(work, "gradpair192.gp.yaik"), FIX)
+
     # PLNT goldens: the disabled DynamicTileEncode path via its driver
     for name in ["img64.png", "corr2d128.png"]:
         base = name[:-4]

@@ -130,6 +130,29 @@ def make_corr2d(rng, size):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def make_gradpair(rng, size):
+    """Plane-subset gradient food: vertical bands where only a SUBSET of
+    channels is bilinear-smooth and the rest is loud noise, so the full-RGB
+    gradient pass rejects but the disabled 2-plane (RB/RG/GB) and 1-plane
+    (R/G/B) 4x4 passes accept. Band order matches the reference's disabled
+    call order (EncoderContext.cpp:9260-9290, 9392-9420)."""
+    h = w = size
+    img = np.zeros((h, w, 3), np.int64)
+    # leading full-RGB band: the reference decoder allocates its claim
+    # masks in the FIRST GTIL handler, and a stream whose first pixel chunk
+    # is 3DTL fails to decode there - give it one plane-7 gradient band
+    bands = [(0, 1, 2), (0, 2), (0, 1), (1, 2), (0,), (1,), (2,)]
+    bw = w // len(bands)
+    for k, smooth in enumerate(bands):
+        x0, x1 = k * bw, (k + 1) * bw if k < len(bands) - 1 else w
+        patch = gradient_quilt(rng, h, x1 - x0, 32)
+        noise = rng.integers(0, 256, (h, x1 - x0, 3))
+        for c in range(3):
+            img[:, x0:x1, c] = (np.round(patch[:, :, c]) if c in smooth
+                                else noise[:, :, c])
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def main(outdir):
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(20260816)
@@ -141,6 +164,7 @@ def main(outdir):
     Image.fromarray(g).save(os.path.join(outdir, "quilt128.png"))
     Image.fromarray(make_sprite_rgba(rng, 256)).save(os.path.join(outdir, "sprite256.png"))
     Image.fromarray(make_corr2d(rng, 128)).save(os.path.join(outdir, "corr2d128.png"))
+    Image.fromarray(make_gradpair(rng, 192)).save(os.path.join(outdir, "gradpair192.png"))
     print(f"wrote test images to {outdir}")
 
 

@@ -50,6 +50,11 @@ class EncoderConfig:
     # DynamicTileEncode (PLNT, YCoCg range-coded tiles): disabled in the
     # reference's Convert (`#if 0` :9539-9545); see encoder/plnt.py
     enable_plnt: bool = False
+    # plane-subset gradient passes (GTIL with plane != 7): the disabled
+    # 2-plane 4x4 calls (`if (0)` :9260-9290, RB/RG/GB order) and 1-plane
+    # 4x4 calls (`#if 0` :9392-9420, R/G/B) - singles run AFTER the 2D
+    # block in Convert's layout
+    enable_plane_gradients: bool = False
 
 
 def _compress_stream(data: bytes) -> bytes:
@@ -210,6 +215,32 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
     with profiler.stage("encode:3d-chunk"):
         out += _tile3d_chunk(streams, cfg, w, h)
 
+    def _plane_gradient(mask):
+        bitmap, rgb_stream, count = gradient.run_pass(
+            planes, claims, mapped_rgb, 2, 2, cfg.reject_factor,
+            cfg.color_compression_quad, plane_mask=mask)
+        if count == 0 or not rgb_stream:
+            return
+        z_bitmap = _compress_stream(bitmap)
+        cust = compress_palette(rgb_stream, pal_state)
+        if cust is None:
+            raise RuntimeError("palette compression failed")
+        z_rgb = _compress_stream(cust)
+        hdr = HeaderGradientTile(
+            x=0, y=0, w=0, h=0,
+            stream_bitmap_size=len(z_bitmap),
+            stream_rgb_size_zstd=len(z_rgb),
+            stream_rgb_size_custom=len(cust),
+            stream_rgb_size_uncompressed=len(rgb_stream),
+            color_compression=cfg.color_compression_quad,
+            version=0, format=2 | (2 << 3), plane=mask)
+        hdr.x, hdr.y, hdr.w, hdr.h = _gradient_bbox(bitmap, 2, 2, w, h)
+        out.extend(_chunk(b"GTIL", hdr.pack() + z_bitmap + z_rgb))
+
+    if cfg.enable_plane_gradients:
+        for mask in (5, 3, 6):           # RB, RG, GB (Convert :9260-9290)
+            _plane_gradient(mask)
+
     # ---- 2D plane-pair passes (disabled upstream, Convert :9300-9382) ----
     if cfg.enable_2d:
         if bank2d is None:
@@ -231,6 +262,10 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                                 streams2)
             out += _tile2d_chunk(streams2, cfg, w, h,
                                  corr2d.COMPONENT[plane_mode])
+
+    if cfg.enable_plane_gradients:
+        for mask in (1, 2, 4):           # R, G, B (Convert :9392-9420)
+            _plane_gradient(mask)
 
     # ---- 1D residual ----
     _d1_stage = profiler.stage("encode:1d")

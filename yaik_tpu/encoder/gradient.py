@@ -53,15 +53,25 @@ def _corner_grids(planes: np.ndarray, tw: int, th: int):
 
 
 def score_pass(planes: np.ndarray, claims: np.ndarray, sx: int, sy: int,
-               reject_factor: int):
+               reject_factor: int, plane_mask: int = 7):
     """Vectorized accept test for all tile positions of one size.
 
     planes: [3,H,W] int32 source; claims: [3,H,W] bool (mapSmoothTile).
+    plane_mask: present-plane bits (FittingQuadSmooth's NULL-plane calls,
+    the disabled 2-plane/1-plane 4x4 passes at EncoderContext.cpp:
+    9260-9290/9392-9420): missing planes read as 0 on BOTH sides of the
+    reject test (blend of zero corners vs zero pixels -> error 0), and the
+    allow gate checks only present planes' claims.
     Returns accept [nty, ntx] bool (full-tile positions only).
     """
     tw, th = 1 << sx, 1 << sy
     _, h, w = planes.shape
     ntx, nty = w // tw, h // th
+    if plane_mask != 7:
+        planes = planes.copy()
+        for p in range(3):
+            if not (plane_mask & (1 << p)):
+                planes[p] = 0
     corners = _corner_grids(planes, tw, th).astype(np.int64)  # [3,nty+1,ntx+1]
 
     c00 = corners[:, :nty, :ntx]
@@ -97,22 +107,24 @@ def score_pass(planes: np.ndarray, claims: np.ndarray, sx: int, sy: int,
         err = np.abs(pix - bl)
         ok |= (err <= reject_factor).all(axis=(0, 3, 4))
 
-    # allow-check: mapSmoothTile at the tile ORIGIN only, all present planes
+    # allow-check: mapSmoothTile at the tile ORIGIN only, present planes
     origins = claims[:, ::th, ::tw][:, :nty, :ntx]
-    allow = ~origins.any(axis=0)
+    present = [p for p in range(3) if plane_mask & (1 << p)]
+    allow = ~origins[present].any(axis=0)
     return ok & allow
 
 
 def run_pass(planes, claims, mapped_rgb, sx, sy, reject_factor,
-             color_compression):
+             color_compression, plane_mask: int = 7):
     """Run one gradient pass (host scoring). Mutates claims ([3,H,W] bool)
     and mapped_rgb. Returns (bitmap_bytes, rgb_stream_bytes, tile_count)."""
-    accept = score_pass(planes, claims, sx, sy, reject_factor)
+    accept = score_pass(planes, claims, sx, sy, reject_factor, plane_mask)
     return emit_pass(planes, claims, mapped_rgb, accept, sx, sy,
-                     color_compression)
+                     color_compression, plane_mask)
 
 
-def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression):
+def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression,
+              plane_mask: int = 7):
     """Stream emission for one gradient pass given its accept grid (from
     host or device scoring): swizzle-scan-order corner dedup + claim update."""
     tw, th = 1 << sx, 1 << sy
@@ -133,31 +145,34 @@ def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression):
 
     # vectorized corner dedup: first touch in tile-scan x (LT, RT, LB, RB)
     # order == the reference's per-tile "emit corner if unseen" cursor.
-    # plane-7 passes map/emit all three planes together, so plane 0's
-    # mapped state stands in for all (run_pass keeps the per-plane loop).
+    # Emission interleaves planes within a corner (srcA, srcB, srcC order,
+    # EncoderContext.cpp:4115-4133), deduped per plane's mappedRGB grid.
     txs, tys = tx_all[order], ty_all[order]
     xs, ys = txs.astype(np.int64) * tw, tys.astype(np.int64) * th
     w1 = w + 1
     cids = np.stack([ys * w1 + xs, ys * w1 + xs + tw,
                      (ys + th) * w1 + xs, (ys + th) * w1 + xs + tw],
                     axis=1).reshape(-1)
-    m0 = mapped_rgb[0].reshape(-1)
     _, first = np.unique(cids, return_index=True)
     isfirst = np.zeros(cids.size, bool)
     isfirst[first] = True
-    new = isfirst & ~m0[cids]
-    new_ids = cids[new]                      # stream order preserved
-    for p in range(3):
-        mapped_rgb[p].reshape(-1)[new_ids] = True
-    cy, cx = new_ids // w1, new_ids % w1
-    vals = corners6[:, cy // th, cx // tw]   # [3, k]
-    rgb_stream = (compress_f(vals.T, color_compression)
-                  .astype(np.uint8).tobytes())
+    present = [p for p in range(3) if plane_mask & (1 << p)]
+    cy, cx = cids // w1, cids % w1
+    vals6 = corners6[:, cy // th, cx // tw]          # [3, n*4]
+    newp = np.zeros((len(present), cids.size), bool)
+    for j, p in enumerate(present):
+        mp = mapped_rgb[p].reshape(-1)
+        newp[j] = isfirst & ~mp[cids]
+        mp[cids[newp[j]]] = True
+    # byte sequence: corner-major, plane-minor
+    sel = newp.T.reshape(-1)                          # [n*4, P] flattened
+    byte_vals = compress_f(vals6[present].T.reshape(-1), color_compression)
+    rgb_stream = byte_vals[sel].astype(np.uint8).tobytes()
 
     up = np.zeros((h // th, w // tw), bool)
     up[tys, txs] = True
     rep = np.repeat(np.repeat(up, th, 0), tw, 1)
-    claims[:, :rep.shape[0], :rep.shape[1]] |= rep[None]
+    claims[present, :rep.shape[0], :rep.shape[1]] |= rep[None]
 
     bitmap = swizzle.pack_bitmap(bits)
     return bitmap, rgb_stream, len(order)
