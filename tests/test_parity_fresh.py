@@ -123,3 +123,16 @@ def test_fresh_disabled_pass_parity(bank, tmp_path):
             + plntmod.encode_plnt(planes, None, (0, 0, w, h))
             + struct.pack("<I", 0xDEADBEEF))
     assert mine == gold
+
+    # plane-subset gradients on fresh content
+    img2 = gen_images.make_gradpair(rng, 128)
+    png2 = tmp_path / "freshgp.png"
+    Image.fromarray(img2).save(png2)
+    res = subprocess.run(
+        [str(REFBUILD / "ref_encoder_gradpair"), png2.name, "f.gp.yaik"],
+        cwd=tmp_path, capture_output=True, text=True)
+    assert res.returncode == 0
+    gold = (tmp_path / "f.gp.yaik").read_bytes()
+    mine = encode_image(img2, bank,
+                        EncoderConfig(enable_plane_gradients=True))
+    assert normalize(mine) == normalize(gold)
