@@ -84,6 +84,7 @@ def _streams_with_new_chunks():
         (FIXTURES / "img64.ucol.yaik").read_bytes(),
         (FIXTURES / "corr2d128.2d.yaik").read_bytes(),
         (FIXTURES / "img64.plnt.yaik").read_bytes(),
+        (FIXTURES / "gradpair192.gp.yaik").read_bytes(),
     ]
     return out
 
