@@ -69,3 +69,30 @@ def test_plane_gradient_claims_feed_1d(bank3d, src, lut_bytes):
     e_mine = np.abs(d_mine - src.astype(int)).mean()
     e_base = np.abs(d_base - src.astype(int)).mean()
     assert e_mine <= e_base + 0.1
+
+
+def test_plane_gradient_jax_engine(bank3d, src, lut_bytes):
+    """Device path decodes plane-variant streams pixel-identically to the
+    host (masked blend passes in the stream's pair/single positions)."""
+    from yaik_tpu.decoder import api
+    gold = (FIXTURES / "gradpair192.gp.yaik").read_bytes()
+    bank = api.assign_lut(lut_bytes)
+    host = api.decode_image(gold, bank, engine="host")
+    dev = api.decode_image(gold, bank, engine="jax")
+    assert np.array_equal(host, dev)
+
+
+def test_plane_gradient_with_2d(bank3d, src, lut_bytes):
+    """Pairs -> 2DTL -> singles ordering (Convert's layout) decodes the
+    same on both engines."""
+    from yaik_tpu.decoder import api
+    from yaik_tpu.encoder import bank2d as bank2dmod
+    b2 = bank2dmod.load_bank2d(str(FIXTURES / "Bank2D"))
+    lut2d = (FIXTURES / "LutFile2D.lut").read_bytes()
+    s = encode_image(src, bank3d,
+                     EncoderConfig(enable_plane_gradients=True,
+                                   enable_2d=True), bank2d=b2)
+    bank = api.assign_lut(lut_bytes, lut2d)
+    host = api.decode_image(s, bank, engine="host")
+    dev = api.decode_image(s, bank, engine="jax")
+    assert np.array_equal(host, dev)

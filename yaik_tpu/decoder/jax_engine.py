@@ -141,6 +141,19 @@ def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy):
     return plane.at[: nty * th, : ntx * tw].set(region)
 
 
+_PGRAD_PAIRS = (5, 3, 6)      # RB, RG, GB 4x4 emission order
+_PGRAD_SINGLES = (1, 2, 4)    # R, G, B
+
+
+def _blend_pass_masked(plane, accept, corners, mask, sx, sy):
+    """_blend_pass writing only the planes in `mask` (static) - the
+    plane-variant GTIL chunks (GTIL plane != 7)."""
+    full = _blend_pass(plane, accept, corners, sx, sy)
+    chans = [full[:, :, p] if (mask & (1 << p)) else plane[:, :, p]
+             for p in range(3)]
+    return jnp.stack(chans, axis=-1)
+
+
 def _d1_pass(plane, params, indices, wbits, h8, w8):
     """1D residual for all 3 planes: pure elementwise. wbits [3,g,8] u8 is
     the write mask bit-packed 8x for the host->device link."""
@@ -165,7 +178,7 @@ def _d1_pass(plane, params, indices, wbits, h8, w8):
 def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
                 t3_accepts, t3_rows, t3_colors, t3_packed,
                 d1_params, d1_indices, d1_wmask,
-                ucol=None, t2=None):
+                ucol=None, t2=None, pgrad_pairs=None, pgrad_singles=None):
     """ucol: None or the pre-pass overlay (vals [h8,w8,3] u8, mask
     packbits [h8,w8/8] u8) carrying UCOL + SMAP pixels - applied first, in
     stream order. t2: None or (lut2_tab [C,64,2], 6x (accept, rows, colors,
@@ -185,10 +198,16 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
     for k, (sx, sy) in enumerate(T3_SHIFTS):
         plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], t3_rows[k],
                              t3_colors[k], t3_packed[k], sx, sy)
+    if pgrad_pairs is not None:     # GTIL plane in (5, 3, 6), before 2DTL
+        for k, mask in enumerate(_PGRAD_PAIRS):
+            plane = _blend_pass_masked(plane, *pgrad_pairs[k], mask, 2, 2)
     if t2 is not None:
         lut2_tab, t2passes = t2
         for k, (mode, (sx, sy)) in enumerate(_T2_ORDER):
             plane = _tile2d_pass(plane, lut2_tab, *t2passes[k], mode, sx, sy)
+    if pgrad_singles is not None:   # GTIL plane in (1, 2, 4), after 2DTL
+        for k, mask in enumerate(_PGRAD_SINGLES):
+            plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
     plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
     return plane.astype(jnp.uint8)
 
@@ -269,7 +288,7 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
     w, h = plan.width, plan.height
     qh, qw = h // 4 + 1, w // 4 + 1
     tab, bases = lut_device_table(expanded)
-    by_shift = {g.shift: g for g in plan.gradient}
+    by_shift = {g.shift: g for g in plan.gradient if g.plane_mask == 7}
     accepts, corners = [], []
     for (sx, sy) in GRAD_SHIFTS:
         tw, th = 1 << sx, 1 << sy
@@ -348,9 +367,22 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
                             p.packed))
         t2_arg = (tab2, tuple(entries))
 
+    pg_pairs = pg_singles = None
+    variants = {g.plane_mask: g for g in plan.gradient if g.plane_mask != 7}
+    if variants:
+        def slot(mask):
+            g = variants.get(mask)
+            if g is None:
+                return (np.zeros((h // 4, w // 4), bool),
+                        np.zeros((h // 4 + 1, w // 4 + 1, 3), np.uint8))
+            return (g.accept, g.corners)
+        pg_pairs = tuple(slot(m) for m in _PGRAD_PAIRS)
+        pg_singles = tuple(slot(m) for m in _PGRAD_SINGLES)
+
     args = (tuple(accepts), tuple(corners),
             tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p),
-            plan.d1.params, plan.d1.indices, wbits, ucol_arg, t2_arg)
+            plan.d1.params, plan.d1.indices, wbits, ucol_arg, t2_arg,
+            pg_pairs, pg_singles)
     return GRAD_SHIFTS, tab, args
 
 

@@ -43,6 +43,7 @@ class GradientPassPlan:
     shift: tuple          # (sx, sy)
     accept: np.ndarray    # [nty, ntx] bool
     corners: np.ndarray   # [nqy+1, nqx+1, 3] u8 corner grid snapshot
+    plane_mask: int = 7   # present planes (GTIL plane field)
 
 
 @dataclass
@@ -201,7 +202,8 @@ def build_plan(stream: bytes, luts_expanded: dict,
     nq = stride_q * (h // 4 + 1)
 
     map_rgb = np.zeros((nq, 3), np.uint8)
-    has_rgb = np.zeros(nq, bool)               # plane-7 path only
+    has_rgb = np.zeros(nq, bool)               # shared until the first
+    has_rgb3 = None                            # plane-variant GTIL chunk
     claims = np.zeros(swizzle.claim_shape(w, h), bool)
     claims3 = None                             # split on first 2DTL chunk
 
@@ -238,9 +240,6 @@ def build_plan(stream: bytes, luts_expanded: dict,
       try:
         if tag == b"GTIL":
             hdr = HeaderGradientTile.unpack(body)
-            if hdr.plane != 7:
-                raise NotImplementedError(
-                    "plane-variant GTIL chunks not in the active encoder path")
             payload = body[HeaderGradientTile.size():]
             sx, sy = hdr.shift_x, hdr.shift_y
             tw, th = 1 << sx, 1 << sy
@@ -264,6 +263,36 @@ def build_plan(stream: bytes, luts_expanded: dict,
             tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)
             bits = swizzle.unpack_bitmap(bitmap, sx, sy, w, h)
             acc = np.flatnonzero(bits & valid)
+            if hdr.plane != 7:
+                # plane-variant chunk (opt-in streams): per-plane corner
+                # dedup/cursor and claims, mirroring the host decoder
+                # (reference.py _gradient_chunk). Split shared state first.
+                if has_rgb3 is None:
+                    has_rgb3 = np.repeat(has_rgb[None], 3, axis=0).copy()
+                if claims3 is None:
+                    claims3 = np.repeat(claims[None], 3, axis=0).copy()
+                present = [p for p in range(3) if hdr.plane & (1 << p)]
+                flat_rgb = rgb
+                cursor = 0
+                for i in acc:
+                    txi, tyi = int(tx_all[i]), int(ty_all[i])
+                    qx, qy = txi * (tw // 4), tyi * (th // 4)
+                    base = qy * stride_q + qx
+                    for cid in (base, base + tw // 4,
+                                base + (th // 4) * stride_q,
+                                base + (th // 4) * stride_q + tw // 4):
+                        for p in present:
+                            if not has_rgb3[p][cid]:
+                                has_rgb3[p][cid] = True
+                                map_rgb[cid, p] = flat_rgb[cursor]
+                                cursor += 1
+                    for p in present:
+                        claims3[p][qy:qy + th // 4, qx:qx + tw // 4] = True
+                grads.append(GradientPassPlan(
+                    shift=(sx, sy), accept=grid,
+                    corners=map_rgb.reshape(h // 4 + 1, stride_q, 3).copy(),
+                    plane_mask=hdr.plane))
+                continue
             if acc.size:
                 tx, ty = tx_all[acc], ty_all[acc]
                 qx0, qy0 = tx * (tw // 4), ty * (th // 4)
