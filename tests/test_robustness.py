@@ -137,6 +137,39 @@ def test_lut2d_corruptions():
             pass
 
 
+def test_header_byte_sweep(lut2):
+    """Deterministic sweep: flip every byte of every chunk HEADER (the
+    random fuzz above demonstrably missed the UCOL bbox-header crash -
+    ADVICE r1). Three XOR patterns per position cover sign/high-bit/low-bit
+    corruption; both the host decoder and the planner must map each case to
+    a clean decode or ValueError."""
+    from yaik_tpu.decoder.reference import iter_chunks
+    from yaik_tpu.decoder import planner as plannermod
+    bases = [(FIXTURES / "img128.yaik").read_bytes()] + \
+        _streams_with_new_chunks()
+    for base in bases:
+        spans = []
+        try:
+            for tag, off, body in iter_chunks(base):
+                spans.append((off, min(len(body), 40)))
+        except ValueError:
+            pass
+        for off, hlen in spans:
+            for rel in range(hlen):
+                for xor in (0x01, 0x80, 0xFF):
+                    s = bytearray(base)
+                    s[off + rel] ^= xor
+                    try:
+                        api.decode_image(bytes(s), lut2, engine="host")
+                    except ACCEPTABLE:
+                        pass
+                    try:
+                        plannermod.build_plan(bytes(s), lut2.expanded,
+                                              lut2.expanded2d)
+                    except ACCEPTABLE:
+                        pass
+
+
 def test_planner_fuzz(lut2):
     """The device-path planner parses chunks independently of the host
     decoder; corrupted streams must yield ValueError (or plan fine), never

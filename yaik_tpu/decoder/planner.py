@@ -344,9 +344,19 @@ def build_plan(stream: bytes, luts_expanded: dict,
             from yaik_tpu.decoder.reference import decode_ucol_map
             from yaik_tpu.format.headers import UniqueColorHeader
             uhdr = UniqueColorHeader.unpack(body)
+            # same header validation as the host decoder (_ucol_chunk):
+            # corrupt bboxes/palette indices raise ValueError, never an
+            # internal IndexError from the scatter below
+            if (uhdr.x < 0 or uhdr.y < 0 or uhdr.w <= 0 or uhdr.h <= 0
+                    or uhdr.x + uhdr.w > w or uhdr.y + uhdr.h > h):
+                raise ValueError("UCOL bbox out of image bounds")
+            if uhdr.version == 2 and (uhdr.w % 8 or uhdr.h % 8):
+                raise ValueError("UCOL swizzled bbox not 8-aligned")
             pal, mp = decode_ucol_map(uhdr, body[UniqueColorHeader.size():])
             n = np.flatnonzero(mp)
             if n.size:
+                if int(mp[n].max()) > pal.shape[0]:
+                    raise ValueError("UCOL palette index out of range")
                 if uhdr.version == 2:
                     tile = n >> 6
                     wu = uhdr.w >> 3

@@ -644,6 +644,14 @@ def _ucol_chunk(st: DecodeState, body: bytes):
     YAIK_API.cpp:568; semantics follow the encoder pass, which maps palette
     slot v>0 at swizzled bbox index n to an exact RGB)."""
     hdr = UniqueColorHeader.unpack(body)
+    # corrupt headers must fail as ValueError, not an internal IndexError:
+    # the bbox and (for the swizzled layout) its 8-alignment bound every
+    # write below
+    if (hdr.x < 0 or hdr.y < 0 or hdr.w <= 0 or hdr.h <= 0
+            or hdr.x + hdr.w > st.width or hdr.y + hdr.h > st.height):
+        raise ValueError("UCOL bbox out of image bounds")
+    if hdr.version == 2 and (hdr.w % 8 or hdr.h % 8):
+        raise ValueError("UCOL swizzled bbox not 8-aligned")
     palette, map_pixel = decode_ucol_map(hdr, body[UniqueColorHeader.size():])
     n = np.flatnonzero(map_pixel)
     if not n.size:

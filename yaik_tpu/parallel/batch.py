@@ -9,6 +9,10 @@ v5e-8 mesh), and (c) spatial sharding of one large image's tile grid
 the dense decode plan into horizontal bands (every plan tensor is
 tile-grid-indexed, so bands are pure slices; the corner grids carry their
 one-row halo naturally).
+
+All plan content splits: gradient passes (incl. plane-variant GTIL),
+3D-LUT passes, the UCOL/SMAP overlay, 2DTL passes, the 1D residual, and
+the alpha channel (host-decoded, reattached after assembly).
 """
 from __future__ import annotations
 
@@ -25,6 +29,43 @@ def _stack_args(list_of_args):
     return jax.tree.map(lambda *xs: np.stack(xs), *list_of_args)
 
 
+def _luts_of(lut):
+    """(expanded3d, expanded2d|None) from raw bytes or an assign_lut handle."""
+    if isinstance(lut, (bytes, bytearray)):
+        return lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut))), None
+    return lut.expanded, getattr(lut, "expanded2d", None)
+
+
+# jitted batch decoders, cached so repeated decode_batch/decode_corpus
+# calls reuse compiled executables (jit specializes per input pytree
+# structure and shapes internally; the ADVICE-r1 per-call lambdas forced a
+# fresh trace+compile every call)
+_FN_CACHE: dict = {}
+
+
+def _batched_decoder(shifts, nargs):
+    key = (shifts, nargs)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        core = lambda t, *a: jax_engine.decode_core(shifts, t, *a)
+        fn = jax.jit(jax.vmap(core, in_axes=(None,) + (0,) * nargs))
+        _FN_CACHE[key] = fn
+    return fn
+
+
+def _put_sharded(tab, b_args, mesh):
+    """Shard per-image tensors over the data axis, replicate the LUT table;
+    with no mesh, plain transfers (computation follows the placed data)."""
+    if mesh is None:
+        return jax.device_put(tab), jax.device_put(b_args)
+    sharding = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    tab = jax.device_put(np.asarray(tab), rep)
+    b_args = jax.device_put(
+        b_args, jax.tree.map(lambda _: sharding, b_args))
+    return tab, b_args
+
+
 def data_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -35,42 +76,40 @@ def decode_batch(streams, lut, mesh: Mesh | None = None):
     """Decode same-sized .yaik streams as one sharded device step.
 
     streams: list of bytes (all the same WxH - group by size upstream).
-    Returns [B, h, w, 3] u8 (RGB; alpha channels are attached per image
-    host-side by the caller if needed).
+    Returns [B, h, w, 3] u8, or [B, h, w, 4] when the streams carry alpha
+    (alpha is host-decoded per image and attached after device assembly,
+    like the reference's linear-A plane, YAIK_DefaultCallback.cpp:24).
     """
-    if isinstance(lut, (bytes, bytearray)):
-        expanded = lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut)))
-    else:
-        expanded = lut.expanded
-    plans = [plannermod.build_plan(s, expanded) for s in streams]
+    expanded, expanded2d = _luts_of(lut)
+    plans = [plannermod.build_plan(s, expanded, expanded2d) for s in streams]
     w, h = plans[0].width, plans[0].height
     if any(p.width != w or p.height != h for p in plans):
         raise ValueError("decode_batch requires same-sized streams")
-    shifts, tab, args0 = jax_engine.plan_to_device_args(plans[0], expanded)
-    all_args = [args0] + [jax_engine.plan_to_device_args(p, expanded)[2]
-                          for p in plans[1:]]
+    shifts, tab, args0 = jax_engine.plan_to_device_args(
+        plans[0], expanded, expanded2d)
+    all_args = [args0] + [
+        jax_engine.plan_to_device_args(p, expanded, expanded2d)[2]
+        for p in plans[1:]]
     b_args = _stack_args(all_args)
 
-    core = lambda t, *a: jax_engine.decode_core(shifts, t, *a)
-    fn = jax.vmap(core, in_axes=(None,) + (0,) * len(b_args))
-    if mesh is not None:
-        # per-image tensors shard over the data axis; the LUT table is
-        # replicated on every device
-        sharding = NamedSharding(mesh, P("data"))
-        rep = NamedSharding(mesh, P())
-        fn = jax.jit(fn,
-                     in_shardings=(rep,) + tuple(
-                         jax.tree.map(lambda _: sharding, b_args)),
-                     out_shardings=sharding)
-    else:
-        fn = jax.jit(fn)
-    out = fn(tab, *jax.device_put(b_args))
-    return np.asarray(out)[:, :h, :w]
+    fn = _batched_decoder(shifts, len(b_args))
+    tab, b_args = _put_sharded(tab, b_args, mesh)
+    out = np.asarray(fn(tab, *b_args))[:, :h, :w]
+    withalpha = [p.has_alpha for p in plans]
+    if any(withalpha):
+        if not all(withalpha):
+            raise ValueError("decode_batch cannot mix alpha/non-alpha "
+                             "streams in one batch")
+        alpha = np.stack([p.alpha for p in plans])
+        out = np.concatenate([out, alpha[:, :, :, None]], axis=3)
+    return out
 
 
 def split_plan_bands(plan: plannermod.DecodePlan, n_bands: int):
     """Slice a decode plan into n_bands horizontal bands (band height must
-    be a multiple of 64 px so every pass's tile grid splits cleanly)."""
+    be a multiple of 64 px so every pass's tile grid splits cleanly).
+    Carries EVERY plan field: gradient passes (incl. plane variants), 3D
+    passes, the UCOL/SMAP overlay, 2DTL passes, 1D residual, and alpha."""
     h, w = plan.height, plan.width
     if h % (n_bands * 64):
         raise ValueError(f"height {h} not splittable into {n_bands} bands "
@@ -87,7 +126,7 @@ def split_plan_bands(plan: plannermod.DecodePlan, n_bands: int):
             q0, q1 = y0 // 4, (y0 + bh) // 4
             grads.append(plannermod.GradientPassPlan(
                 shift=g.shift, accept=g.accept[r0:r1],
-                corners=g.corners[q0:q1 + 1]))
+                corners=g.corners[q0:q1 + 1], plane_mask=g.plane_mask))
         t3 = []
         for p in plan.tile3d:
             sx, sy = p.shift
@@ -99,45 +138,58 @@ def split_plan_bands(plan: plannermod.DecodePlan, n_bands: int):
                 luts=p.luts[r0:r1], colors=p.colors[r0:r1],
                 indices=p.indices[r0:r1], wmask=p.wmask[r0:r1],
                 types=p.types[r0:r1] if p.types is not None else None))
+        t2 = None
+        if plan.tile2d:
+            t2 = []
+            for p in plan.tile2d:
+                sx, sy = p.shift
+                tw, th = 1 << sx, 1 << sy
+                ntx = w // tw
+                r0, r1 = (y0 // th) * ntx, ((y0 + bh) // th) * ntx
+                t2.append(plannermod.Tile2DPassPlan(
+                    mode=p.mode, shift=p.shift,
+                    accept=p.accept[y0 // th:(y0 + bh) // th],
+                    types=p.types[r0:r1], colors=p.colors[r0:r1],
+                    packed=p.packed[r0:r1]))
+        overlay = None
+        if plan.overlay is not None:
+            overlay = plannermod.PlanOverlay(
+                vals=plan.overlay.vals[y0:y0 + bh],
+                mask=plan.overlay.mask[y0:y0 + bh])
         ntx8 = w // 8
         r0, r1 = (y0 // 8) * ntx8, ((y0 + bh) // 8) * ntx8
         d1 = plannermod.Plan1D(params=plan.d1.params[:, r0:r1],
                                indices=plan.d1.indices[:, r0:r1],
                                wmask=plan.d1.wmask[:, r0:r1])
         bands.append(plannermod.DecodePlan(
-            width=w, height=bh, gradient=grads, tile3d=t3, d1=d1))
+            width=w, height=bh, gradient=grads, tile3d=t3, d1=d1,
+            overlay=overlay, tile2d=t2))
     return bands
 
 
 def decode_spatial(stream: bytes, lut, mesh: Mesh | None = None,
                    n_bands: int | None = None):
-    """Decode ONE large image with its tile grid sharded across devices."""
-    if isinstance(lut, (bytes, bytearray)):
-        expanded = lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut)))
-    else:
-        expanded = lut.expanded
-    plan = plannermod.build_plan(stream, expanded)
+    """Decode ONE large image with its tile grid sharded across devices.
+    Returns [h, w, 3] u8 ([h, w, 4] when the stream carries alpha)."""
+    expanded, expanded2d = _luts_of(lut)
+    plan = plannermod.build_plan(stream, expanded, expanded2d)
     n = n_bands or (len(mesh.devices.flat) if mesh is not None
                     else len(jax.devices()))
     bands = split_plan_bands(plan, n)
-    shifts, tab, args0 = jax_engine.plan_to_device_args(bands[0], expanded)
-    all_args = [args0] + [jax_engine.plan_to_device_args(b, expanded)[2]
-                          for b in bands[1:]]
+    shifts, tab, args0 = jax_engine.plan_to_device_args(
+        bands[0], expanded, expanded2d)
+    all_args = [args0] + [
+        jax_engine.plan_to_device_args(b, expanded, expanded2d)[2]
+        for b in bands[1:]]
     b_args = _stack_args(all_args)
-    core = lambda t, *a: jax_engine.decode_core(shifts, t, *a)
-    fn = jax.vmap(core, in_axes=(None,) + (0,) * len(b_args))
-    if mesh is not None:
-        sharding = NamedSharding(mesh, P("data"))
-        rep = NamedSharding(mesh, P())
-        fn = jax.jit(fn,
-                     in_shardings=(rep,) + tuple(
-                         jax.tree.map(lambda _: sharding, b_args)),
-                     out_shardings=sharding)
-    else:
-        fn = jax.jit(fn)
-    out = np.asarray(fn(tab, *jax.device_put(b_args)))
+    fn = _batched_decoder(shifts, len(b_args))
+    tab, b_args = _put_sharded(tab, b_args, mesh)
+    out = np.asarray(fn(tab, *b_args))
     full = out.reshape(n * out.shape[1], out.shape[2], 3)
-    return full[: plan.height, : plan.width]
+    rgb = full[: plan.height, : plan.width]
+    if plan.has_alpha:
+        rgb = np.concatenate([rgb, plan.alpha[:, :, None]], axis=2)
+    return rgb
 
 
 def decode_corpus(streams, lut, batch_size: int = 8,
@@ -157,55 +209,55 @@ def decode_corpus(streams, lut, batch_size: int = 8,
     import os
     from concurrent.futures import ThreadPoolExecutor
     from yaik_tpu.decoder.api import decode_image_pre
-    if isinstance(lut, (bytes, bytearray)):
-        expanded = lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut)))
-    else:
-        expanded = lut.expanded
+    expanded, expanded2d = _luts_of(lut)
     results: list = [None] * len(streams)
     n_workers = planner_workers or os.cpu_count() or 1
     pool = ThreadPoolExecutor(n_workers) if n_workers > 1 else None
 
-    # group by size from the header alone; planning stays in the pipeline
-    groups: dict = {}
-    for i, s in enumerate(streams):
-        w, h, _ = decode_image_pre(s)
-        groups.setdefault((w, h), []).append(i)
+    try:
+        # group by size from the header alone; planning stays in the pipeline
+        groups: dict = {}
+        for i, s in enumerate(streams):
+            w, h, _ = decode_image_pre(s)
+            groups.setdefault((w, h), []).append(i)
 
-    for (w, h), idxs in groups.items():
-        fn = None
+        for (w, h), idxs in groups.items():
+            def plan_and_dispatch(chunk):
+                if pool is not None:
+                    plans = list(pool.map(
+                        lambda i: plannermod.build_plan(
+                            streams[i], expanded, expanded2d),
+                        chunk))
+                else:
+                    plans = [plannermod.build_plan(streams[i], expanded,
+                                                   expanded2d)
+                             for i in chunk]
+                shifts, tab, args0 = jax_engine.plan_to_device_args(
+                    plans[0], expanded, expanded2d)
+                fn = _batched_decoder(shifts, len(args0))
+                args = [args0] + [
+                    jax_engine.plan_to_device_args(p, expanded,
+                                                   expanded2d)[2]
+                    for p in plans[1:]]
+                args += [args[0]] * (batch_size - len(args))
+                out = fn(tab, *jax.device_put(_stack_args(args)))
+                out.copy_to_host_async()   # before any further enqueue
+                return out, plans          # (older-buffer fetches wedge
+                                           # this runtime)
 
-        def plan_and_dispatch(chunk):
-            nonlocal fn
-            if pool is not None:
-                plans = list(pool.map(
-                    lambda i: plannermod.build_plan(streams[i], expanded),
-                    chunk))
-            else:
-                plans = [plannermod.build_plan(streams[i], expanded)
-                         for i in chunk]
-            shifts, tab, args0 = jax_engine.plan_to_device_args(
-                plans[0], expanded)
-            if fn is None:
-                nargs = len(args0)
-                fn = jax.jit(jax.vmap(
-                    lambda t, *a: jax_engine.decode_core(shifts, t, *a),
-                    in_axes=(None,) + (0,) * nargs))
-            args = [args0] + [jax_engine.plan_to_device_args(p, expanded)[2]
-                              for p in plans[1:]]
-            args += [args[0]] * (batch_size - len(args))
-            out = fn(tab, *jax.device_put(_stack_args(args)))
-            out.copy_to_host_async()   # before any further enqueue (older-
-            return out, plans          # buffer fetches wedge this runtime)
-
-        pending = None
-        for s in range(0, len(idxs), batch_size):
-            chunk = idxs[s:s + batch_size]
-            # planning chunk k+1 here overlaps the device decoding chunk k
-            handle = plan_and_dispatch(chunk)
-            if pending is not None:
-                _drain(pending, results, w, h)
-            pending = (chunk, *handle)
-        _drain(pending, results, w, h)
+            pending = None
+            for s in range(0, len(idxs), batch_size):
+                chunk = idxs[s:s + batch_size]
+                # planning chunk k+1 here overlaps the device decode of
+                # chunk k
+                handle = plan_and_dispatch(chunk)
+                if pending is not None:
+                    _drain(pending, results, w, h)
+                pending = (chunk, *handle)
+            _drain(pending, results, w, h)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
     return results
 
 
