@@ -30,6 +30,13 @@ def fixture_names():
     return sorted(p.stem for p in FIXTURES.glob("*.yaik") if "." not in p.stem)
 
 
+def fixture_params(slow_when=lambda name: "512" in name):
+    """fixture_names with pytest.mark.slow applied to the big images (the
+    512^2 encodes dominate the default suite; the fast tier skips them)."""
+    return [pytest.param(n, marks=pytest.mark.slow) if slow_when(n)
+            else n for n in fixture_names()]
+
+
 @pytest.fixture(scope="session")
 def golden():
     def load(name):

@@ -17,16 +17,20 @@ from yaik_tpu.decoder import api  # noqa: E402
 FIX = REPO / "tests" / "fixtures"
 
 
-def main():
+def main(fast: bool = False):
     assert jax.devices()[0].platform == "cpu", jax.devices()
     assert len(jax.devices()) == 8, jax.devices()
     lut = api.assign_lut((FIX / "LutFile.lut").read_bytes())
-    for name in ("img64", "img128"):
+    names = ("img64",) if fast else ("img64", "img128")
+    for name in names:
         stream = (FIX / f"{name}.yaik").read_bytes()
         want = np.load(FIX / f"{name}.dec.npz")["rgb"]
         got = api.decode_image(stream, lut, engine="jax")
         assert np.array_equal(got, want), f"{name}: jax decode mismatch"
         print(f"{name}: jax decode bit-exact")
+    if fast:   # smoke tier: one compiled decode proves the engine wiring
+        print("ALL OK")
+        return
 
     # device-scored encode == host encode, byte for byte
     from PIL import Image
@@ -111,4 +115,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(fast="--fast" in sys.argv)

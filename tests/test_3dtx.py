@@ -12,6 +12,9 @@ from yaik_tpu.encoder import bank as bankmod
 from yaik_tpu.encoder.context import encode_image
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def bank3d():
     return bankmod.load_bank(str(FIXTURES / "Bank3D"))

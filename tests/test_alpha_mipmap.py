@@ -21,6 +21,9 @@ from yaik_tpu.encoder.context import EncoderConfig, encode_image
 REF_DECODER = pathlib.Path(__file__).parent.parent / "tools" / "refbuild" / "ref_decoder"
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def bank():
     return bankmod.load_bank(str(FIXTURES / "Bank3D"))

@@ -8,6 +8,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 from tests.conftest import FIXTURES
 from yaik_tpu.utils import profiler
@@ -68,6 +69,7 @@ def test_mining_checkpoint_resume(tmp_path):
         (tmp_path / "bankB" / name).read_bytes()
 
 
+@pytest.mark.slow
 def test_cli_encode_log_and_profile(tmp_path):
     out = tmp_path / "o.yaik"
     gs = tmp_path / "g.json"
@@ -113,6 +115,7 @@ def test_dynamic_tile_analyze():
     assert rep2.total_pixels == 32 * 16
 
 
+@pytest.mark.slow
 def test_mine_bank2d(tmp_path):
     """2D bank mining (the reference's isCaptureMode2D workflow,
     EncoderContext.cpp:6965-6982): captured pair clouds -> greedy coverage

@@ -46,6 +46,7 @@ def test_lut2d_file_bit_exact(bank2d):
         (FIXTURES / "LutFile2D.lut").read_bytes()
 
 
+@pytest.mark.slow
 def test_corr2d_stream_byte_exact(bank3d, bank2d, rgb):
     """Full pipeline with enable_2d: GTIL + 3DTL + 2DTL(RG,GB,RB) + 1DTL,
     byte-identical to the reference driver's output (incl. the 2D claim
@@ -79,6 +80,7 @@ def test_corr2d_requires_lut(lut_bytes):
         decref.decode(gold, lut_bytes)
 
 
+@pytest.mark.slow
 def test_corr2d_roundtrip_other_images(bank3d, bank2d, lut_bytes):
     """enable_2d on ordinary content: 2D accepts little or nothing there,
     and the stream still decodes identically to the non-2D decode."""
@@ -110,6 +112,7 @@ def test_expand_lut2d_layout():
     assert np.array_equal(exp[7][:, 1], 128 - base[:, 0])
 
 
+@pytest.mark.slow
 def test_corr2d_jax_engine_matches_host(lut_bytes):
     """Device path (planner + jax_engine) is pixel-identical on 2DTL
     streams, including the 3-bit LUT-block overrun semantics."""

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 from PIL import Image
 
-from tests.conftest import FIXTURES, fixture_names
+from tests.conftest import FIXTURES, fixture_params
 from yaik_tpu.decoder import api, reference as refdec
 from yaik_tpu.encoder import bank as bankmod
 from yaik_tpu.encoder.context import encode_image
@@ -37,7 +37,7 @@ def test_lutfile_bit_exact(bank):
     assert bankmod.write_lut_file(bank) == (FIXTURES / "LutFile.lut").read_bytes()
 
 
-@pytest.mark.parametrize("name", fixture_names())
+@pytest.mark.parametrize("name", fixture_params())
 def test_encode_golden(name, bank, lut_bytes, golden):
     img = np.asarray(Image.open(FIXTURES / f"{name}.png"))
     if img.ndim != 3 or img.shape[2] != 3:

@@ -6,15 +6,29 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
 
-def test_jax_engine_subprocess():
+
+def _run_driver(extra_args=(), timeout=1800):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     driver = pathlib.Path(__file__).parent / "jax_driver.py"
-    res = subprocess.run([sys.executable, str(driver)], env=env,
-                         capture_output=True, text=True, timeout=1200)
+    res = subprocess.run([sys.executable, str(driver), *extra_args], env=env,
+                         capture_output=True, text=True, timeout=timeout)
     assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-3000:]
     assert "ALL OK" in res.stdout
+
+
+def test_jax_engine_smoke():
+    """Fast tier: one compiled jax decode, bit-exact vs the golden."""
+    _run_driver(["--fast"], timeout=600)
+
+
+@pytest.mark.slow
+def test_jax_engine_subprocess():
+    """Full tier: engine matrix, mesh decode, spatial bands, corpus
+    pipeline, multi-chunk parallel surfaces, dryrun entry points."""
+    _run_driver()

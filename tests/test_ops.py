@@ -1,5 +1,6 @@
 """Pixel-framework ops: exact-semantics checks against the C formulas."""
 import numpy as np
+import pytest
 
 from yaik_tpu.ops import plane as P
 from yaik_tpu.ops import segments as S
@@ -104,6 +105,7 @@ def test_segment_lut_ctx():
     assert 2 <= int(ctx.position[3][32, 32, 32]) <= 5
 
 
+@pytest.mark.slow
 def test_mining_produces_loadable_bank(tmp_path):
     from yaik_tpu.encoder import bank as bankmod, mining
     rng = np.random.default_rng(7)
@@ -123,6 +125,7 @@ def test_mining_produces_loadable_bank(tmp_path):
     assert out.shape == img.shape
 
 
+@pytest.mark.slow
 def test_pallas_lut3d_resolve_interpret():
     """The Pallas 3D-LUT resolve kernel (interpret mode == CPU-safe)."""
     import jax.numpy as jnp

@@ -19,9 +19,9 @@ from yaik_tpu.entropy import zstd_backend as zstd
 
 REFBUILD = pathlib.Path(__file__).parent.parent / "tools" / "refbuild"
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not (REFBUILD / "ref_encoder").exists() or not zstd.IS_REFERENCE_ZSTD,
-    reason="reference toolchain not built")
+    reason="reference toolchain not built")]
 
 
 def fresh_images():

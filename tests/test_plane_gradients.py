@@ -23,6 +23,9 @@ from yaik_tpu.encoder.context import EncoderConfig, encode_image
 from yaik_tpu.format.headers import HeaderGradientTile
 
 
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def bank3d():
     return bankmod.load_bank(str(FIXTURES / "Bank3D"))

@@ -64,6 +64,7 @@ def test_plnt_standalone_reconstruction():
     assert err.mean() < 16
 
 
+@pytest.mark.slow
 def test_plnt_in_pipeline(lut_bytes):
     """enable_plnt appends Y/Co/Cg PLNT chunks after 1DTL; decode is
     unchanged (the chunk is validated and skipped, like the reference
@@ -81,6 +82,7 @@ def test_plnt_in_pipeline(lut_bytes):
     assert np.array_equal(out, base)
 
 
+@pytest.mark.slow
 def test_plnt_jax_engine(lut_bytes):
     from yaik_tpu.decoder import api
     from yaik_tpu.encoder import bank as bankmod

@@ -137,6 +137,7 @@ def test_lut2d_corruptions():
             pass
 
 
+@pytest.mark.slow
 def test_header_byte_sweep(lut2):
     """Deterministic sweep: flip every byte of every chunk HEADER (the
     random fuzz above demonstrably missed the UCOL bbox-header crash -

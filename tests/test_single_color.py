@@ -78,6 +78,7 @@ def test_ucol_only_decode_exact(name):
     assert np.array_equal(out[y, x], rgb[y, x])
 
 
+@pytest.mark.slow
 def test_ucol_pipeline_consistency(bank3d, lut_bytes):
     """enable_single_color inserts UCOL between ALPM and GTIL; downstream
     chunks are unchanged (the reference's active passes never read the
@@ -93,6 +94,7 @@ def test_ucol_pipeline_consistency(bank3d, lut_bytes):
     assert np.array_equal(d0, d1)
 
 
+@pytest.mark.slow
 def test_ucol_alpha_mip_roundtrip(bank3d, lut_bytes):
     """UCOL under a MipPrefilter mask (alpha sprite): histogram is gated by
     the mip mask; stream decodes, and claimed pixels inside the mip bbox
@@ -108,6 +110,7 @@ def test_ucol_alpha_mip_roundtrip(bank3d, lut_bytes):
     assert np.array_equal(out[:, :, 3], rgba[:, :, 3])
 
 
+@pytest.mark.slow
 def test_ucol_jax_engine_matches_host(bank3d, lut_bytes):
     """Device path applies UCOL palette pixels identically to the host."""
     from yaik_tpu.decoder import api

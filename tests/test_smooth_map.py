@@ -73,6 +73,7 @@ def test_smap_flat_region_all_smooth():
     # prefix of the reference's UB at :2728 lands on the first rows)
 
 
+@pytest.mark.slow
 def test_smap_in_pipeline(lut_bytes):
     from yaik_tpu.encoder import bank as bankmod
     from yaik_tpu.encoder.context import EncoderConfig, encode_image

@@ -115,18 +115,23 @@ def build_eval_ctx(points: np.ndarray) -> EvalCtx3D:
         tab[: len(vals)] = vals
         factors[bit] = tab
     # nearest-point maps + distance field. C iterates pts in order with
-    # strict < -> first (lowest-index) point wins ties.
+    # strict < -> first (lowest-index) point wins ties. Distances expand to
+    # |c|^2 + |p|^2 - 2 c.p via one f64 matmul per bank file: every term is
+    # an integer < 2^53, so values and argmin ties are exact, and the
+    # [64^3, n, 3] broadcast temp (seconds per file) disappears.
     g = np.arange(64)
     zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")  # [z,y,x]
-    coords = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.int64)
+    coords = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float64)
+    ptsf = points.astype(np.float64)
+    d_full = ((coords ** 2).sum(1)[:, None] + (ptsf ** 2).sum(1)[None, :]
+              - 2.0 * (coords @ ptsf.T))           # [v, n] exact integers
     position = {}
     dist_field = None
     for bit, step in ((6, 1), (5, 2), (4, 4), (3, 8)):
-        pts = points[::step].astype(np.int64)
-        d = ((coords[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)  # [v, p]
+        d = d_full[:, ::step]
         idx = d.argmin(axis=1)  # first min wins ties (np argmin = first)
         position[bit] = idx.astype(np.int32).reshape(64, 64, 64)  # [z,y,x]
-        dist_field = d[np.arange(len(coords)), idx].astype(np.int32)
+        dist_field = d[np.arange(d.shape[0]), idx].astype(np.int32)
     # the final field is the 3-bit one (reference overwrite quirk)
     return EvalCtx3D(factors=factors, position=position, dist_field=dist_field)
 

@@ -30,9 +30,12 @@ def _stack_args(list_of_args):
 
 
 def _luts_of(lut):
-    """(expanded3d, expanded2d|None) from raw bytes or an assign_lut handle."""
+    """(expanded3d, expanded2d|None) from raw bytes, an already-expanded
+    dict, or an assign_lut handle."""
     if isinstance(lut, (bytes, bytearray)):
         return lutmod.expand_lut(lutmod.parse_lut_file(bytes(lut))), None
+    if isinstance(lut, dict):
+        return lut, None
     return lut.expanded, getattr(lut, "expanded2d", None)
 
 
