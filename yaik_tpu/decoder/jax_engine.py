@@ -10,6 +10,11 @@ all pixel math on device with TPU-friendly primitives only:
   - 1D residual: pure elementwise select
   - image assembly: reshapes of full tile grids (no scatter)
 
+Layout: all pixel state is PLANAR [3, h, w] - like the reference's
+swizzled planar buffers (YAIK.h:205-224) and unlike [h, w, 3], whose
+3-wide minor dimension wastes the TPU's 128-lane registers and pads every
+masked update 42x. Channels interleave once, at the very end, on u8.
+
 The same function compiles for CPU tests and TPU, and batches with vmap.
 """
 from __future__ import annotations
@@ -28,10 +33,39 @@ from yaik_tpu.format import swizzle
 GRAD_SHIFTS = tuple(swizzle.GRADIENT_PASS_ORDER)
 T3_SHIFTS = tuple(swizzle.TILE3D_PASS_ORDER)
 
-# opt-in Pallas path for the 3D-LUT resolve (identical output; keeps the
-# one-hot expansion in VMEM instead of HBM). Default off: at current batch
-# sizes both paths are dispatch-latency-bound and XLA fuses well.
+# opt-in Pallas path for the 3D-LUT resolve (identical output). Default
+# off: measured on the real chip (round 2), the VPU select-accumulate is
+# ~3x slower than the XLA one-hot matmul at bench shapes - the 64
+# MACs/pixel belong on the MXU (see BASELINE.md Pallas A/B table).
 USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "0") == "1"
+
+
+def _blend_values(corners, accept, sx, sy):
+    """Bilinear tile fill values for one gradient pass: [3, nty*th, ntx*tw]
+    plus the [nty*th, ntx*tw] accept mask (exact YAIK_Gradient.cpp
+    fixed-point semantics)."""
+    tw, th = 1 << sx, 1 << sy
+    nty, ntx = accept.shape
+    qsy, qsx = th // 4, tw // 4
+    cg = jnp.moveaxis(corners.astype(jnp.int32), -1, 0)   # [3, qh, qw]
+    c00 = cg[:, :nty * qsy:qsy, :ntx * qsx:qsx]
+    c01 = cg[:, :nty * qsy:qsy, qsx:ntx * qsx + 1:qsx]
+    c10 = cg[:, qsy:nty * qsy + 1:qsy, :ntx * qsx:qsx]
+    c11 = cg[:, qsy:nty * qsy + 1:qsy, qsx:ntx * qsx + 1:qsx]
+
+    ry = jnp.arange(th, dtype=jnp.int32).reshape(1, 1, th, 1, 1)
+    rx = jnp.arange(tw, dtype=jnp.int32).reshape(1, 1, 1, 1, tw)
+
+    def up(c):  # [3,nty,ntx] -> [3,nty,1,ntx,1]
+        return c[:, :, None, :, None]
+
+    left = up(c00) * (th - ry) + up(c10) * ry
+    right = up(c01) * (th - ry) + up(c11) * ry
+    shift = (th.bit_length() - 1) + (tw.bit_length() - 1)
+    vals = (left * (tw - rx) + right * rx) >> shift
+    vals = vals.reshape(3, nty * th, ntx * tw)
+    mask = jnp.repeat(jnp.repeat(accept, th, axis=0), tw, axis=1)
+    return vals, mask
 
 
 def _blend_pass(plane, accept, corners, sx, sy):
@@ -40,29 +74,19 @@ def _blend_pass(plane, accept, corners, sx, sy):
     nty, ntx = accept.shape
     if nty == 0 or ntx == 0:
         return plane
-    qsy, qsx = th // 4, tw // 4
-    cg = corners.astype(jnp.int32)
-    c00 = cg[:nty * qsy:qsy, :ntx * qsx:qsx]
-    c01 = cg[:nty * qsy:qsy, qsx:ntx * qsx + 1:qsx]
-    c10 = cg[qsy:nty * qsy + 1:qsy, :ntx * qsx:qsx]
-    c11 = cg[qsy:nty * qsy + 1:qsy, qsx:ntx * qsx + 1:qsx]
+    vals, mask = _blend_values(corners, accept, sx, sy)
+    region = plane[:, : nty * th, : ntx * tw]
+    region = jnp.where(mask[None], vals, region)
+    return plane.at[:, : nty * th, : ntx * tw].set(region)
 
-    ry = jnp.arange(th, dtype=jnp.int32).reshape(1, th, 1, 1, 1)
-    rx = jnp.arange(tw, dtype=jnp.int32).reshape(1, 1, 1, tw, 1)
 
-    def up(c):  # [nty,ntx,3] -> [nty,1,ntx,1,3]
-        return c[:, None, :, None, :]
-
-    left = up(c00) * (th - ry) + up(c10) * ry
-    right = up(c01) * (th - ry) + up(c11) * ry
-    shift = (th.bit_length() - 1) + (tw.bit_length() - 1)
-    vals = (left * (tw - rx) + right * rx) >> shift
-    vals = vals.reshape(nty * th, ntx * tw, 3)
-
-    mask = jnp.repeat(jnp.repeat(accept, th, axis=0), tw, axis=1)
-    region = plane[: nty * th, : ntx * tw]
-    region = jnp.where(mask[:, :, None], vals, region)
-    return plane.at[: nty * th, : ntx * tw].set(region)
+def _tile_to_image(vals, nty, ntx, th, tw):
+    """[..., nty*ntx, th*tw] tile-major -> [..., nty*th, ntx*tw] image."""
+    lead = vals.shape[:-2]
+    v = vals.reshape(lead + (nty, ntx, th, tw))
+    perm = tuple(range(len(lead))) + tuple(
+        len(lead) + i for i in (0, 2, 1, 3))
+    return v.transpose(perm).reshape(lead + (nty * th, ntx * tw))
 
 
 def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
@@ -81,26 +105,26 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
     colors = colors.astype(jnp.int32)
     if USE_PALLAS and jax.devices()[0].platform == "tpu":
         from yaik_tpu.ops.pallas_kernels import lut3d_resolve
-        vals = lut3d_resolve(indices, luts, colors)           # [g, npx, 3]
+        vals_pc = lut3d_resolve(indices, luts, colors)        # [g, npx, 3]
+        vals = jnp.moveaxis(vals_pc, -1, 0)                   # [3, g, npx]
     else:
-        # one-hot [g, npx, 64] in f32 (exact for values <= 2^24)
+        # one-hot [g, npx, 64] in f32 (exact for values <= 2^24), output
+        # written channel-major
         onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
                   [None, None, :]).astype(jnp.float32)
-        L = jnp.einsum("gpk,gkc->gpc", onehot, luts.astype(jnp.float32),
+        L = jnp.einsum("gpk,gkc->cgp", onehot, luts.astype(jnp.float32),
                        preferred_element_type=jnp.float32).astype(jnp.int32)
-        mn = colors[:, None, 0:3]
-        diff = colors[:, None, 3:6] - mn
-        vals = (mn + ((diff * L) >> 7)) & 0xFF                # [g, npx, 3]
+        mn = colors.T[0:3, :, None]                           # [3, g, 1]
+        diff = colors.T[3:6, :, None] - mn
+        vals = (mn + ((diff * L) >> 7)) & 0xFF                # [3, g, npx]
 
     write = wmask & accept.reshape(g)[:, None]
-    vals = vals.reshape(nty, ntx, th, tw, 3).transpose(0, 2, 1, 3, 4)
-    vals = vals.reshape(nty * th, ntx * tw, 3)
-    wm = write.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3)
-    wm = wm.reshape(nty * th, ntx * tw)
+    vals = _tile_to_image(vals, nty, ntx, th, tw)             # [3, H, W]
+    wm = _tile_to_image(write, nty, ntx, th, tw)              # [H, W]
 
-    region = plane[: nty * th, : ntx * tw]
-    region = jnp.where(wm[:, :, None], vals, region)
-    return plane.at[: nty * th, : ntx * tw].set(region)
+    region = plane[:, : nty * th, : ntx * tw]
+    region = jnp.where(wm[None], vals, region)
+    return plane.at[:, : nty * th, : ntx * tw].set(region)
 
 
 _T2_ORDER = tuple((mode, shift) for mode in (0, 1, 2)
@@ -121,24 +145,20 @@ def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy):
     colors = colors.astype(jnp.int32)
     onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
               [None, None, :]).astype(jnp.float32)
-    L = jnp.einsum("gpk,gkc->gpc", onehot, luts.astype(jnp.float32),
+    L = jnp.einsum("gpk,gkc->cgp", onehot, luts.astype(jnp.float32),
                    preferred_element_type=jnp.float32).astype(jnp.int32)
-    mn = colors[:, None, 0:2]
-    diff = colors[:, None, 2:4] - mn
-    vals = (mn + ((diff * L) >> 7)) & 0xFF                   # [g, npx, 2]
+    mn = colors.T[0:2, :, None]
+    diff = colors.T[2:4, :, None] - mn
+    vals = (mn + ((diff * L) >> 7)) & 0xFF                    # [2, g, npx]
 
     write = wmask & accept.reshape(g)[:, None]
-    vals = vals.reshape(nty, ntx, th, tw, 2).transpose(0, 2, 1, 3, 4)
-    vals = vals.reshape(nty * th, ntx * tw, 2)
-    wm = write.reshape(nty, ntx, th, tw).transpose(0, 2, 1, 3)
-    wm = wm.reshape(nty * th, ntx * tw)
+    vals = _tile_to_image(vals, nty, ntx, th, tw)             # [2, H, W]
+    wm = _tile_to_image(write, nty, ntx, th, tw)              # [H, W]
 
-    region = plane[: nty * th, : ntx * tw]
-    region = region.at[:, :, pa].set(
-        jnp.where(wm, vals[:, :, 0], region[:, :, pa]))
-    region = region.at[:, :, pb].set(
-        jnp.where(wm, vals[:, :, 1], region[:, :, pb]))
-    return plane.at[: nty * th, : ntx * tw].set(region)
+    region = plane[:, : nty * th, : ntx * tw]
+    region = region.at[pa].set(jnp.where(wm, vals[0], region[pa]))
+    region = region.at[pb].set(jnp.where(wm, vals[1], region[pb]))
+    return plane.at[:, : nty * th, : ntx * tw].set(region)
 
 
 _PGRAD_PAIRS = (5, 3, 6)      # RB, RG, GB 4x4 emission order
@@ -149,9 +169,8 @@ def _blend_pass_masked(plane, accept, corners, mask, sx, sy):
     """_blend_pass writing only the planes in `mask` (static) - the
     plane-variant GTIL chunks (GTIL plane != 7)."""
     full = _blend_pass(plane, accept, corners, sx, sy)
-    chans = [full[:, :, p] if (mask & (1 << p)) else plane[:, :, p]
-             for p in range(3)]
-    return jnp.stack(chans, axis=-1)
+    chans = [full[p] if (mask & (1 << p)) else plane[p] for p in range(3)]
+    return jnp.stack(chans, axis=0)
 
 
 def _d1_pass(plane, params, indices, wbits, h8, w8):
@@ -161,38 +180,34 @@ def _d1_pass(plane, params, indices, wbits, h8, w8):
     g = nty * ntx
     wmask = ((wbits[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
              ).reshape(3, g, 64) != 0
-    outs = []
-    for p in range(3):
-        L = indices[p].astype(jnp.int32)                      # [g, 64]
-        color0 = params[p, :, 0:1]
-        base = params[p, :, 1:2]
-        delta2 = params[p, :, 2:3]
-        v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
-        v = v.reshape(nty, ntx, 8, 8).transpose(0, 2, 1, 3).reshape(h8, w8)
-        wm = wmask[p].reshape(nty, ntx, 8, 8).transpose(0, 2, 1, 3)
-        wm = wm.reshape(h8, w8)
-        outs.append(jnp.where(wm, v, plane[:, :, p]))
-    return jnp.stack(outs, axis=-1)
+    L = indices.astype(jnp.int32)                             # [3, g, 64]
+    color0 = params[:, :, 0:1]
+    base = params[:, :, 1:2]
+    delta2 = params[:, :, 2:3]
+    v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
+    v = _tile_to_image(v, nty, ntx, 8, 8)                     # [3, h8, w8]
+    wm = _tile_to_image(wmask, nty, ntx, 8, 8)
+    return jnp.where(wm, v, plane)
 
 
 def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
                 t3_accepts, t3_rows, t3_colors, t3_packed,
                 d1_params, d1_indices, d1_wmask,
                 ucol=None, t2=None, pgrad_pairs=None, pgrad_singles=None):
-    """ucol: None or the pre-pass overlay (vals [h8,w8,3] u8, mask
+    """ucol: None or the pre-pass overlay (vals [3,h8,w8] u8 planar, mask
     packbits [h8,w8/8] u8) carrying UCOL + SMAP pixels - applied first, in
     stream order. t2: None or (lut2_tab [C,64,2], 6x (accept, rows, colors,
-    packed)) in _T2_ORDER."""
+    packed)) in _T2_ORDER. Returns [h8, w8, 3] u8."""
     # image dims (multiples of 8) from the 4x4 3D pass grid
     nty4, ntx4 = t3_accepts[-1].shape
     h8, w8 = nty4 * 4, ntx4 * 4
 
-    plane = jnp.full((h8, w8, 3), 0x80, jnp.int32)
+    plane = jnp.full((3, h8, w8), 0x80, jnp.int32)
     if ucol is not None:
         ov_vals, ov_bits = ucol        # overlay (UCOL + SMAP, stream order)
         m = ((ov_bits[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
              ).reshape(h8, w8) != 0
-        plane = jnp.where(m[:, :, None], ov_vals.astype(jnp.int32), plane)
+        plane = jnp.where(m[None], ov_vals.astype(jnp.int32), plane)
     for k, (sx, sy) in enumerate(shifts):
         plane = _blend_pass(plane, grad_accepts[k], grad_corners[k], sx, sy)
     for k, (sx, sy) in enumerate(T3_SHIFTS):
@@ -209,7 +224,7 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         for k, mask in enumerate(_PGRAD_SINGLES):
             plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
     plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
-    return plane.astype(jnp.uint8)
+    return plane.astype(jnp.uint8).transpose(1, 2, 0)
 
 
 decode_pixels = partial(jax.jit, static_argnames=("shifts",))(decode_core)
@@ -337,7 +352,9 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
     if plan.overlay is not None:
         wbits_ov = np.packbits(plan.overlay.mask.astype(np.uint8),
                                axis=-1, bitorder="little")
-        ucol_arg = (plan.overlay.vals, wbits_ov)
+        # planar [3, h8, w8] for the device (channel-minor wastes lanes)
+        ucol_arg = (np.ascontiguousarray(
+            np.moveaxis(plan.overlay.vals, -1, 0)), wbits_ov)
 
     t2_arg = None
     if plan.tile2d:
