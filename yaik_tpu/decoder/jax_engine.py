@@ -339,11 +339,9 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
         t3a.append(p.accept)
         t3r.append((base_arr[bi] + comb).astype(np.int32))
         t3c.append(p.colors.astype(np.uint8))         # min/max are 0..255
-        # corrupt streams can carry idx > 63 (byte//3 <= 85); the one-hot
-        # treated those as "no point" - clamping to 63 keeps the pack in
-        # 6 bits (valid streams never exceed 63)
-        t3p.append(np.minimum(p.indices, 63).astype(np.uint8)
-                   | (p.wmask.astype(np.uint8) << 6))
+        # the planner already stores idx|wmask<<6 with idx clamped to 63
+        # (corrupt streams can carry byte//3 <= 85) - zero-copy here
+        t3p.append(p.packed)
 
     wbits = np.packbits(plan.d1.wmask.astype(np.uint8), axis=-1,
                         bitorder="little")                     # [3, g, 8]

@@ -50,10 +50,9 @@ class GradientPassPlan:
 class Tile3DPassPlan:
     shift: tuple
     accept: np.ndarray    # [nty, ntx] bool
-    luts: np.ndarray      # [nty*ntx, 64, 3] u8 per-tile LUT slice (0-padded)
     colors: np.ndarray    # [nty*ntx, 6] i32 (min RGB, max RGB)
-    indices: np.ndarray   # [nty*ntx, th*tw] u8 LUT entry per pixel slot
-    wmask: np.ndarray     # [nty*ntx, th*tw] bool pixel written by this tile
+    packed: np.ndarray    # [nty*ntx, th*tw] u8: LUT idx (6 bits, clamped)
+                          #   | wmask << 6 - the device-link layout
     types: np.ndarray = None  # [nty*ntx] i32 raw tile type words (stats)
 
 
@@ -252,13 +251,33 @@ def build_plan(stream: bytes, luts_expanded: dict,
                 hdr.stream_rgb_size_custom)
             rgb = palette.palette_decompress(
                 cust, hdr.stream_rgb_size_uncompressed, hdr.color_compression)
+
+            if hdr.plane == 7 and native.available():
+                # consolidated native pass: bitmap walk + corner dedup +
+                # claims + accept grid in ONE call (planning is decode's
+                # host bottleneck; the numpy path below is the reference)
+                expect = swizzle.bitmap_size_bytes(sx, sy, w, h)
+                mb = np.ascontiguousarray(bitmap[:expect])
+                if mb.size != expect:
+                    raise ValueError(f"bitmap size {mb.size} != {expect}")
+                bx, by, _bits = swizzle.swizzle_spec(sx, sy)
+                grid = np.zeros(((h + th - 1) // th, (w + tw - 1) // tw),
+                                bool)
+                native.plan_gtil_full(mb, w, h, sx, sy, bx, by, rgb,
+                                      map_rgb, has_rgb.view(np.uint8),
+                                      stride_q, claims.view(np.uint8),
+                                      grid.view(np.uint8))
+                grads.append(GradientPassPlan(
+                    shift=(sx, sy), accept=grid,
+                    corners=map_rgb.reshape(h // 4 + 1, stride_q, 3).copy()))
+                continue
             # security offset like the reference (YAIK_API.cpp:896-910):
             # corrupted bitmaps may claim more corners than the stream holds;
-            # over-allocate so reads get zeros instead of faulting
+            # over-allocate so reads get zeros instead of faulting (the
+            # native path above bound-checks instead)
             rgb = np.concatenate(
                 [rgb, np.zeros(3 * ((w // 4 + 1) * (h // 4 + 1)), np.uint8)])
             rgb3 = rgb[:(rgb.size // 3) * 3].reshape(-1, 3)
-
             grid, _ = swizzle.accept_grid(bitmap, sx, sy, w, h)
             tx_all, ty_all, valid = swizzle.tile_scan_coords(sx, sy, w, h)
             bits = swizzle.unpack_bitmap(bitmap, sx, sy, w, h)
@@ -304,24 +323,14 @@ def build_plan(stream: bytes, luts_expanded: dict,
                                axis=1).reshape(-1)
                 # first-touch dedup in scan order == the reference's
                 # "read next rgb if corner not yet loaded" cursor
-                if native.available():
-                    native.plan_gtil_corners(
-                        np.ascontiguousarray(ids),
-                        np.ascontiguousarray(rgb3),
-                        map_rgb, has_rgb.view(np.uint8))
-                    native.claim_tiles(
-                        np.ascontiguousarray(qx0, np.int32),
-                        np.ascontiguousarray(qy0, np.int32),
-                        tw // 4, th // 4, claims.view(np.uint8))
-                else:
-                    _, first = np.unique(ids, return_index=True)
-                    isfirst = np.zeros(ids.size, bool)
-                    isfirst[first] = True
-                    new = isfirst & ~has_rgb[ids]
-                    k = np.cumsum(new) - 1
-                    map_rgb[ids[new]] = rgb3[k[new]]
-                    has_rgb[ids[new]] = True
-                    _claim_tiles(claims, qx0, qy0, tw, th)
+                _, first = np.unique(ids, return_index=True)
+                isfirst = np.zeros(ids.size, bool)
+                isfirst[first] = True
+                new = isfirst & ~has_rgb[ids]
+                k = np.cumsum(new) - 1
+                map_rgb[ids[new]] = rgb3[k[new]]
+                has_rgb[ids[new]] = True
+                _claim_tiles(claims, qx0, qy0, tw, th)
             grads.append(GradientPassPlan(
                 shift=(sx, sy), accept=grid,
                 corners=map_rgb.reshape(h // 4 + 1, stride_q, 3).copy()))
@@ -449,34 +458,77 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
     colors = palette.full_range_remap(
         colors_b, hdr.compression_rate_color).astype(np.int32).reshape(-1, 6)
     types = types_b.view("<u2")
-    # security padding: corrupted bitmaps may accept more tiles than the
-    # type/color/index streams hold - reads past the end yield zeros (the
-    # native scatter bound-checks, so index streams only pad the numpy path)
-    max_tiles = sum((w >> sx) * (h >> sy)
-                    for (sx, sy) in swizzle.TILE3D_PASS_ORDER)
-    types = np.concatenate([types, np.zeros(max_tiles, "<u2")])
-    colors = np.concatenate([colors, np.zeros((max_tiles, 6), np.int32)])
     use_native = native.available()
     if use_native:
         streams = s
         cursors4 = np.zeros(4, np.int64)
     else:
+        max_tiles = sum((w >> sx) * (h >> sy)
+                        for (sx, sy) in swizzle.TILE3D_PASS_ORDER)
         streams = {bit: np.concatenate([s[bit], np.zeros(max_tiles, np.uint8)])
                    for bit in (3, 4, 5, 6)}
+
+    def _padded(arr, need, shape1=()):
+        """Security padding, grown on demand: corrupted bitmaps may accept
+        more tiles than the type/color streams hold - reads past the end
+        yield zeros (allocating the worst case up front cost ~1MB/image)."""
+        if need <= arr.shape[0]:
+            return arr
+        pad = np.zeros((need - arr.shape[0],) + shape1, arr.dtype)
+        return np.concatenate([arr, pad])
 
     passes = []
     tcur = 0
     bitcur = {3: 0, 4: 0, 5: 0, 6: 0}
-    for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
+
+    if use_native:
+        # arena allocation: one zeroed buffer per tensor kind for all six
+        # passes (the per-pass np.zeros calls were ~0.3ms/image of pure
+        # allocator overhead), sliced into per-pass views
+        sizes = [(1 << sx, 1 << sy, (w >> sx) * (h >> sy))
+                 for (sx, sy) in swizzle.TILE3D_PASS_ORDER]
+        G = sum(g for (_, _, g) in sizes)
+        PX = sum(g * tw * th for (tw, th, g) in sizes)
+        packed_all = np.zeros(PX, np.uint8)
+        cols_all = np.zeros((G, 6), np.int32)
+        type_all = np.zeros(G, np.int32)
+        accept_all = np.zeros(G, bool)
+        claims_u8 = claims.view(np.uint8)
+        s4list = [streams[b] for b in (3, 4, 5, 6)]
+        goff = poff = 0
+        for pid, (sx, sy) in enumerate(swizzle.TILE3D_PASS_ORDER):
+            tw, th, g = sizes[pid]
+            ntx, nty = w // tw, h // th
+            accept = accept_all[goff:goff + g].reshape(nty, ntx)
+            cols = cols_all[goff:goff + g]
+            type_arr = type_all[goff:goff + g]
+            packed = packed_all[poff:poff + g * th * tw].reshape(g, th * tw)
+            goff += g
+            poff += g * th * tw
+            mb = maps[(sx, sy)]
+            if len(mb):
+                expect = swizzle.bitmap_size_bytes(sx, sy, w, h)
+                mbs = mb[:expect]
+                if mbs.size != expect:
+                    raise ValueError(f"bitmap size {mbs.size} != {expect}")
+                tcur += native.plan_3d_pass_full(
+                    mbs, w, h, pid, types, colors, tcur, claims_u8,
+                    s4list, cursors4, accept.view(np.uint8), type_arr,
+                    cols, packed, th * tw)
+            passes.append(Tile3DPassPlan(shift=(sx, sy), accept=accept,
+                                         colors=cols, packed=packed,
+                                         types=type_arr))
+        return passes
+
+    for pid, (sx, sy) in enumerate(swizzle.TILE3D_PASS_ORDER):
         tw, th = 1 << sx, 1 << sy
         ntx, nty = w // tw, h // th
         g = nty * ntx
         accept = np.zeros((nty, ntx), bool)
-        luts = np.zeros((g, 64, 3), np.uint8)
         cols = np.zeros((g, 6), np.int32)
+        type_arr = np.zeros(g, np.int32)
         indices = np.zeros((g, th * tw), np.uint8)
         wmask = np.zeros((g, th * tw), bool)
-        type_arr = np.zeros(g, np.int32)
         if len(maps[(sx, sy)]):
             bits = swizzle.unpack_bitmap(
                 maps[(sx, sy)][:swizzle.bitmap_size_bytes(sx, sy, w, h)],
@@ -490,54 +542,38 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
                 gid = ty * ntx + tx
                 qx0, qy0 = tx * (tw // 4), ty * (th // 4)
 
+                types = _padded(types, tcur + n)
+                colors = _padded(colors, tcur + n, (6,))
                 tid = tcur + np.arange(n)
                 ttypes = types[tid].astype(np.int32)
                 bit_arr = ((ttypes >> 14) & 3) + 3
-                combined = ttypes & 0x3FFF
                 accept[ty, tx] = True
                 type_arr[gid] = ttypes
                 cols[gid] = colors[tid]
+
+                cases = _group_cases(claims, qx0, qy0, pairs)
+                cons_tile = _CASE_BYTES[cases].sum(axis=1)
+                base_off = np.zeros(n, np.int64)
                 for bit in (3, 4, 5, 6):
                     sel = bit_arr == bit
                     if sel.any():
-                        tbl = luts_expanded[bit]
-                        cmb = np.minimum(combined[sel], tbl.shape[0] - 1)
-                        luts[gid[sel], : 1 << bit] = tbl[cmb]
-
-                if use_native:
-                    pid = swizzle.TILE3D_PASS_ORDER.index((sx, sy))
-                    native.plan_pass_scatter4(
-                        np.ascontiguousarray(gid, np.int32),
-                        np.ascontiguousarray(qx0, np.int32),
-                        np.ascontiguousarray(qy0, np.int32),
-                        np.ascontiguousarray(bit_arr, np.uint8), pid,
-                        claims.view(np.uint8),
-                        [streams[b] for b in (3, 4, 5, 6)], cursors4,
-                        indices, wmask, th * tw)
-                else:
-                    cases = _group_cases(claims, qx0, qy0, pairs)
-                    cons_tile = _CASE_BYTES[cases].sum(axis=1)
-                    base_off = np.zeros(n, np.int64)
-                    for bit in (3, 4, 5, 6):
-                        sel = bit_arr == bit
-                        if sel.any():
-                            c = cons_tile[sel]
-                            ex = np.concatenate([[0], np.cumsum(c[:-1])])
-                            base_off[sel] = bitcur[bit] + ex
-                            bitcur[bit] += int(c.sum())
-                    for bit in (3, 4, 5, 6):
-                        sel = bit_arr == bit
-                        if sel.any():
-                            _scatter_streams(
-                                cases[sel], pairs, tw, base_off[sel],
-                                gid[sel], streams[bit], indices, wmask,
-                                premultiplied=True)
-                    _claim_tiles(claims, qx0, qy0, tw, th)
+                        c = cons_tile[sel]
+                        ex = np.concatenate([[0], np.cumsum(c[:-1])])
+                        base_off[sel] = bitcur[bit] + ex
+                        bitcur[bit] += int(c.sum())
+                for bit in (3, 4, 5, 6):
+                    sel = bit_arr == bit
+                    if sel.any():
+                        _scatter_streams(
+                            cases[sel], pairs, tw, base_off[sel],
+                            gid[sel], streams[bit], indices, wmask,
+                            premultiplied=True)
+                _claim_tiles(claims, qx0, qy0, tw, th)
                 tcur += n
-        passes.append(Tile3DPassPlan(shift=(sx, sy), accept=accept,
-                                     luts=luts, colors=cols,
-                                     indices=indices, wmask=wmask,
-                                     types=type_arr))
+        passes.append(Tile3DPassPlan(
+            shift=(sx, sy), accept=accept, colors=cols,
+            packed=np.minimum(indices, 63) | (wmask.astype(np.uint8) << 6),
+            types=type_arr))
     return passes
 
 
@@ -561,12 +597,22 @@ def _plan_1d(body, hdr, w, h, claims):
     wmask = np.zeros((3, g, 64), bool)
     per_plane = claims.ndim == 3
     pairs = [[(0, 0), (1, 0)], [(0, 1), (1, 1)]]
-    use_native = native.available()
+
+    if native.available():
+        # consolidated native plane walk: active detection + triplet
+        # gather + params + claim-gated pixel scatter in one call per plane
+        cursors2 = np.zeros(2, np.int64)
+        for p in range(3):
+            cl = claims[p] if per_plane else claims
+            native.plan_1d_plane_full(
+                w, h, np.ascontiguousarray(cl).view(np.uint8), types, pix,
+                inv_range, cursors2, params[p], indices[p],
+                wmask[p].view(np.uint8))
+        return Plan1D(params=params, indices=indices, wmask=wmask)
 
     # security padding for corrupt streams (reads past the end yield zeros)
     types = np.concatenate([types, np.zeros(3 * 3 * g + 9, np.uint8)])
-    if not use_native:
-        pix = np.concatenate([pix, np.zeros(3 * g * 64, np.uint8)])
+    pix = np.concatenate([pix, np.zeros(3 * g * 64, np.uint8)])
 
     tcur = 0   # type-triplet cursor (bytes)
     pcur = 0   # pixel-stream cursor
@@ -590,22 +636,12 @@ def _plan_1d(body, hdr, w, h, claims):
         delta2 = ((delta * inv_range) >> 8) + 1
         params[p, gid] = np.stack([color0, base, delta2],
                                   axis=1).astype(np.int32)
-        if use_native:
-            # pass id 2 = the (3,3) group table: the 1D pass walks the same
-            # two 4x8 quad pairs of each 8x8 tile (claims not updated)
-            pcur += native.plan_pass_scatter(
-                np.ascontiguousarray(gid, np.int32),
-                np.ascontiguousarray(qx0, np.int32),
-                np.ascontiguousarray(qy0, np.int32),
-                2, np.ascontiguousarray(cl).view(np.uint8), pix, pcur,
-                indices[p], wmask[p], 64, premult=0, update_claims=0)
-        else:
-            cases = _group_cases(cl, qx0, qy0, pairs)
-            cons_tile = _CASE_BYTES[cases].sum(axis=1)
-            ex = np.concatenate([[0], np.cumsum(cons_tile[:-1])])
-            _scatter_streams(cases, pairs, 8, pcur + ex, gid,
-                             pix, indices[p], wmask[p], premultiplied=False)
-            pcur += int(cons_tile.sum())
+        cases = _group_cases(cl, qx0, qy0, pairs)
+        cons_tile = _CASE_BYTES[cases].sum(axis=1)
+        ex = np.concatenate([[0], np.cumsum(cons_tile[:-1])])
+        _scatter_streams(cases, pairs, 8, pcur + ex, gid,
+                         pix, indices[p], wmask[p], premultiplied=False)
+        pcur += int(cons_tile.sum())
     return Plan1D(params=params, indices=indices, wmask=wmask)
 
 

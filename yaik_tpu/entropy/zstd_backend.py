@@ -55,6 +55,27 @@ except AttributeError:   # very old zstd
 
 VERSION = int(_lib.ZSTD_versionNumber())
 
+import threading as _threading
+
+import numpy as _np
+
+_lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+_lib.ZSTD_decompressDCtx.restype = ctypes.c_size_t
+_lib.ZSTD_decompressDCtx.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_size_t, ctypes.c_void_p,
+                                     ctypes.c_size_t]
+_TLS = _threading.local()
+
+
+def _dctx():
+    # one reused decompression context per thread: ZSTD_decompress
+    # allocates+frees a DCtx internally on every call (~20us each, and the
+    # planner makes ~28 calls per image)
+    d = getattr(_TLS, "dctx", None)
+    if d is None:
+        d = _TLS.dctx = ctypes.c_void_p(_lib.ZSTD_createDCtx())
+    return d
+
 
 def compress(data: bytes, level: int = 18, dst_capacity: int | None = None) -> bytes:
     """ZSTD_compress. dst_capacity mirrors the reference's explicit output
@@ -78,9 +99,9 @@ def decompress(data: bytes, expected_size: int) -> bytes:
 def decompress_arr(data: bytes, expected_size: int):
     """decompress returning a u8 numpy array (no bytes-copy; the planner's
     hot path feeds np.frombuffer anyway)."""
-    import numpy as np
-    out = np.empty(expected_size if expected_size else 1, np.uint8)
-    n = _lib.ZSTD_decompress(out.ctypes.data, expected_size, data, len(data))
+    out = _np.empty(expected_size if expected_size else 1, _np.uint8)
+    n = _lib.ZSTD_decompressDCtx(_dctx(), out.ctypes.data, expected_size,
+                                 data, len(data))
     if _lib.ZSTD_isError(n) or n != expected_size:
         raise ValueError(f"zstd decompress: got {n}, expected {expected_size}")
     return out[:expected_size]

@@ -51,6 +51,28 @@ if os.path.exists(_LIB_PATH):
     lib.claim_tiles.argtypes = [
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.plan_3d_pass_full.restype = ctypes.c_int64
+    lib.plan_3d_pass_full.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int]
+    lib.plan_gtil_full.restype = None
+    lib.plan_gtil_full.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p]
+    lib.plan_1d_plane_full.restype = None
+    lib.plan_1d_plane_full.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
 
 
 def available() -> bool:
@@ -143,3 +165,41 @@ def plan_pass_scatter4(gid, qx0, qy0, bits, pass_id, claims, streams,
 def claim_tiles(qx0, qy0, tqw, tqh, claims) -> None:
     lib.claim_tiles(qx0.size, _vp(qx0), _vp(qy0), tqw, tqh, _vp(claims),
                     claims.shape[0], claims.shape[1])
+
+
+def plan_3d_pass_full(bitmap, w, h, pass_id, types_u16, colors_i32, tcur,
+                      claims, streams, cursors, accept, type_arr, cols,
+                      packed, P) -> int:
+    """One full 3D size pass: bitmap scan walk + type/color gather +
+    claim-gated stream scatter (packed idx|wmask<<6) + claims update, in
+    one call (see planner._plan_3d). Returns the accepted-tile count."""
+    s3, s4, s5, s6 = streams
+    return lib.plan_3d_pass_full(
+        _vp(bitmap), bitmap.size, w, h, pass_id,
+        _vp(types_u16), types_u16.size, _vp(colors_i32),
+        colors_i32.shape[0], tcur, _vp(claims), claims.shape[1],
+        _vp(s3), s3.size, _vp(s4), s4.size, _vp(s5), s5.size,
+        _vp(s6), s6.size, _vp(cursors), _vp(accept), _vp(type_arr),
+        _vp(cols), _vp(packed), P)
+
+
+def plan_gtil_full(bitmap, w, h, sx, sy, bx, by, rgb3, map_rgb, has_rgb,
+                   stride_q, claims, accept) -> None:
+    """One full GTIL (plane==7) pass: bitmap walk + corner first-touch
+    dedup + quad claims + accept grid (see planner.build_plan)."""
+    lib.plan_gtil_full(_vp(bitmap), bitmap.size, w, h, sx, sy, bx, by,
+                       _vp(rgb3), rgb3.size, _vp(map_rgb), _vp(has_rgb),
+                       stride_q, _vp(claims), claims.shape[0],
+                       claims.shape[1], _vp(accept))
+
+
+def plan_1d_plane_full(w, h, claims, types_u8, pix, inv_range, cursors2,
+                       params, indices, wmask) -> None:
+    """One full 1D residual plane: active detection + triplet gather +
+    params + pixel scatter (see planner._plan_1d). cursors2: int64[2]
+    (type bytes, pixel bytes), advanced in place."""
+    lib.plan_1d_plane_full(w, h, _vp(claims), claims.shape[1],
+                           _vp(types_u8), types_u8.size, _vp(pix), pix.size,
+                           inv_range, cursors2[0:1].ctypes.data,
+                           cursors2[1:2].ctypes.data, _vp(params),
+                           _vp(indices), _vp(wmask))

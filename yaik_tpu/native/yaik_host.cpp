@@ -464,6 +464,251 @@ void plan_pass_scatter4(int64_t n, const int32_t* gid, const int32_t* qx0,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Consolidated single-call pass planners: walk the swizzled accept bitmap in
+// stream order (big tiles row-major, LSB-first bits - format/swizzle.py) and
+// do the gather + claim-gated scatter inline. One ctypes call per pass
+// replaces the unpackbits / flatnonzero / fancy-index glue that dominated
+// planning time (VERDICT r1 #4: host planning is the decode bottleneck).
+// ---------------------------------------------------------------------------
+
+// Swizzle spec per 3D pass id (TILE3D_PASS_ORDER) + shifts.
+static const int kPassSx[6] = {4, 3, 3, 3, 2, 2};
+static const int kPassSy[6] = {3, 4, 3, 2, 3, 2};
+static const int kPassBx[6] = {64, 64, 64, 64, 32, 32};
+static const int kPassBy[6] = {64, 64, 64, 32, 64, 32};
+
+// 3D index byte -> packed device form: min(v/3, 63) | written<<6 (the
+// device kernels consume idx = packed & 63, wmask = packed >> 6; corrupt
+// streams can carry v/3 up to 85, clamp keeps the index in 6 bits).
+static inline void pack_quad(const uint8_t* src, int64_t slen, int64_t& cur,
+                             uint8_t* packed, int64_t base, int gx, int gy,
+                             int tw) {
+    for (int y = 0; y < 4; ++y)
+        for (int x = 0; x < 4; ++x) {
+            int64_t slot = base + (int64_t)(y + gy * 4) * tw + x + gx * 4;
+            uint8_t v = cur < slen ? (uint8_t)(src[cur] / 3) : 0;
+            ++cur;
+            packed[slot] = (v > 63 ? 63 : v) | 0x40;
+        }
+}
+
+// One full 3D size pass from the raw uncompressed bitmap. Writes accept
+// [nty*ntx] u8, type_arr [g] i32, cols [g,6] i32 and packed [g,P] u8
+// (idx|wmask<<6, caller-zeroed), updates claims + the 4 stream cursors.
+// Returns the number of accepted tiles (type/color cursor advance). All
+// stream reads are bound-checked (zeros past the end).
+int64_t plan_3d_pass_full(const uint8_t* bitmap, int64_t bitmap_len,
+                          int w, int h, int pass_id,
+                          const uint16_t* types, int64_t types_len,
+                          const int32_t* colors, int64_t colors_len,
+                          int64_t tcur,
+                          uint8_t* claims, int64_t qw_stride,
+                          const uint8_t* s3, int64_t l3,
+                          const uint8_t* s4, int64_t l4,
+                          const uint8_t* s5, int64_t l5,
+                          const uint8_t* s6, int64_t l6,
+                          int64_t* cursors,
+                          uint8_t* accept, int32_t* type_arr, int32_t* cols,
+                          uint8_t* packed, int P) {
+    const int sx = kPassSx[pass_id], sy = kPassSy[pass_id];
+    const int bx = kPassBx[pass_id], by = kPassBy[pass_id];
+    const int tw = 1 << sx, th = 1 << sy;
+    const int ntx = w >> sx, nty = h >> sy;
+    const int nbx = (w + bx - 1) / bx, nby = (h + by - 1) / by;
+    const int colsw = bx >> sx, rowsw = by >> sy;
+    const int bits_per_word = colsw * rowsw;
+    const int64_t total_bits = (int64_t)nbx * nby * bits_per_word;
+
+    const uint8_t* streams[4] = {s3, s4, s5, s6};
+    const int64_t lens[4] = {l3, l4, l5, l6};
+    const PassGroup* groups = kPassGroups[pass_id];
+    const int ng = kPassGroupCnt[pass_id];
+    const int tqw = kPassTqw[pass_id], tqh = kPassTqh[pass_id];
+
+    int64_t n_acc = 0;
+    for (int64_t k = 0; k < total_bits; ++k) {
+        if ((k & 7) == 0) {
+            // fast-skip fully zero bytes (bitmaps are sparse)
+            while (k + 8 <= total_bits && (k >> 3) < bitmap_len &&
+                   bitmap[k >> 3] == 0)
+                k += 8;
+            if (k >= total_bits) break;
+        }
+        if ((k >> 3) >= bitmap_len) break;
+        if (!((bitmap[k >> 3] >> (k & 7)) & 1)) continue;
+        const int64_t big = k / bits_per_word;
+        const int within = (int)(k % bits_per_word);
+        const int tx = (int)(big % nbx) * colsw + within % colsw;
+        const int ty = (int)(big / nbx) * rowsw + within / colsw;
+        if ((int64_t)tx * tw >= w || (int64_t)ty * th >= h) continue;
+        if (tx >= ntx || ty >= nty) continue;   // partial edge tile
+        const int64_t tid = tcur + n_acc;
+        ++n_acc;
+        const uint16_t tt = tid < types_len ? types[tid] : 0;
+        const int b = (tt >> 14) & 3;
+        const int64_t gid = (int64_t)ty * ntx + tx;
+        accept[gid] = 1;
+        type_arr[gid] = tt;
+        if (tid < colors_len)
+            for (int c = 0; c < 6; ++c)
+                cols[gid * 6 + c] = colors[tid * 6 + c];
+
+        const uint8_t* stream = streams[b];
+        const int64_t slen = lens[b];
+        int64_t cur = cursors[b];
+        const int64_t base = gid * P;
+        const int qx0 = tx * tqw, qy0 = ty * tqh;
+        const int64_t q0 = (int64_t)qy0 * qw_stride + qx0;
+        for (int g = 0; g < ng; ++g) {
+            const PassGroup& gr = groups[g];
+            const int64_t qa = q0 + (int64_t)gr.gy0 * qw_stride + gr.gx0;
+            if (gr.gx1 < 0) {
+                if (!claims[qa])
+                    pack_quad(stream, slen, cur, packed, base,
+                              gr.gx0, gr.gy0, tw);
+                continue;
+            }
+            const bool b0 = claims[qa];
+            const bool b1 = claims[q0 + (int64_t)gr.gy0 * qw_stride + gr.gx1];
+            if (!b0 && !b1) {
+                for (int y = 0; y < 4; ++y)
+                    for (int x = 0; x < 8; ++x) {
+                        int64_t slot = base + (int64_t)(y + gr.gy0 * 4) * tw
+                                       + x + gr.gx0 * 4;
+                        uint8_t v = cur < slen ? (uint8_t)(stream[cur] / 3)
+                                               : 0;
+                        ++cur;
+                        packed[slot] = (v > 63 ? 63 : v) | 0x40;
+                    }
+            } else if (!b0) {
+                pack_quad(stream, slen, cur, packed, base,
+                          gr.gx0, gr.gy0, tw);
+            } else if (!b1) {
+                pack_quad(stream, slen, cur, packed, base,
+                          gr.gx0 + 1, gr.gy0, tw);
+            }
+        }
+        cursors[b] = cur;
+        for (int qy = 0; qy < tqh; ++qy)
+            for (int qx = 0; qx < tqw; ++qx)
+                claims[q0 + (int64_t)qy * qw_stride + qx] = 1;
+    }
+    return n_acc;
+}
+
+// One full GTIL pass (plane == 7): scan-order walk of the bitmap, corner
+// first-touch dedup consuming rgb3 (caller-padded), quad claims (clipped at
+// the claim-grid edge), accept grid out ([nty,ntx] u8, ceil dims).
+void plan_gtil_full(const uint8_t* bitmap, int64_t bitmap_len,
+                    int w, int h, int sx, int sy, int bx, int by,
+                    const uint8_t* rgb3, int64_t rgb3_len,
+                    uint8_t* map_rgb, uint8_t* has_rgb, int64_t stride_q,
+                    uint8_t* claims, int64_t qh, int64_t qw_stride,
+                    uint8_t* accept) {
+    const int tw = 1 << sx, th = 1 << sy;
+    const int ntx = (w + tw - 1) / tw;
+    const int nbx = (w + bx - 1) / bx, nby = (h + by - 1) / by;
+    const int colsw = bx >> sx, rowsw = by >> sy;
+    const int bits_per_word = colsw * rowsw;
+    const int64_t total_bits = (int64_t)nbx * nby * bits_per_word;
+    const int tqw = tw / 4, tqh = th / 4;
+
+    int64_t rcur = 0;   // rgb3 pixel cursor (units of 3 bytes)
+    for (int64_t k = 0; k < total_bits; ++k) {
+        if ((k & 7) == 0) {
+            while (k + 8 <= total_bits && (k >> 3) < bitmap_len &&
+                   bitmap[k >> 3] == 0)
+                k += 8;
+            if (k >= total_bits) break;
+        }
+        if ((k >> 3) >= bitmap_len) break;
+        if (!((bitmap[k >> 3] >> (k & 7)) & 1)) continue;
+        const int64_t big = k / bits_per_word;
+        const int within = (int)(k % bits_per_word);
+        const int tx = (int)(big % nbx) * colsw + within % colsw;
+        const int ty = (int)(big / nbx) * rowsw + within / colsw;
+        if ((int64_t)tx * tw >= w || (int64_t)ty * th >= h) continue;
+        accept[(int64_t)ty * ntx + tx] = 1;
+        const int qx0 = tx * tqw, qy0 = ty * tqh;
+        const int64_t base = (int64_t)qy0 * stride_q + qx0;
+        const int64_t ids[4] = {base, base + tqw,
+                                base + (int64_t)tqh * stride_q,
+                                base + (int64_t)tqh * stride_q + tqw};
+        for (int c = 0; c < 4; ++c) {
+            const int64_t id = ids[c];
+            if (!has_rgb[id]) {
+                has_rgb[id] = 1;
+                for (int j = 0; j < 3; ++j)
+                    map_rgb[3 * id + j] =
+                        3 * rcur + j < rgb3_len ? rgb3[3 * rcur + j] : 0;
+                ++rcur;
+            }
+        }
+        for (int qy = 0; qy < tqh; ++qy)
+            for (int qx = 0; qx < tqw; ++qx) {
+                const int64_t y = qy0 + qy, x = qx0 + qx;
+                if (y < qh && x < qw_stride)
+                    claims[y * qw_stride + x] = 1;
+            }
+    }
+}
+
+// One full 1D residual plane (pass_id 2 group walk over active 8x8 tiles):
+// active detection from the claim grid, type-triplet gather + param
+// computation, claim-gated pixel scatter. Returns n_active; advances
+// *tcur_io (bytes) and *pcur_io.
+void plan_1d_plane_full(int w, int h, const uint8_t* claims,
+                        int64_t qw_stride,
+                        const uint8_t* types, int64_t types_len,
+                        const uint8_t* pix, int64_t pix_len,
+                        int64_t inv_range,
+                        int64_t* tcur_io, int64_t* pcur_io,
+                        int32_t* params, uint8_t* indices, uint8_t* wmask) {
+    const int ntx = w / 8, nty = h / 8;
+    int64_t tcur = *tcur_io, pcur = *pcur_io;
+    for (int ty = 0; ty < nty; ++ty)
+        for (int tx = 0; tx < ntx; ++tx) {
+            const int64_t q0 = (int64_t)ty * 2 * qw_stride + tx * 2;
+            if (claims[q0] && claims[q0 + 1] &&
+                claims[q0 + qw_stride] && claims[q0 + qw_stride + 1])
+                continue;
+            const int64_t gid = (int64_t)ty * ntx + tx;
+            const int64_t c0 = tcur < types_len ? types[tcur] : 0;
+            const int64_t bs = tcur + 1 < types_len ? types[tcur + 1] : 0;
+            const int64_t dl = tcur + 2 < types_len ? types[tcur + 2] : 0;
+            tcur += 3;
+            params[gid * 3] = (int32_t)c0;
+            params[gid * 3 + 1] = (int32_t)bs;
+            params[gid * 3 + 2] = (int32_t)(((dl * inv_range) >> 8) + 1);
+            // two 4x8 pair groups of the 8x8 tile (claims NOT updated)
+            for (int g = 0; g < 2; ++g) {
+                const int64_t qa = q0 + (int64_t)g * qw_stride;
+                const bool b0 = claims[qa];
+                const bool b1 = claims[qa + 1];
+                const int64_t base = gid * 64;
+                if (!b0 && !b1) {
+                    for (int y = 0; y < 4; ++y)
+                        for (int x = 0; x < 8; ++x) {
+                            int64_t slot = base + (int64_t)(y + g * 4) * 8 + x;
+                            uint8_t v = pcur < pix_len ? pix[pcur] : 0;
+                            ++pcur;
+                            indices[slot] = v;
+                            wmask[slot] = 1;
+                        }
+                } else if (!b0) {
+                    copy_quad(pix, pix_len, pcur, indices, wmask, base,
+                              0, g, 8, 0);
+                } else if (!b1) {
+                    copy_quad(pix, pix_len, pcur, indices, wmask, base,
+                              1, g, 8, 0);
+                }
+            }
+        }
+    *tcur_io = tcur;
+    *pcur_io = pcur;
+}
+
 // Claim the quad footprints of n accepted tiles (GTIL passes).
 void claim_tiles(int64_t n, const int32_t* qx0, const int32_t* qy0,
                  int tqw, int tqh, uint8_t* claims, int64_t qh,

@@ -138,8 +138,7 @@ def split_plan_bands(plan: plannermod.DecodePlan, n_bands: int):
             r0, r1 = (y0 // th) * ntx, ((y0 + bh) // th) * ntx
             t3.append(plannermod.Tile3DPassPlan(
                 shift=p.shift, accept=p.accept[y0 // th:(y0 + bh) // th],
-                luts=p.luts[r0:r1], colors=p.colors[r0:r1],
-                indices=p.indices[r0:r1], wmask=p.wmask[r0:r1],
+                colors=p.colors[r0:r1], packed=p.packed[r0:r1],
                 types=p.types[r0:r1] if p.types is not None else None))
         t2 = None
         if plan.tile2d:

@@ -135,7 +135,7 @@ def analyze(stream: bytes, lut_data: bytes | None = None) -> EncoderStats:
         acc = p.accept.reshape(-1)
         for gid in np.flatnonzero(acc):
             t = int(p.types[gid])
-            st.add_tile3d(sx, sy, int(p.wmask[gid].sum()),
+            st.add_tile3d(sx, sy, int((p.packed[gid] >> 6).sum()),
                           ((t >> 14) & 3) + 3, (t >> 6) & 0xFF)
     if plan.tile2d:
         names = {0: "RG", 1: "GB", 2: "RB"}
