@@ -31,7 +31,13 @@ def decode_mipm(body: bytes, w: int, h: int):
     mask = np.zeros((h, w), bool)
     sub = np.repeat(np.repeat(keep_sub, ts, axis=0), ts, axis=1)
     y0, x0 = hdr.y * ts, hdr.x * ts
-    mask[y0:y0 + sub.shape[0], x0:x0 + sub.shape[1]] = sub
+    # clip: the encoder's tile grid is ceil(w/ts) wide, so the expansion can
+    # overhang a non-multiple-of-16 image edge
+    sh = min(sub.shape[0], h - y0)
+    sw = min(sub.shape[1], w - x0)
+    if sh <= 0 or sw <= 0:
+        raise ValueError("MIPM bbox outside image")
+    mask[y0:y0 + sh, x0:x0 + sw] = sub[:sh, :sw]
     bbox = (x0, y0, hdr.w * ts, hdr.h * ts)
     return mask, bbox
 
@@ -76,6 +82,55 @@ def decode_alpm(body: bytes, w: int, h: int, mip_mask, mip_bbox):
             raise ValueError("sparse alpha requires a MIPM chunk first")
         inv = mode == AlphaHeader.IS_6_BIT_USEMIPMAPMASK_INVERSE
         sel = mip_mask[by:by + bh, bx:bx + bw]
+        vals = _unpack6(raw, int(sel.sum()), inv)
+        region = np.zeros((bh, bw), np.uint8)
+        region[sel] = vals
+        alpha[by:by + bh, bx:bx + bw] = region
+    elif mode == AlphaHeader.IS_8_BIT_FULL:
+        alpha[by:by + bh, bx:bx + bw] = raw[: bw * bh].reshape(bh, bw)
+    else:
+        raise ValueError(f"unsupported alpha mode {mode}")
+    return alpha
+
+
+def mip_plan_mask(mip, w: int, h: int) -> np.ndarray:
+    """MipPlan -> [H, W] bool mask (host twin of the device expansion)."""
+    mw, mh = mip.grid
+    ts = 1 << mip.level
+    bits = np.unpackbits(mip.bits, bitorder="little")[: mw * mh].astype(bool)
+    sub = np.repeat(np.repeat(bits.reshape(mh, mw), ts, 0), ts, 1)
+    x0, y0 = mip.origin
+    mask = np.zeros((h, w), bool)
+    sh = min(sub.shape[0], h - y0)
+    sw = min(sub.shape[1], w - x0)
+    if sh <= 0 or sw <= 0:
+        raise ValueError("MIPM bbox outside image")
+    mask[y0:y0 + sh, x0:x0 + sw] = sub[:sh, :sw]
+    return mask
+
+
+def alpha_plan_to_channel(ap, w: int, h: int) -> np.ndarray:
+    """AlphaPlan -> [H, W] u8, identical bytes to decode_alpm on the same
+    chunk (used by host-side reattach paths; the jax engine computes the
+    same thing on device)."""
+    from yaik_tpu.format.headers import AlphaHeader
+    if ap is None:
+        return np.full((h, w), 255, np.uint8)
+    bx, by, bw, bh = ap.bbox
+    alpha = np.zeros((h, w), np.uint8)
+    mode, raw = ap.mode, ap.raw
+    if mode == AlphaHeader.IS_1_BIT_FULL:
+        bits = np.unpackbits(raw, bitorder="little")[: bw * bh]
+        alpha[by:by + bh, bx:bx + bw] = bits.reshape(bh, bw) * 255
+    elif mode in (AlphaHeader.IS_6_BIT_FULL,
+                  AlphaHeader.IS_6_BIT_FULL_INVERSE):
+        inv = mode == AlphaHeader.IS_6_BIT_FULL_INVERSE
+        vals = _unpack6(raw, bw * bh, inv)
+        alpha[by:by + bh, bx:bx + bw] = vals.reshape(bh, bw)
+    elif mode in (AlphaHeader.IS_6_BIT_USEMIPMAPMASK,
+                  AlphaHeader.IS_6_BIT_USEMIPMAPMASK_INVERSE):
+        inv = mode == AlphaHeader.IS_6_BIT_USEMIPMAPMASK_INVERSE
+        sel = mip_plan_mask(ap.mip, w, h)[by:by + bh, bx:bx + bw]
         vals = _unpack6(raw, int(sel.sum()), inv)
         region = np.zeros((bh, bw), np.uint8)
         region[sel] = vals

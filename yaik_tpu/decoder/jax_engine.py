@@ -190,10 +190,70 @@ def _d1_pass(plane, params, indices, wbits, h8, w8):
     return jnp.where(wm, v, plane)
 
 
+def _unpack6_device(raw, count, inverse):
+    """count 6-bit values from a 3-byte-group stream -> u8 (v<<2 | v>>4),
+    fully dense (reshape + shifts, no gather). raw must be padded to a
+    3-byte multiple covering count values (AlphaPlan guarantees it)."""
+    n3 = ((count * 6 + 7) // 8 + 2) // 3
+    b = raw[: n3 * 3].reshape(n3, 3).astype(jnp.int32)
+    v0 = b[:, 0] & 0x3F
+    v1 = (b[:, 0] >> 6) | ((b[:, 1] & 0xF) << 2)
+    v2 = (b[:, 1] >> 4) | ((b[:, 2] & 0x3) << 4)
+    v3 = b[:, 2] >> 2
+    v = jnp.stack([v0, v1, v2, v3], axis=1).reshape(-1)[:count]
+    if inverse:
+        v = 63 - v
+    return ((v << 2) | (v >> 4)).astype(jnp.uint8)
+
+
+def _mip_mask_device(mip_bits, mspec, h8, w8):
+    """MIPM tile bits -> [h8, w8] bool mask (static grid/origin, clipped at
+    the image edge like the host decoder)."""
+    mw, mh, x0, y0, ts = mspec
+    bits = ((mip_bits[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            ).reshape(-1)[: mw * mh] != 0
+    sub = jnp.repeat(jnp.repeat(bits.reshape(mh, mw), ts, 0), ts, 1)
+    sh = min(mh * ts, h8 - y0)
+    sw = min(mw * ts, w8 - x0)
+    mask = jnp.zeros((h8, w8), bool)
+    return mask.at[y0:y0 + sh, x0:x0 + sw].set(sub[:sh, :sw])
+
+
+def _alpha_pass(aspec, raw, mip_bits, h8, w8):
+    """ALPM decode on device: [h8, w8] u8 alpha. aspec is the STATIC
+    (mode, bbox, mip_spec) plan so every mode lowers to dense reshapes and
+    one static-position update (sparse adds a cumsum + one gather).
+    Byte-identical to decoder/alpha.py (YAIK_Alpha.cpp:25-377 hot loops)."""
+    mode, (bx, by, bw, bh), mspec = aspec
+    if mode == 0:          # has_alpha but no ALPM chunk: constant 255
+        return jnp.full((h8, w8), 255, jnp.uint8)
+    if mode == 1:          # 1-bit full
+        nbytes = (bw * bh + 7) // 8
+        bits = ((raw[:nbytes, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+                ).reshape(-1)[: bw * bh]
+        region = (bits * jnp.uint8(255)).reshape(bh, bw)
+    elif mode in (4, 5):   # 6-bit full (/inverse)
+        region = _unpack6_device(raw, bw * bh, mode == 5).reshape(bh, bw)
+    elif mode in (2, 3):   # 6-bit sparse over the mipmap mask (/inverse)
+        mask = _mip_mask_device(mip_bits, mspec, h8, w8)
+        sel = mask[by:by + bh, bx:bx + bw]
+        k = jnp.cumsum(sel.reshape(-1).astype(jnp.int32)) - 1
+        vals = _unpack6_device(raw, bw * bh, mode == 3)
+        picked = jnp.take(vals, jnp.maximum(k, 0)).reshape(bh, bw)
+        region = jnp.where(sel, picked, jnp.uint8(0))
+    elif mode == 6:        # 8-bit full
+        region = raw[: bw * bh].reshape(bh, bw)
+    else:
+        raise ValueError(f"unsupported alpha mode {mode}")
+    alpha = jnp.zeros((h8, w8), jnp.uint8)
+    return alpha.at[by:by + bh, bx:bx + bw].set(region)
+
+
 def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
                 t3_accepts, t3_rows, t3_colors, t3_packed,
                 d1_params, d1_indices, d1_wmask,
-                ucol=None, t2=None, pgrad_pairs=None, pgrad_singles=None):
+                ucol=None, t2=None, pgrad_pairs=None, pgrad_singles=None,
+                alpha=None, aspec=None):
     """ucol: None or the pre-pass overlay (vals [3,h8,w8] u8 planar, mask
     packbits [h8,w8/8] u8) carrying UCOL + SMAP pixels - applied first, in
     stream order. t2: None or (lut2_tab [C,64,2], 6x (accept, rows, colors,
@@ -224,19 +284,18 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         for k, mask in enumerate(_PGRAD_SINGLES):
             plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
     plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
-    return plane.astype(jnp.uint8).transpose(1, 2, 0)
+    rgb = plane.astype(jnp.uint8).transpose(1, 2, 0)
+    if aspec is not None:
+        raw, mip_bits = alpha if alpha is not None else (None, None)
+        a = _alpha_pass(aspec, raw, mip_bits, h8, w8)
+        return jnp.concatenate([rgb, a[:, :, None]], axis=2)
+    return rgb
 
 
-decode_pixels = partial(jax.jit, static_argnames=("shifts",))(decode_core)
-
-
-def batched_decoder(shifts):
-    """jit(vmap) decode over a leading batch axis (the LUT table is shared,
-    not batched)."""
-    core = lambda tab, *args: decode_core(shifts, tab, *args)
-    in_axes = (None, (0,) * 7, (0,) * 7, (0,) * 6, (0,) * 6, (0,) * 6,
-               0, 0, 0)
-    return jax.jit(jax.vmap(core, in_axes=in_axes))
+decode_pixels = partial(jax.jit,
+                        static_argnames=("shifts", "aspec"))(decode_core)
+# batched decode lives in yaik_tpu.parallel.batch._batched_decoder (vmap
+# over the per-image arg pytree; LUT table and the static alpha spec shared)
 
 
 _LUT_TAB_CACHE: dict = {}
@@ -394,11 +453,36 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
         pg_pairs = tuple(slot(m) for m in _PGRAD_PAIRS)
         pg_singles = tuple(slot(m) for m in _PGRAD_SINGLES)
 
+    alpha_arg = None
+    if alpha_spec_of(plan) is not None:
+        ap = plan.alpha_plan
+        raw = ap.raw if ap is not None else np.zeros(1, np.uint8)
+        mip = (ap.mip.bits if ap is not None and ap.mip is not None
+               else np.zeros(1, np.uint8))
+        alpha_arg = (raw, mip)
+
     args = (tuple(accepts), tuple(corners),
             tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p),
             plan.d1.params, plan.d1.indices, wbits, ucol_arg, t2_arg,
-            pg_pairs, pg_singles)
+            pg_pairs, pg_singles, alpha_arg)
     return GRAD_SHIFTS, tab, args
+
+
+def alpha_spec_of(plan: plannermod.DecodePlan):
+    """The STATIC alpha spec of a plan: None (no alpha) or
+    (mode, bbox, mip_spec) - hashable, part of the jit specialization.
+    mode 0 = constant-255 fill (has_alpha, no ALPM chunk)."""
+    if not plan.has_alpha:
+        return None
+    ap = plan.alpha_plan
+    if ap is None:
+        return (0, (0, 0, plan.width, plan.height), None)
+    mspec = None
+    if ap.mip is not None:
+        mw, mh = ap.mip.grid
+        x0, y0 = ap.mip.origin
+        mspec = (mw, mh, x0, y0, 1 << ap.mip.level)
+    return (ap.mode, ap.bbox, mspec)
 
 
 def decode(stream: bytes, lut) -> np.ndarray:
@@ -415,8 +499,6 @@ def decode(stream: bytes, lut) -> np.ndarray:
     with profiler.stage("decode:pack-args"):
         shifts, tab, args = plan_to_device_args(plan, expanded, expanded2d)
     with profiler.stage("decode:device"):
-        out = decode_pixels(shifts, tab, *args)
-        rgb = np.asarray(out)[: plan.height, : plan.width]
-    if plan.has_alpha:
-        return np.concatenate([rgb, plan.alpha[:, :, None]], axis=2)
-    return rgb
+        out = decode_pixels(shifts, tab, *args,
+                            aspec=alpha_spec_of(plan))
+        return np.asarray(out)[: plan.height, : plan.width]

@@ -83,6 +83,27 @@ class Plan1D:
 
 
 @dataclass
+class MipPlan:
+    """MIPM chunk in device-ready form (bit expansion happens on device)."""
+    bits: np.ndarray      # packed tile bits (LSB-first)
+    grid: tuple           # (mw, mh) tiles
+    origin: tuple         # (x0, y0) px
+    level: int            # log2 tile size (4 -> 16 px)
+
+
+@dataclass
+class AlphaPlan:
+    """ALPM chunk in device-ready form: the zstd payload plus the static
+    (mode, bbox) spec; bit expansion / sparse placement happen on device
+    (YAIK_Alpha.cpp:25-377 hot loops). decoder/alpha.py stays the host
+    byte-level reference."""
+    mode: int             # AlphaHeader mode (1..6)
+    bbox: tuple           # (x, y, w, h)
+    raw: np.ndarray       # [needed] u8, zero-padded to the mode's size
+    mip: MipPlan | None   # required by the sparse modes (2, 3)
+
+
+@dataclass
 class DecodePlan:
     width: int
     height: int
@@ -90,9 +111,22 @@ class DecodePlan:
     tile3d: list          # list[Tile3DPassPlan]
     d1: Plan1D
     has_alpha: bool = False
-    alpha: np.ndarray | None = None   # [H, W] u8, host-decoded (byte-level)
+    alpha_plan: AlphaPlan | None = None   # None + has_alpha -> constant 255
     overlay: PlanOverlay | None = None
     tile2d: list | None = None        # list[Tile2DPassPlan] (6 when present)
+    _alpha_arr: np.ndarray | None = None
+
+    def host_alpha(self) -> np.ndarray | None:
+        """[H, W] u8 alpha decoded on the host (lazy, cached) - for the
+        spatial-band path and mixed-spec batches; the jax engine decodes
+        alpha on device from alpha_plan."""
+        if not self.has_alpha:
+            return None
+        if self._alpha_arr is None:
+            from yaik_tpu.decoder.alpha import alpha_plan_to_channel
+            self._alpha_arr = alpha_plan_to_channel(
+                self.alpha_plan, self.width, self.height)
+        return self._alpha_arr
 
 
 def lut_flat_layout(luts_expanded: dict):
@@ -224,8 +258,8 @@ def build_plan(stream: bytes, luts_expanded: dict,
     d1 = Plan1D(params=np.zeros((3, _g1, 3), np.int32),
                 indices=np.zeros((3, _g1, 64), np.uint8),
                 wmask=np.zeros((3, _g1, 64), bool))
-    alpha_channel = None
-    mip_mask = mip_bbox = None
+    alpha_plan = None
+    mip_plan = None
 
     import struct as _struct
 
@@ -411,22 +445,75 @@ def build_plan(stream: bytes, luts_expanded: dict,
             d1 = _plan_1d(body[Header1D.size():], hdr, w, h,
                           claims if claims3 is None else claims3)
         elif tag == b"MIPM":
-            from yaik_tpu.decoder import alpha as alphamod
-            mip_mask, mip_bbox = alphamod.decode_mipm(body, w, h)
+            mip_plan = _plan_mipm(body, w, h)
         elif tag == b"ALPM":
-            from yaik_tpu.decoder import alpha as alphamod
-            alpha_channel = alphamod.decode_alpm(body, w, h, mip_mask,
-                                                 mip_bbox)
+            alpha_plan = _plan_alpm(body, w, h, mip_plan)
         else:
             raise NotImplementedError(f"chunk {tag!r} not planned yet")
       except _struct.error as e:
         raise ValueError(f"malformed {tag!r} chunk: {e}") from e
 
-    if fh.has_alpha and alpha_channel is None:
-        alpha_channel = np.full((h, w), 255, np.uint8)
     return DecodePlan(width=w, height=h, gradient=grads, tile3d=t3passes,
-                      d1=d1, has_alpha=fh.has_alpha, alpha=alpha_channel,
+                      d1=d1, has_alpha=fh.has_alpha, alpha_plan=alpha_plan,
                       overlay=overlay, tile2d=t2passes or None)
+
+
+def _plan_mipm(body: bytes, w: int, h: int) -> MipPlan:
+    from yaik_tpu.format.headers import MipmapHeader
+    hdr = MipmapHeader.unpack(body)
+    ts = 1 << hdr.mipmap_level
+    if ts != 16:
+        raise NotImplementedError("only 16px mipmap tiles (like the decoder)")
+    ntiles = hdr.w * hdr.h
+    if hdr.x < 0 or hdr.y < 0 or hdr.w <= 0 or hdr.h <= 0:
+        raise ValueError("MIPM bbox invalid")
+    if hdr.x * ts + hdr.w * ts > ((w + ts - 1) // ts) * ts or \
+       hdr.y * ts + hdr.h * ts > ((h + ts - 1) // ts) * ts:
+        raise ValueError("MIPM bbox out of image bounds")
+    nbytes = (ntiles + 7) // 8
+    data = body[MipmapHeader.size():]
+    bits = np.zeros(nbytes, np.uint8)
+    avail = min(nbytes, len(data))
+    bits[:avail] = np.frombuffer(data, np.uint8, avail)
+    return MipPlan(bits=bits, grid=(hdr.w, hdr.h),
+                   origin=(hdr.x * ts, hdr.y * ts), level=hdr.mipmap_level)
+
+
+def _plan_alpm(body: bytes, w: int, h: int,
+               mip: MipPlan | None) -> AlphaPlan:
+    from yaik_tpu.format.headers import AlphaHeader
+    hdr = AlphaHeader.unpack(body)
+    mode = hdr.parameters & 7
+    bx, by, bw, bh = hdr.x, hdr.y, hdr.w, hdr.h
+    if bw <= 0 or bh <= 0 or bx < 0 or by < 0 or bx + bw > w or by + bh > h:
+        raise ValueError("ALPM bbox out of image bounds")
+    if mode in (AlphaHeader.IS_6_BIT_USEMIPMAPMASK,
+                AlphaHeader.IS_6_BIT_USEMIPMAPMASK_INVERSE) and mip is None:
+        raise ValueError("sparse alpha requires a MIPM chunk first")
+    if mode == AlphaHeader.IS_1_BIT_FULL:
+        needed = (bw * bh + 7) // 8
+    elif mode in (AlphaHeader.IS_6_BIT_FULL,
+                  AlphaHeader.IS_6_BIT_FULL_INVERSE,
+                  AlphaHeader.IS_6_BIT_USEMIPMAPMASK,
+                  AlphaHeader.IS_6_BIT_USEMIPMAPMASK_INVERSE):
+        # pad to a whole 3-byte group: the 6-bit unpack reads 4 values per
+        # 3 bytes (zeros past the stream end, like _unpack6's zero pad)
+        needed = (((bw * bh * 6 + 7) // 8 + 2) // 3) * 3
+    elif mode == AlphaHeader.IS_8_BIT_FULL:
+        needed = bw * bh
+    else:
+        raise ValueError(f"unsupported alpha mode {mode}")
+    payload = zstd.decompress_arr(
+        bytes(body[AlphaHeader.size():AlphaHeader.size() + hdr.stream_size]),
+        hdr.expected_decompression_size)
+    raw = np.zeros(needed, np.uint8)
+    avail = min(needed, payload.size)
+    raw[:avail] = payload[:avail]
+    return AlphaPlan(
+        mode=mode, bbox=(bx, by, bw, bh), raw=raw,
+        mip=mip if mode in (AlphaHeader.IS_6_BIT_USEMIPMAPMASK,
+                            AlphaHeader.IS_6_BIT_USEMIPMAPMASK_INVERSE)
+        else None)
 
 
 def _plan_3d(body, hdr, w, h, claims, luts_expanded):

@@ -46,14 +46,30 @@ def _luts_of(lut):
 _FN_CACHE: dict = {}
 
 
-def _batched_decoder(shifts, nargs):
-    key = (shifts, nargs)
+def _batched_decoder(shifts, nargs, aspec=None):
+    key = (shifts, nargs, aspec)
     fn = _FN_CACHE.get(key)
     if fn is None:
-        core = lambda t, *a: jax_engine.decode_core(shifts, t, *a)
+        core = lambda t, *a: jax_engine.decode_core(shifts, t, *a,
+                                                    aspec=aspec)
         fn = jax.jit(jax.vmap(core, in_axes=(None,) + (0,) * nargs))
         _FN_CACHE[key] = fn
     return fn
+
+
+def _common_alpha_spec(plans):
+    """One shared static alpha spec for a batch, or None when the streams
+    mix specs (then alpha is host-decoded and reattached per image)."""
+    specs = {jax_engine.alpha_spec_of(p) for p in plans}
+    if len(specs) == 1:
+        return specs.pop()
+    return None
+
+
+def _strip_alpha_arg(args):
+    """Drop the per-image alpha tensors (last arg slot) when the batch
+    cannot share one static alpha spec."""
+    return args[:-1] + (None,)
 
 
 def _put_sharded(tab, b_args, mesh):
@@ -88,22 +104,25 @@ def decode_batch(streams, lut, mesh: Mesh | None = None):
     w, h = plans[0].width, plans[0].height
     if any(p.width != w or p.height != h for p in plans):
         raise ValueError("decode_batch requires same-sized streams")
-    shifts, tab, args0 = jax_engine.plan_to_device_args(
-        plans[0], expanded, expanded2d)
-    all_args = [args0] + [
-        jax_engine.plan_to_device_args(p, expanded, expanded2d)[2]
-        for p in plans[1:]]
+    withalpha = [p.has_alpha for p in plans]
+    if any(withalpha) and not all(withalpha):
+        raise ValueError("decode_batch cannot mix alpha/non-alpha "
+                         "streams in one batch")
+    aspec = _common_alpha_spec(plans)
+    all_args = []
+    shifts = None
+    for p in plans:
+        shifts, tab, a = jax_engine.plan_to_device_args(p, expanded,
+                                                        expanded2d)
+        all_args.append(a if aspec is not None else _strip_alpha_arg(a))
     b_args = _stack_args(all_args)
 
-    fn = _batched_decoder(shifts, len(b_args))
+    fn = _batched_decoder(shifts, len(b_args), aspec)
     tab, b_args = _put_sharded(tab, b_args, mesh)
     out = np.asarray(fn(tab, *b_args))[:, :h, :w]
-    withalpha = [p.has_alpha for p in plans]
-    if any(withalpha):
-        if not all(withalpha):
-            raise ValueError("decode_batch cannot mix alpha/non-alpha "
-                             "streams in one batch")
-        alpha = np.stack([p.alpha for p in plans])
+    if any(withalpha) and out.shape[3] == 3:
+        # mixed alpha specs: device did RGB, reattach host-decoded alpha
+        alpha = np.stack([p.host_alpha() for p in plans])
         out = np.concatenate([out, alpha[:, :, :, None]], axis=3)
     return out
 
@@ -190,7 +209,7 @@ def decode_spatial(stream: bytes, lut, mesh: Mesh | None = None,
     full = out.reshape(n * out.shape[1], out.shape[2], 3)
     rgb = full[: plan.height, : plan.width]
     if plan.has_alpha:
-        rgb = np.concatenate([rgb, plan.alpha[:, :, None]], axis=2)
+        rgb = np.concatenate([rgb, plan.host_alpha()[:, :, None]], axis=2)
     return rgb
 
 
@@ -234,13 +253,14 @@ def decode_corpus(streams, lut, batch_size: int = 8,
                     plans = [plannermod.build_plan(streams[i], expanded,
                                                    expanded2d)
                              for i in chunk]
-                shifts, tab, args0 = jax_engine.plan_to_device_args(
-                    plans[0], expanded, expanded2d)
-                fn = _batched_decoder(shifts, len(args0))
-                args = [args0] + [
-                    jax_engine.plan_to_device_args(p, expanded,
-                                                   expanded2d)[2]
-                    for p in plans[1:]]
+                aspec = _common_alpha_spec(plans)
+                args = []
+                for p in plans:
+                    shifts, tab, a = jax_engine.plan_to_device_args(
+                        p, expanded, expanded2d)
+                    args.append(a if aspec is not None
+                                else _strip_alpha_arg(a))
+                fn = _batched_decoder(shifts, len(args[0]), aspec)
                 args += [args[0]] * (batch_size - len(args))
                 out = fn(tab, *jax.device_put(_stack_args(args)))
                 out.copy_to_host_async()   # before any further enqueue
@@ -268,6 +288,8 @@ def _drain(pending, results, w, h):
     arr = np.asarray(out)
     for j, i in enumerate(chunk):
         rgb = arr[j, :h, :w]
-        if plans[j].has_alpha:
-            rgb = np.concatenate([rgb, plans[j].alpha[:, :, None]], axis=2)
+        if plans[j].has_alpha and rgb.shape[2] == 3:
+            # mixed-spec batch fell back to device RGB + host alpha
+            rgb = np.concatenate([rgb, plans[j].host_alpha()[:, :, None]],
+                                 axis=2)
         results[i] = rgb
