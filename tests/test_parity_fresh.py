@@ -65,6 +65,75 @@ def test_fresh_image_parity(bank, tmp_path):
         assert np.array_equal(a, b)
 
 
+def _parse_ref_log(text: str):
+    """Parse the reference's <out>.yaik.log.txt (EncoderContext.cpp:
+    9480-9537): 'key:value' integer lines plus the histogram3D CSV row."""
+    vals, hist3d = {}, None
+    lines = text.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.startswith("-----Histogram 3D"):
+            hist3d = [int(v) for v in lines[i + 1].split(",")]
+        elif ":" in ln and not ln.startswith("-"):
+            k, v = ln.split(":", 1)
+            vals[k] = int(v)
+    return vals, hist3d
+
+
+def test_stats_parity_vs_reference_log(bank, tmp_path):
+    """Per-technique stats parity: the reference's quality dashboard
+    (pixels claimed per technique per tile size, LUT histogram, per-tag
+    chunk byte blocks) must match utils.stats.analyze() on our stream -
+    asserting the *accounting*, not just the stream bytes."""
+    import shutil
+    from yaik_tpu.decoder.reference import iter_chunks
+    from yaik_tpu.utils import stats as statsmod
+
+    img = fresh_images()["fresh_main"]
+    png = tmp_path / "statpar.png"
+    Image.fromarray(img).save(png)
+    shutil.copytree(FIXTURES / "Bank3D", tmp_path / "Bank3D")
+    res = subprocess.run(
+        [str(REFBUILD / "ref_encoder"), png.name, "statpar.yaik"],
+        cwd=tmp_path, capture_output=True, text=True)
+    assert res.returncode == 0, res.stderr[-500:]
+    ref, hist3d = _parse_ref_log(
+        (tmp_path / "statpar.yaik.log.txt").read_text())
+
+    mine = encode_image(img, bank)
+    st = statsmod.analyze(mine)
+    assert ref["totalPixelCount"] == st.total_pixels
+    for a, b in ((16, 16), (16, 8), (8, 16), (8, 8), (4, 8), (8, 4), (4, 4)):
+        assert ref[f"pixelCountGradient{a}_{b}"] == \
+            st.gradient_pixels.get(f"{a}x{b}", 0), f"gradient {a}x{b}"
+    assert ref["pixelCount3DGradientTotal"] == sum(
+        st.gradient_pixels.values())
+    # the reference's 3D pixel counters and histogram3D are DEAD in the
+    # normal pipeline: they sit behind `testedLUT == foundE` (:6560) and
+    # normal runs set testedLUT = correlationPatternCount3D (:9118), one
+    # past any valid foundE - they only accumulate in LUT-eval mode.
+    # Assert the quirk holds, then validate our live counters internally.
+    for a, b in ((16, 8), (8, 16), (8, 8), (8, 4), (4, 8), (4, 4)):
+        assert ref[f"pixelCount3D_Lut_{a}_{b}"] == 0
+    assert ref["pixelCount3DLUTTotal"] == 0
+    assert not any(hist3d)
+    assert sum(st.tile3d_bit_pixels.values()) == sum(
+        st.tile3d_pixels.values())
+    assert sum(st.lut_histogram.values()) == st.tile3d_count
+    # chunk byte blocks ARE live: the 4-byte-rounded length field per tag
+    # (GTIL plane=7 -> sizeBlock3DGradient :4327, 3DTL -> sizeBlock3DLUT
+    # :7618, their sum -> compressedFileTotal with the 1DTL term zeroed
+    # at :9441); default pipeline has no 2D/1-plane gradient chunks
+    sums = {}
+    for tag, _off, body in iter_chunks(mine):
+        sums[tag.decode()] = sums.get(tag.decode(), 0) + len(body)
+    assert ref["sizeBlock3DGradient"] == sums.get("GTIL", 0)
+    assert ref["sizeBlock3DLUT"] == sums.get("3DTL", 0)
+    assert ref["sizeBlock2DGradient"] == 0
+    assert ref["sizeBlock1DGradient"] == 0
+    assert ref["compressedFileTotal"] == (sums.get("GTIL", 0)
+                                          + sums.get("3DTL", 0))
+
+
 @pytest.mark.skipif(not (REFBUILD / "ref_encoder_plnt").exists(),
                     reason="disabled-pass drivers not built")
 def test_fresh_disabled_pass_parity(bank, tmp_path):
