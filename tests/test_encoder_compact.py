@@ -1,0 +1,68 @@
+"""Compacted 3D-download encode path (device -> host link carries accept
+bitmaps + only accepted tiles' rows, in swizzle-scan order).
+
+Byte-parity with the host engine on the CPU backend, including the
+cap-overflow fallback to the single-image full-download path.
+Matches: the encoder hot-loop scan order (EncoderContext.cpp:6245-6779)
+and stream cursor semantics (:7316-7660).
+"""
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import FIXTURES
+from yaik_tpu.encoder import bank as bankmod
+
+pytestmark = pytest.mark.slow   # CPU-backend batch-scoring compiles
+from yaik_tpu.encoder import device_pipeline as devp
+from yaik_tpu.encoder.batch import _all_batch_compact_fn, encode_corpus
+from yaik_tpu.encoder.context import EncoderConfig, encode_image
+
+
+@pytest.fixture(scope="module")
+def bank():
+    return bankmod.load_bank(str(FIXTURES / "Bank3D"))
+
+
+def test_corpus_compact_parity(bank):
+    img = np.asarray(Image.open(FIXTURES / "img64.png"))
+    img128 = np.asarray(Image.open(FIXTURES / "img128.png"))
+    h64 = encode_image(img, bank, engine="host")
+    h128 = encode_image(img128, bank, engine="host")
+    sts = encode_corpus([img, img128, img, img128], bank, batch_size=2)
+    assert sts[0] == h64 and sts[2] == h64
+    assert sts[1] == h128 and sts[3] == h128
+
+
+def test_overflow_falls_back(bank, monkeypatch):
+    """Tiny caps force every pass to overflow; _emit_batch must fall back
+    to the full-download single-image path and still match host bytes."""
+    _all_batch_compact_fn.cache_clear()
+    real = devp.pass_caps
+
+    def tiny_caps(w, h):
+        return tuple(1 for _ in real(w, h))
+
+    monkeypatch.setattr(devp, "pass_caps", tiny_caps)
+    try:
+        img = np.asarray(Image.open(FIXTURES / "img64.png"))
+        want = encode_image(img, bank, engine="host")
+        got = encode_corpus([img, img], bank, batch_size=2)
+        assert got[0] == want and got[1] == want
+    finally:
+        _all_batch_compact_fn.cache_clear()
+
+
+def test_caps_sane():
+    caps = devp.pass_caps(512, 512)
+    assert len(caps) == 6
+    assert all(c >= 64 for c in caps)
+    # compact layout round-trips: bits + count + rows offsets must tile the
+    # flat buffer exactly (unpack_compact asserts by construction)
+    total = 0
+    for (sx, sy), cap in zip(
+            [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)], caps):
+        P = (1 << sx) * (1 << sy)
+        _, gids = devp._scan_perm(sx, sy, 512, 512)
+        total += -(-gids.shape[0] // 8) + 4 + cap * (P + 9)
+    assert total < 600_000      # ~0.57 MB/image vs 1.9 MB full download

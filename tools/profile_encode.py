@@ -64,27 +64,28 @@ def main():
 
     for rep in range(3):
         t0 = time.perf_counter()
-        planes = np.ascontiguousarray(np.stack(
-            [im[:, :, :3].transpose(2, 0, 1) for im in imgs]))
-        t_pack = time.perf_counter()
-        planes_b = jax.device_put(planes)
-        planes_b.block_until_ready()
-        t_up = time.perf_counter()
-        out = encbatch._all_batch_fn(cfg.reject_factor)(planes_b, *tables)
-        out[0].block_until_ready(); out[1].block_until_ready()
+        h1, h2 = encbatch._dispatch_batch(imgs, None, cfg, tables)
+        h1.block_until_ready(); h2.block_until_ready()
         t_disp = time.perf_counter()
-        a = np.asarray(out[0]); b = np.asarray(out[1])
+        a = np.asarray(h1); b = np.asarray(h2)
         t_down = time.perf_counter()
         streams = encbatch._emit_batch(imgs, a, b, bank, cfg)
         t_emit = time.perf_counter()
         total = t_emit - t0
-        print(f"rep{rep}: pack {1e3*(t_pack-t0):7.1f}ms  "
-              f"upload {1e3*(t_up-t_pack):7.1f}ms ({planes.nbytes/2**20:.1f}MB)  "
-              f"device {1e3*(t_disp-t_up):7.1f}ms  "
+        print(f"rep{rep}: up+device {1e3*(t_disp-t0):7.1f}ms  "
               f"download {1e3*(t_down-t_disp):7.1f}ms "
-              f"({(a.nbytes+b.nbytes)/2**20:.1f}MB)  "
+              f"({(a.nbytes+b.nbytes)/2**20:.2f}MB)  "
               f"emit {1e3*(t_emit-t_down):7.1f}ms  "
               f"total {total:6.2f}s = {mpix/total:5.2f} MPix/s", flush=True)
+
+    # pipelined rate (the corpus scheduler overlaps emit with device work)
+    n_im = 24
+    corpus = make_images(n_im, SIZE, seed=11)
+    t0 = time.perf_counter()
+    outs = encbatch.encode_corpus(corpus, bank, cfg, batch_size=B)
+    dt = time.perf_counter() - t0
+    print(f"encode_corpus {n_im}x{SIZE}^2 warm: {dt:.2f}s = "
+          f"{n_im*SIZE*SIZE/1e6/dt:.2f} MPix/s", flush=True)
     sizes = [len(s) for s in streams]
     print("stream bytes:", sizes[:4], "bpp:",
           round(sum(sizes) * 8 / (mpix * 1e6), 2))

@@ -42,35 +42,60 @@ def _grad_batch_fn(reject_factor):
 
 @jax.jit
 def _tile3d_all_batch(planes8_b, claims_b, qpts, pts, factors):
-    return jax.vmap(
-        lambda p8, c: devp._tile3d_all.__wrapped__(
-            p8.astype(jnp.int32), c, qpts, pts, factors))(
-        planes8_b, claims_b)
+    return devp._tile3d_all.__wrapped__(
+        planes8_b.astype(jnp.int32), claims_b, qpts, pts, factors)
 
 
 @lru_cache(maxsize=None)
 def _all_batch_fn(reject_factor):
     """Gradient + all-six-3D scoring in ONE dispatch per batch: one tunnel
-    round trip instead of two (claims flow gradient -> 3D in-graph)."""
-    def core(p8, qpts, pts, factors):
-        p = p8.astype(jnp.int32)
-        c = jnp.zeros(p8.shape, bool)
-        accepts, claims = jax_scoring.gradient_all_device.__wrapped__(
-            p, c, reject_factor)
-        packed_g = jnp.concatenate([a.reshape(-1).astype(jnp.uint8)
-                                    for a in accepts])
+    round trip instead of two (claims flow gradient -> 3D in-graph). The
+    gradient stage is vmapped; the 3D stage is natively batched (its
+    Pallas scoring kernel wants the flattened B*T tile axis, not vmap)."""
+    def core(p8_b, qpts, pts, factors):
+        B = p8_b.shape[0]
+        p_b = p8_b.astype(jnp.int32)
+        c_b = jnp.zeros(p8_b.shape, bool)
+        accepts_b, claims_b = jax.vmap(
+            lambda p, c: jax_scoring.gradient_all_device.__wrapped__(
+                p, c, reject_factor))(p_b, c_b)
+        packed_g = jnp.concatenate(
+            [a.reshape(B, -1).astype(jnp.uint8) for a in accepts_b], axis=1)
         packed_3d, _ = devp._tile3d_all.__wrapped__(
-            p, claims, qpts, pts, factors)
+            p_b, claims_b, qpts, pts, factors)
         return packed_g, packed_3d
-    return jax.jit(jax.vmap(core, in_axes=(0, None, None, None)))
+    return jax.jit(core, static_argnums=())
+
+
+@lru_cache(maxsize=None)
+def _all_batch_compact_fn(reject_factor, caps):
+    """Like _all_batch_fn but with compacted 3D downloads: accept bitmaps
+    + only the accepted tiles' rows cross the tunnel (~4x less than the
+    full per-tile download)."""
+    def core(p8_b, qpts, pts, factors, perms):
+        B = p8_b.shape[0]
+        p_b = p8_b.astype(jnp.int32)
+        c_b = jnp.zeros(p8_b.shape, bool)
+        accepts_b, claims_b = jax.vmap(
+            lambda p, c: jax_scoring.gradient_all_device.__wrapped__(
+                p, c, reject_factor))(p_b, c_b)
+        packed_g = jnp.concatenate(
+            [a.reshape(B, -1).astype(jnp.uint8) for a in accepts_b], axis=1)
+        packed_3d, _ = devp._tile3d_all_compact(
+            p_b, claims_b, qpts, pts, factors, perms, caps)
+        return packed_g, packed_3d
+    return jax.jit(core)
 
 
 class _Precomputed:
-    """Per-image scoring results injected into the standard emission path."""
+    """Per-image scoring results injected into the standard emission path.
+    Either t3_results (full per-tile arrays) or t3_compact (accept bitmaps
+    + compacted scan-order rows) is set."""
 
-    def __init__(self, grad_accepts, t3_results):
+    def __init__(self, grad_accepts, t3_results, t3_compact=None):
         self.grad_accepts = grad_accepts
         self.t3_results = t3_results
+        self.t3_compact = t3_compact
 
 
 def encode_batch(images, bank: bankmod.Bank,
@@ -129,21 +154,32 @@ def encode_batch(images, bank: bankmod.Bank,
 
 
 def _dispatch_batch(imgs, claims_shape, cfg, tables):
-    """Upload one padded batch and enqueue gradient + 3D scoring; start the
-    device->host copies without blocking (the axon runtime otherwise wedges
-    when an older buffer is fetched after newer enqueues)."""
+    """Upload one padded batch and enqueue gradient + 3D scoring (compacted
+    3D downloads); start the device->host copies without blocking (the axon
+    runtime otherwise wedges when an older buffer is fetched after newer
+    enqueues)."""
+    h, w = imgs[0].shape[:2]
+    caps = devp.pass_caps(w, h)
+    perms = tuple(
+        jnp.asarray(devp._scan_perm(sx, sy, w, h)[1])
+        for (sx, sy) in [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)])
     planes_b = jax.device_put(np.ascontiguousarray(np.stack(
         [im[:, :, :3].transpose(2, 0, 1) for im in imgs])))
-    packed_g, packed_3d = _all_batch_fn(cfg.reject_factor)(planes_b, *tables)
+    packed_g, packed_3d = _all_batch_compact_fn(cfg.reject_factor, caps)(
+        planes_b, *tables, perms)
     packed_g.copy_to_host_async()
     packed_3d.copy_to_host_async()
     return packed_g, packed_3d
 
 
 def _emit_batch(imgs, packed_g, packed_3d, bank, cfg):
-    """Unpack one batch's device outputs and run host emission per image."""
+    """Unpack one batch's compacted device outputs and run host emission
+    per image. An image whose accepted-tile count overflows a pass cap
+    (pathological content) falls back to the single-image full-download
+    device path - still byte-identical."""
     B = len(imgs)
     h, w = imgs[0].shape[:2]
+    caps = devp.pass_caps(w, h)
     packed = np.asarray(packed_g)
     grad_accepts, off = [], 0
     for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
@@ -151,27 +187,21 @@ def _emit_batch(imgs, packed_g, packed_3d, bank, cfg):
         grad_accepts.append(packed[:, off:off + nty * ntx]
                             .reshape(B, nty, ntx).astype(bool))
         off += nty * ntx
-    packed_all = np.asarray(packed_3d)
-    t3_b, off = [], 0
-    for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
-        tw, th = 1 << sx, 1 << sy
-        P = tw * th
-        T = (h // th) * (w // tw)
-        n = T * (P + 9)
-        pk = packed_all[:, off:off + n].reshape(B, T, P + 9)
-        off += n
-        t3_b.append({"shift": (sx, sy),
-                     "per_img": [devp._unpack_pass(pk[i], P)
-                                 for i in range(B)]})
+    per_pass = devp.unpack_compact(np.asarray(packed_3d), w, h, caps)
     streams = []
     for i in range(B):
+        if any(int(res["count"][i]) > cap
+               for res, cap in zip(per_pass, caps)):
+            streams.append(encode_image(imgs[i], bank, cfg,
+                                        engine="device"))
+            continue
         pre = _Precomputed(
-            [a[i] for a in grad_accepts],
-            [{"shift": res["shift"],
-              "idx": res["per_img"][i][0], "mask": res["per_img"][i][1],
-              "accept": res["per_img"][i][2], "type": res["per_img"][i][3],
-              "bbox": res["per_img"][i][4]}
-             for res in t3_b])
+            [a[i] for a in grad_accepts], None,
+            t3_compact=[{"shift": res["shift"],
+                         "bits_scan": res["bits_scan"][i],
+                         "count": res["count"][i],
+                         "rows": res["rows"][i]}
+                        for res in per_pass])
         streams.append(encode_image(imgs[i], bank, cfg, engine="precomputed",
                                     precomputed=pre))
     return streams

@@ -199,13 +199,25 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
             claims[:, :nty * th, :ntx * tw] |= up[None]
     elif engine == "precomputed":
         from yaik_tpu.encoder import device_pipeline as devp
+        compact = getattr(precomputed, "t3_compact", None)
         with profiler.stage("encode:3d-emit"):
-            devp.emit_tile3d_streams(precomputed.t3_results, w, h, streams)
-        for res in precomputed.t3_results:
+            if compact is not None:
+                devp.emit_tile3d_streams_compact(compact, w, h, streams)
+            else:
+                devp.emit_tile3d_streams(precomputed.t3_results, w, h,
+                                         streams)
+        for res in (compact if compact is not None
+                    else precomputed.t3_results):
             sx, sy = res["shift"]
             tw, th = 1 << sx, 1 << sy
             nty, ntx = h // th, w // tw
-            up = np.repeat(np.repeat(res["accept"].reshape(nty, ntx), th, 0),
+            if compact is not None:
+                _, gids = devp._scan_perm(sx, sy, w, h)
+                accept = np.zeros(nty * ntx, bool)
+                accept[gids] = res["bits_scan"]
+            else:
+                accept = res["accept"]
+            up = np.repeat(np.repeat(accept.reshape(nty, ntx), th, 0),
                            tw, 1)
             claims[:, :nty * th, :ntx * tw] |= up[None]
     else:

@@ -51,22 +51,21 @@ from functools import partial as _partial
 
 
 @_partial(jax.jit, static_argnames=("sx", "sy"))
-def _resident_packed(planes, claims, qpts, pts, factors, sx, sy):
-    """One resident 3D pass; outputs packed into a single u8 array
-    [T, P+9] = (idx | mask<<6)(P) | acc(1) | typ(2) | bbox(6) - one
-    device->host transfer per pass, ~1 byte/pixel (the tunnel charges
-    ~100ms + ~30MB/s per transfer; idx is 6 bits, mask 1)."""
-    accept, typ, idx, mask, mn, mx, claims = \
-        jax_scoring.tile3d_pass_resident.__wrapped__(
-            planes, claims, qpts, pts, factors, sx, sy)
-    T, P = idx.shape
+def _resident_packed(planes_b, claims_b, qpts, pts, factors, sx, sy):
+    """One resident 3D pass over a batch [B,3,H,W]; outputs packed into a
+    single u8 array [B, T, P+9] = (idx | mask<<6)(P) | acc(1) | typ(2) |
+    bbox(6) - one device->host transfer per pass, ~1 byte/pixel (the tunnel
+    charges ~100ms + ~30MB/s per transfer; idx is 6 bits, mask 1)."""
+    accept, typ, idx, mask, mn, mx, claims_b = \
+        jax_scoring.tile3d_pass_resident_b.__wrapped__(
+            planes_b, claims_b, qpts, pts, factors, sx, sy)
     packed = _jnp.concatenate([
         (idx | (mask.astype(_jnp.int32) << 6)).astype(_jnp.uint8),
-        accept.astype(_jnp.uint8)[:, None],
-        (typ & 0xFF).astype(_jnp.uint8)[:, None],
-        ((typ >> 8) & 0xFF).astype(_jnp.uint8)[:, None],
-        mn.astype(_jnp.uint8), mx.astype(_jnp.uint8)], axis=1)
-    return packed, claims
+        accept.astype(_jnp.uint8)[:, :, None],
+        (typ & 0xFF).astype(_jnp.uint8)[:, :, None],
+        ((typ >> 8) & 0xFF).astype(_jnp.uint8)[:, :, None],
+        mn.astype(_jnp.uint8), mx.astype(_jnp.uint8)], axis=2)
+    return packed, claims_b
 
 
 def _unpack_pass(packed, P):
@@ -81,15 +80,17 @@ def _unpack_pass(packed, P):
 
 
 @jax.jit
-def _tile3d_all(planes, claims, qpts, pts, factors):
-    """All six 3D size passes in ONE dispatch (claims evolve in-graph);
-    outputs one packed u8 vector per pass."""
+def _tile3d_all(planes_b, claims_b, qpts, pts, factors):
+    """All six 3D size passes in ONE dispatch over a batch [B,3,H,W]
+    (claims evolve in-graph); outputs one packed u8 vector per (image,
+    pass), concatenated pass-major to match the host unpack order."""
+    B = planes_b.shape[0]
     outs = []
     for (sx, sy) in [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)]:
-        packed, claims = _resident_packed.__wrapped__(
-            planes, claims, qpts, pts, factors, sx, sy)
-        outs.append(packed.reshape(-1))
-    return jnp.concatenate(outs), claims
+        packed, claims_b = _resident_packed.__wrapped__(
+            planes_b, claims_b, qpts, pts, factors, sx, sy)
+        outs.append(packed.reshape(B, -1))
+    return jnp.concatenate(outs, axis=1), claims_b
 
 
 def run_tile3d_scoring(planes_dev, claims_dev, tables):
@@ -99,9 +100,10 @@ def run_tile3d_scoring(planes_dev, claims_dev, tables):
     (list of per-pass dicts as numpy, final claims device array)."""
     qpts, pts, factors = tables
     _, h, w = planes_dev.shape
-    packed_all, claims_dev = _tile3d_all(planes_dev, claims_dev,
-                                         qpts, pts, factors)
-    packed_all = np.asarray(packed_all)
+    packed_all, claims_b = _tile3d_all(planes_dev[None], claims_dev[None],
+                                       qpts, pts, factors)
+    claims_dev = claims_b[0]
+    packed_all = np.asarray(packed_all)[0]
     results, off = [], 0
     for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
         tw, th = 1 << sx, 1 << sy
@@ -167,6 +169,151 @@ def emit_tile3d_streams(results, w, h, streams):
                 if tb.any():
                     rows = idxo[tb]
                     streams[bit] += rows[~masko[tb]].astype(
+                        np.uint8).tobytes()
+
+        packed = np.frombuffer(swizzle.pack_bitmap(bits), np.uint8)
+        m = streams["maps"][(sx, sy)]
+        m[:len(packed)] |= packed
+
+
+# ---------------------------------------------------------------------------
+# Compacted downloads: only accepted tiles cross the host link
+# ---------------------------------------------------------------------------
+# The full per-pass download is ~1.9 MB per 512^2 image (1 B/px of indices
+# for EVERY tile); at ~30 MB/s of tunnel bandwidth that alone caps encode
+# at ~4 MPix/s. Accepted 3D tiles claim disjoint pixels, so the accepted
+# subset is a small fraction - the device now emits, per pass:
+#   accept bits over scan-order slots  (Ts/8 bytes)
+#   count (4 bytes LE)
+#   the first `cap` accepted tiles' packed rows, already in swizzle-scan
+#   order (the host stream-emission order, EncoderContext.cpp:6245 scan)
+# If count > cap (pathological content) the host falls back to the
+# single-image full-download path for that image.
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _scan_perm(sx, sy, w, h):
+    """Host cache: (sel0 slot ids, gids tile ids) in swizzle-scan order."""
+    tw, th = 1 << sx, 1 << sy
+    tx, ty, valid = swizzle.tile_scan_coords(sx, sy, w, h)
+    inside = ((tx + 1) * tw <= w) & ((ty + 1) * th <= h)
+    sel0 = np.flatnonzero(valid & inside)
+    gids = (ty[sel0].astype(np.int64) * (w // tw) + tx[sel0]).astype(
+        np.int32)
+    return sel0, gids
+
+
+def pass_caps(w, h):
+    """Static per-pass row caps: 1/4 of the tile grid (claim-disjointness
+    makes a single pass exceeding this rare; overflow falls back)."""
+    caps = []
+    for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
+        T = (h >> sy) * (w >> sx)
+        caps.append(max(64, T // 4))
+    return tuple(caps)
+
+
+def _compact_pass(packed, perm, cap):
+    """packed [B,T,P+9] u8 (accept at byte P); perm [Ts] i32 scan-order
+    tile ids. Returns flat u8 [B, ceil8(Ts)/8 + 4 + cap*(P+9)]."""
+    B, T, W = packed.shape
+    Ts = perm.shape[0]
+    acc = (jnp.take(packed[:, :, W - 9], perm, axis=1) > 0)       # [B,Ts]
+    csum = jnp.cumsum(acc.astype(jnp.int32), axis=1)
+    cnt = csum[:, -1]                                             # [B]
+    targets = jnp.arange(cap, dtype=jnp.int32) + 1
+    pos = jax.vmap(lambda cs: jnp.searchsorted(cs, targets))(csum)
+    src = jnp.take(jnp.asarray(perm), jnp.minimum(pos, Ts - 1), axis=0)
+    rows = jnp.take_along_axis(packed, src[:, :, None], axis=1)   # B,cap,W
+    ts8 = -(-Ts // 8) * 8
+    accp = jnp.pad(acc, ((0, 0), (0, ts8 - Ts)))
+    cbits = (accp.reshape(B, ts8 // 8, 8).astype(jnp.int32)
+             << jnp.arange(8, dtype=jnp.int32)).sum(-1).astype(jnp.uint8)
+    cnt4 = jnp.stack([(cnt >> s) & 0xFF for s in (0, 8, 16, 24)],
+                     axis=1).astype(jnp.uint8)
+    return jnp.concatenate(
+        [cbits, cnt4, rows.reshape(B, -1)], axis=1)
+
+
+def _tile3d_all_compact(planes_b, claims_b, qpts, pts, factors, perms,
+                        caps):
+    """All six 3D passes with compacted downloads. perms: tuple of 6
+    scan-order tile-id arrays; caps: static tuple of 6 row caps."""
+    B = planes_b.shape[0]
+    outs = []
+    for pi, (sx, sy) in enumerate(
+            [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)]):
+        packed, claims_b = _resident_packed.__wrapped__(
+            planes_b, claims_b, qpts, pts, factors, sx, sy)
+        outs.append(_compact_pass(packed, perms[pi], caps[pi]))
+    return jnp.concatenate(outs, axis=1), claims_b
+
+
+def unpack_compact(flat, w, h, caps):
+    """Host twin of _tile3d_all_compact's layout. flat [B, total] u8 ->
+    per-pass list of dicts {shift, bits_scan [B,Ts] bool, count [B],
+    rows [B,cap,P+9]} (rows beyond count are garbage; count > cap means
+    overflow -> caller falls back for that image)."""
+    out, off = [], 0
+    for pi, (sx, sy) in enumerate(swizzle.TILE3D_PASS_ORDER):
+        tw, th = 1 << sx, 1 << sy
+        P = tw * th
+        _, gids = _scan_perm(sx, sy, w, h)
+        Ts = gids.shape[0]
+        nb = -(-Ts // 8)
+        cap = caps[pi]
+        cbits = flat[:, off:off + nb]
+        off += nb
+        cnt = (flat[:, off].astype(np.int64)
+               | (flat[:, off + 1].astype(np.int64) << 8)
+               | (flat[:, off + 2].astype(np.int64) << 16)
+               | (flat[:, off + 3].astype(np.int64) << 24))
+        off += 4
+        rows = flat[:, off:off + cap * (P + 9)].reshape(-1, cap, P + 9)
+        off += cap * (P + 9)
+        bits = np.unpackbits(cbits, axis=1, bitorder="little")[:, :Ts]
+        out.append({"shift": (sx, sy), "bits_scan": bits.astype(bool),
+                    "count": cnt, "rows": rows})
+    return out
+
+
+def emit_tile3d_streams_compact(per_pass_img, w, h, streams):
+    """Host emission from compacted device outputs: identical bytes to
+    emit_tile3d_streams (the rows already arrive in swizzle-scan order)."""
+    for res in per_pass_img:
+        sx, sy = res["shift"]
+        tw, th = 1 << sx, 1 << sy
+        P = tw * th
+        sel0, _ = _scan_perm(sx, sy, w, h)
+        tx_all, _, _ = swizzle.tile_scan_coords(sx, sy, w, h)
+        bits = np.zeros(tx_all.shape[0], bool)
+        bits[sel0] = res["bits_scan"]
+        C = int(res["count"])
+        if C:
+            rows = res["rows"][:C]
+            streams["color"] += rows[:, P + 3:P + 9].tobytes()
+            tvals = (rows[:, P + 1].astype(np.int64)
+                     | (rows[:, P + 2].astype(np.int64) << 8))
+            streams["type"].extend(int(t) for t in tvals)
+            if tw > 8:
+                order = []
+                for xa in range(2):
+                    for y in range(th):
+                        for x in range(8):
+                            order.append(y * tw + xa * 8 + x)
+                order = np.asarray(order)
+            else:
+                order = np.arange(P)
+            im = rows[:, :P][:, order]
+            idxo = im & 63
+            masko = (im >> 6).astype(bool)
+            bit_arr = ((tvals >> 14) & 3) + 3
+            for bit in (3, 4, 5, 6):
+                tb = bit_arr == bit
+                if tb.any():
+                    streams[bit] += idxo[tb][~masko[tb]].astype(
                         np.uint8).tobytes()
 
         packed = np.frombuffer(swizzle.pack_bitmap(bits), np.uint8)

@@ -220,8 +220,20 @@ def tile3d_score_device(c, alive, qpts):
 
 @partial(jax.jit, static_argnames=("sx", "sy"))
 def tile3d_pass_resident(planes, claims, qpts, pts_sub, factors, sx, sy):
-    """One fully device-resident 3D size pass: tiles/masks/bboxes and the
-    normalizations all on device, claims updated in-graph.
+    """Single-image wrapper over the natively-batched resident pass."""
+    accept, typ, idx, mask, mn, mx, claims_b = tile3d_pass_resident_b(
+        planes[None], claims[None], qpts, pts_sub, factors, sx, sy)
+    return (accept[0], typ[0], idx[0], mask[0], mn[0], mx[0], claims_b[0])
+
+
+@partial(jax.jit, static_argnames=("sx", "sy"))
+def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
+                           sx, sy):
+    """One fully device-resident 3D size pass over a BATCH of images
+    [B,3,H,W]: tiles/masks/bboxes and the normalizations all on device,
+    claims updated in-graph. Images are independent, so the batch is
+    flattened into the tile axis (B*T) - this keeps the Pallas scoring
+    kernel out of vmap and feeds it bigger grids.
 
     Exactness (each verified exhaustively against the host x86 float path):
     - scoring coords: int->f32 conversion and f32 multiply are correctly
@@ -229,19 +241,26 @@ def tile3d_pass_resident(planes, claims, qpts, pts_sub, factors, sx, sy):
       exact, so c matches the reference bit-for-bit;
     - computeValues coords: trunc(RN(RN(k/d))*63) == (k*63)//d and the
       63-rel twin == 63 - q - (r != 0) for all k <= d <= 255 (the double-
-      rounding error, <= ~7.5e-6, cannot cross a 1/d >= 1/255 boundary).
+      rounding error, <= ~7.5e-6, cannot cross a 1/d >= 1/255 boundary);
+    - the Pallas score48 kernel (TPU path) is integer-exact by
+      construction (ops/pallas_kernels.py) and equality-tested against the
+      elementwise form.
 
-    Returns (accept [T] bool, tile_type [T] i32, idx [T,P] i32,
-             mask [T,P] bool, claims)."""
+    Returns (accept [B,T] bool, tile_type [B,T] i32, idx [B,T,P] i32,
+             mask [B,T,P] bool, mn/mx [B,T,3], claims)."""
     tw, th = 1 << sx, 1 << sy
-    _, h, w = planes.shape
+    B, _, h, w = planes_b.shape
     ntx, nty = w // tw, h // th
     T, P = nty * ntx, th * tw
+    N = B * T
 
-    tiles = planes[:, :nty * th, :ntx * tw].reshape(3, nty, th, ntx, tw)
-    tiles = tiles.transpose(1, 3, 2, 4, 0).reshape(T, P, 3).astype(jnp.int32)
-    cm = claims.all(axis=0)[:nty * th, :ntx * tw]
-    mask = cm.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3).reshape(T, P)
+    tiles = planes_b[:, :, :nty * th, :ntx * tw].reshape(
+        B, 3, nty, th, ntx, tw)
+    tiles = tiles.transpose(0, 2, 4, 3, 5, 1).reshape(N, P, 3).astype(
+        jnp.int32)
+    cm = claims_b.all(axis=1)[:, :nty * th, :ntx * tw]
+    mask = cm.reshape(B, nty, th, ntx, tw).transpose(0, 1, 3, 2, 4).reshape(
+        N, P)
     alive = ~mask
 
     cnt = alive.sum(axis=1)
@@ -261,35 +280,51 @@ def tile3d_pass_resident(planes, claims, qpts, pts_sub, factors, sx, sy):
     # since n*e <= 63*d^2 < 2^22 (Granlund-Montgomery; verified exhaustively)
     k63 = k * 63
     dd = jnp.maximum(d, 1)[:, None, :]
-    magic = (1 << 22) // jnp.maximum(d, 1) + 1                # [T,3] only
+    magic = (1 << 22) // jnp.maximum(d, 1) + 1                # [N,3] only
     q0 = (k63 * magic[:, None, :]) >> 22
     q = jnp.where(d[:, None, :] > 0, q0, k63)
     rem = jnp.where(d[:, None, :] > 0, k63 - q0 * dd, 0)
     a_c = q
     b_c = 63 - q - (rem != 0).astype(jnp.int32)
 
-    # chunked via lax.map (single dispatch, bounded transients: the scoring
-    # intermediate is [Tc, P, E, 48, 8])
-    tc = max(1, 16384 // P)
-    pad = (-T) % tc
+    use_pallas = (jax.default_backend() == "tpu"
+                  and os.environ.get("YAIK_SCORE48", "pallas") == "pallas")
+    chunk_px = int(os.environ.get("YAIK_VALUES_CHUNK", "49152"))
+    tc = max(1, chunk_px // P)
+    pad = (-N) % tc
     def padt(x):
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-    nch = (T + pad) // tc
-    stacked = jax.lax.map(
-        lambda i: tile3d_pass_hybrid.__wrapped__(
-            *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
-              for v in (tiles, alive, c, a_c, b_c, mn, d)),
-            qpts, pts_sub, factors),
-        jnp.arange(nch))
-    acc = stacked[0].reshape(-1)[:T]
-    typ = stacked[1].reshape(-1)[:T]
-    idx = stacked[2].reshape(-1, P)[:T]
+    nch = (N + pad) // tc
+    if use_pallas:
+        # scoring for the whole batch in ONE fused MXU kernel; only the
+        # values stage stays lax.map-chunked (its transients are [Tc,E,P,n])
+        from yaik_tpu.ops.pallas_kernels import score48
+        sums = score48(c, alive, qpts)                        # [N,E,48]
+        mode48 = jnp.argmin(sums, axis=-1).astype(jnp.int32)  # [N,E]
+        stacked = jax.lax.map(
+            lambda i: tile3d_values_device.__wrapped__(
+                *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
+                  for v in (tiles, alive, a_c, b_c, mode48, mn, d)),
+                pts_sub, factors),
+            jnp.arange(nch))
+    else:
+        stacked = jax.lax.map(
+            lambda i: tile3d_pass_hybrid.__wrapped__(
+                *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
+                  for v in (tiles, alive, c, a_c, b_c, mn, d)),
+                qpts, pts_sub, factors),
+            jnp.arange(nch))
+    acc = stacked[0].reshape(-1)[:N]
+    typ = stacked[1].reshape(-1)[:N]
+    idx = stacked[2].reshape(-1, P)[:N]
     accept = acc & pre
 
-    up = jnp.repeat(jnp.repeat(accept.reshape(nty, ntx), th, 0), tw, 1)
-    region = claims[:, :nty * th, :ntx * tw] | up[None]
-    claims = claims.at[:, :nty * th, :ntx * tw].set(region)
-    return accept, typ, idx, mask, mn, mx, claims
+    up = jnp.repeat(jnp.repeat(accept.reshape(B, nty, ntx), th, 1), tw, 2)
+    region = claims_b[:, :, :nty * th, :ntx * tw] | up[:, None]
+    claims_b = claims_b.at[:, :, :nty * th, :ntx * tw].set(region)
+    return (accept.reshape(B, T), typ.reshape(B, T), idx.reshape(B, T, P),
+            mask.reshape(B, T, P), mn.reshape(B, T, 3), mx.reshape(B, T, 3),
+            claims_b)
 
 
 @partial(jax.jit, static_argnames=())
@@ -324,44 +359,70 @@ def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
     idx_by_bit [4,T,E,P])."""
     T, P, _ = tiles.shape
     E = mode48.shape[1]
-    flip = jnp.stack([(mode48 >> i) & 1 for i in range(3)], -1)   # T,E,3
-    m = jnp.where(flip[:, :, None, :] == 1,
-                  b_c[:, None, :, :], a_c[:, None, :, :])         # T,E,P,3
-    perms = jnp.asarray([SWAP3D[s] for s in range(6)], jnp.int32)
-    # permutation as a matmul (per-pixel take_along_axis gathers are
-    # pathologically slow on TPU): pmat[t,e,o,s] = 1 iff perm[o] == s
+    # Layout rule driving this whole function: every large tensor keeps the
+    # pixel axis P or the point axis n on the 128-lane dimension, NEVER the
+    # 3-channel axis (a trailing dim of 3 pads to 128 lanes - 42x waste,
+    # measured as the dominant device cost of the encoder). Channels are
+    # unrolled in Python into triples of [T,E,P] arrays; the four bit-depth
+    # point sets are packed into one 120-lane axis.
+    flip = [((mode48 >> i) & 1) for i in range(3)]                # 3x [T,E]
+    # permutation as 0/1 coefficients (per-pixel take_along_axis gathers
+    # are pathologically slow on TPU): pm[t,e,o,s] = 1 iff perm[o] == s
     pm6 = jnp.asarray(np.eye(3, dtype=np.float32)[
         np.asarray([SWAP3D[s] for s in range(6)])])               # 6,3(o),3(s)
     pmat = pm6[mode48 >> 3]                                       # T,E,3,3
-    mf = jnp.einsum("teps,teos->tepo", m.astype(jnp.float32), pmat)
+    m_s = [jnp.where(flip[i][:, :, None] == 1,
+                     b_c[:, None, :, i], a_c[:, None, :, i])
+           .astype(jnp.float32) for i in range(3)]                # 3x [T,E,P]
+    mf = [sum(pmat[:, :, o, s][:, :, None] * m_s[s] for s in range(3))
+          for o in range(3)]                                      # 3x [T,E,P]
+    m2 = mf[0] * mf[0] + mf[1] * mf[1] + mf[2] * mf[2]            # [T,E,P]
+
+    # one packed point axis: [64 | 32 | 16 | 8] = 120 lanes for all four
+    # bit depths; per-depth windows are static lane slices
+    steps = ((1, 64), (2, 32), (4, 16), (8, 8))
+    sf = jnp.concatenate([pts_sub[:, ::st][:, :n] for st, n in steps],
+                         axis=1).astype(jnp.float32)              # [E,120,3]
+    s2 = (sf * sf).sum(-1)                                        # [E,120]
+    # |m-s|^2 with the cross term as one batched-over-E MXU matmul. Exact:
+    # mf, sf are integers <= 63 (bf16-exact operands, f32 accumulation;
+    # every term < 2^24), so first-min ties match the integer path.
+    mfs = jnp.stack(mf, axis=-1)                                  # [T,E,P,3]
+    dots = jnp.einsum("teps,ens->tepn", mfs, sf,
+                      preferred_element_type=jnp.float32)
+    dist = m2[:, :, :, None] - 2.0 * dots + s2[None, :, None, :]  # T,E,P,120
 
     acc_mode = jnp.full((T, E), SKIP, jnp.int32)
     diff_sel = jnp.zeros((T, E), jnp.int32)
     idx_by_bit = []
-    for bi, (step, npts) in enumerate(((1, 64), (2, 32), (4, 16), (8, 8))):
-        sub = pts_sub[:, ::step][:, :npts]
-        # batched-over-E MXU matmul; f32 exact (all ints < 2^24), so the
-        # first-min argmin ties match the integer path
-        sf = sub.astype(jnp.float32)                               # E,n,3
-        dif = mf[:, :, :, None, :] - sf[None, :, None, :, :]
-        dist = (dif * dif).sum(-1)                                 # T,E,P,n
-        dmin = dist.min(axis=-1, keepdims=True)
-        first = jnp.cumsum((dist <= dmin).astype(jnp.int32), -1) == 1
-        onehot = ((dist <= dmin) & first).astype(jnp.float32)      # T,E,P,n
-        idx = jnp.argmax(onehot, axis=-1).astype(jnp.int32)        # T,E,P
+    sgn = [jnp.where(flip[s] == 1, -1.0, 1.0) for s in range(3)]  # 3x [T,E]
+    base = [flip[s].astype(jnp.float32) * jnp.float32(FACTOR)
+            for s in range(3)]
+    off = 0
+    for bi, (step, npts) in enumerate(steps):
+        db = dist[..., off:off + npts]
+        off += npts
+        dmin = db.min(axis=-1, keepdims=True)
+        # first-min == smallest index among ties: min-reduce the iota where
+        # equal (no lane cumsum needed)
+        iot = jnp.arange(npts, dtype=jnp.int32)
+        idx = jnp.min(jnp.where(db <= dmin, iot, npts), axis=-1)  # T,E,P
         idx_by_bit.append(idx)
-        # factor gather + flip + permute, all as matmuls:
-        # flip_i(fsel)[s] = flip[s]*FACTOR + sign[s]*f[e,idx,s];
-        # both terms contract the one-hot on the MXU
-        ff = factors[3 - bi][:, :npts].astype(jnp.float32)         # E,n,3
-        fsel = jnp.einsum("tepn,ens->teps", onehot, ff)            # T,E,P,3
-        sgn = jnp.where(flip == 1, -1.0, 1.0)                      # T,E,3
-        base = (flip.astype(jnp.float32) * jnp.float32(FACTOR))[:, :, None, :]
-        fxs = base + sgn[:, :, None, :] * fsel
-        fx = jnp.einsum("teps,teos->tepo", fxs, pmat).astype(jnp.int32)
-        recon = mn[:, None, None, :] + ((fx * d[:, None, None, :]) >> 7)
-        ldiff = jnp.abs(recon - tiles[:, None, :, :]).max(-1)
-        ldiff = jnp.where(alive[:, None, :], ldiff, 0)
+        onehot = (iot == idx[..., None]).astype(jnp.float32)      # T,E,P,n
+        ff = factors[3 - bi][:, :npts].astype(jnp.float32)        # E,n,3
+        # factor gather as a one-hot contraction per channel (keeps n on
+        # lanes); flip_s(fsel) = flip*FACTOR + sgn*fsel
+        fxs = [base[s][:, :, None] + sgn[s][:, :, None]
+               * jnp.einsum("tepn,en->tep", onehot, ff[:, :, s])
+               for s in range(3)]                                 # 3x [T,E,P]
+        ld = jnp.zeros((T, E, P), jnp.int32)
+        for o in range(3):
+            fx_o = sum(pmat[:, :, o, s][:, :, None] * fxs[s]
+                       for s in range(3)).astype(jnp.int32)
+            recon = (mn[:, o][:, None, None]
+                     + ((fx_o * d[:, o][:, None, None]) >> 7))
+            ld = jnp.maximum(ld, jnp.abs(recon - tiles[:, None, :, o]))
+        ldiff = jnp.where(alive[:, None, :], ld, 0)
         ok = (ldiff > 5).sum(-1) <= 3
         acc_mode = jnp.where(ok, jnp.int32(3 - bi), acc_mode)
         diff_sel = jnp.where(ok, ldiff.sum(-1), diff_sel)
