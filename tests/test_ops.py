@@ -126,18 +126,16 @@ def test_mining_produces_loadable_bank(tmp_path):
 
 
 @pytest.mark.slow
-def test_pallas_lut3d_resolve_interpret():
-    """The Pallas 3D-LUT resolve kernel (interpret mode == CPU-safe)."""
+def test_pallas_lut3d_tree_interpret():
+    """The Pallas 3D-LUT select-tree kernel (interpret mode == CPU-safe)."""
     import jax.numpy as jnp
-    from yaik_tpu.ops.pallas_kernels import lut3d_resolve
+    from yaik_tpu.ops.pallas_kernels import lut3d_tree
     rng = np.random.default_rng(1)
     G, Pn = 70, 16
-    idx = rng.integers(0, 64, (G, Pn)).astype(np.uint8)
-    luts = rng.integers(0, 129, (G, 64, 3)).astype(np.uint8)
-    cols = rng.integers(0, 256, (G, 6)).astype(np.int32)
-    out = np.asarray(lut3d_resolve(jnp.asarray(idx), jnp.asarray(luts),
-                                   jnp.asarray(cols), interpret=True))
-    L = luts[np.arange(G)[:, None], idx].astype(np.int32)
-    mn = cols[:, None, 0:3]
-    want = (mn + (((cols[:, None, 3:6] - mn) * L) >> 7)) & 0xFF
+    idx = rng.integers(0, 64, (G, Pn)).astype(np.int32)
+    luts = rng.integers(0, 129, (G, 64, 3)).astype(np.int32)
+    pk = luts[:, :, 0] | (luts[:, :, 1] << 8) | (luts[:, :, 2] << 16)
+    out = np.asarray(lut3d_tree(jnp.asarray(idx.T), jnp.asarray(pk.T),
+                                interpret=True)).T
+    want = pk[np.arange(G)[:, None], idx]
     assert np.array_equal(out, want)

@@ -33,10 +33,11 @@ from yaik_tpu.format import swizzle
 GRAD_SHIFTS = tuple(swizzle.GRADIENT_PASS_ORDER)
 T3_SHIFTS = tuple(swizzle.TILE3D_PASS_ORDER)
 
-# opt-in Pallas path for the 3D-LUT resolve (identical output). Default
-# off: measured on the real chip (round 2), the VPU select-accumulate is
-# ~3x slower than the XLA one-hot matmul at bench shapes - the 64
-# MACs/pixel belong on the MXU (see BASELINE.md Pallas A/B table).
+# opt-in Pallas path for the 3D-LUT resolve (identical output, verified
+# on-chip). Default off: the VMEM select-tree kernel measured at parity
+# with the packed one-hot matvec (21.5 vs 22.7 ms/step on the t3 block at
+# 512^2 batch 32 - inside session noise), and the XLA form also runs on
+# the CPU backend (see BASELINE.md Pallas A/B table).
 USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "0") == "1"
 
 
@@ -90,33 +91,36 @@ def _tile_to_image(vals, nty, ntx, th, tw):
 
 
 def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
-    """One 3D-LUT size pass as a batched one-hot matmul over the full grid.
+    """One 3D-LUT size pass over the full grid, channel-PACKED resolve.
 
-    Uploads are thin: the global LUT table [C,64,3] travels once per bank,
-    each tile carries its table ROW (from its type word), and index+mask
-    pack into one byte per pixel - the tunnel charges ~30MB/s, and the old
-    per-tile LUT slices were ~5MB per 512^2 image."""
+    The global table carries all 3 channels packed into one i32 per entry
+    (c0 | c1<<8 | c2<<16; entries are <= 128 so fields never interact and
+    the packed value < 2^24 stays f32-exact). One one-hot matvec per pixel
+    instead of a 3-lane batched matmul - measured 2x on the full t3 block
+    (46 -> 23 ms/step at 512^2 batch 32): the N=3 output starved the MXU.
+
+    Uploads stay thin: the packed table [C,64] travels once per bank, each
+    tile carries its table ROW (from its type word), and index+mask pack
+    into one byte per pixel."""
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
     g, npx = packed.shape
-    luts = lut_tab[rows]                     # [g, 64, 3] row gather, exact
+    luts_pk = lut_tab[rows]                  # [g, 64] i32 row gather, exact
     indices = (packed & 63).astype(jnp.int32)
     wmask = (packed >> 6) != 0
     colors = colors.astype(jnp.int32)
     if USE_PALLAS and jax.devices()[0].platform == "tpu":
-        from yaik_tpu.ops.pallas_kernels import lut3d_resolve
-        vals_pc = lut3d_resolve(indices, luts, colors)        # [g, npx, 3]
-        vals = jnp.moveaxis(vals_pc, -1, 0)                   # [3, g, npx]
+        from yaik_tpu.ops.pallas_kernels import lut3d_tree
+        Lp = lut3d_tree(indices.T, luts_pk.T).T               # [g, npx]
     else:
-        # one-hot [g, npx, 64] in f32 (exact for values <= 2^24), output
-        # written channel-major
         onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
                   [None, None, :]).astype(jnp.float32)
-        L = jnp.einsum("gpk,gkc->cgp", onehot, luts.astype(jnp.float32),
-                       preferred_element_type=jnp.float32).astype(jnp.int32)
-        mn = colors.T[0:3, :, None]                           # [3, g, 1]
-        diff = colors.T[3:6, :, None] - mn
-        vals = (mn + ((diff * L) >> 7)) & 0xFF                # [3, g, npx]
+        Lp = jnp.einsum("gpk,gk->gp", onehot, luts_pk.astype(jnp.float32),
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+    L = jnp.stack([Lp & 0xFF, (Lp >> 8) & 0xFF, Lp >> 16], axis=0)
+    mn = colors.T[0:3, :, None]                               # [3, g, 1]
+    diff = colors.T[3:6, :, None] - mn
+    vals = (mn + ((diff * L) >> 7)) & 0xFF                    # [3, g, npx]
 
     write = wmask & accept.reshape(g)[:, None]
     vals = _tile_to_image(vals, nty, ntx, th, tw)             # [3, H, W]
@@ -139,14 +143,15 @@ def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy):
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
     g, npx = packed.shape
-    luts = lut2_tab[rows]                     # [g, 64, 2]
+    luts_pk = lut2_tab[rows]                  # [g, 64] i32 (2ch packed)
     indices = (packed & 63).astype(jnp.int32)
     wmask = (packed >> 6) != 0
     colors = colors.astype(jnp.int32)
     onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
               [None, None, :]).astype(jnp.float32)
-    L = jnp.einsum("gpk,gkc->cgp", onehot, luts.astype(jnp.float32),
-                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    Lp = jnp.einsum("gpk,gk->gp", onehot, luts_pk.astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    L = jnp.stack([Lp & 0xFF, Lp >> 8], axis=0)
     mn = colors.T[0:2, :, None]
     diff = colors.T[2:4, :, None] - mn
     vals = (mn + ((diff * L) >> 7)) & 0xFF                    # [2, g, npx]
@@ -303,17 +308,20 @@ _LUT_TAB_CACHE: dict = {}
 
 def lut_device_table(expanded: dict):
     """Global device LUT table: per-bit expanded tables padded to 64 points
-    and concatenated -> ([C, 64, 3] u8, row base per bit). Cached per
-    expanded-dict identity (one upload per bank)."""
+    and concatenated, 3 channels PACKED into one i32 per entry
+    (c0 | c1<<8 | c2<<16, entries <= 128 so the packed value < 2^24) ->
+    ([C, 64] i32, row base per bit). Cached per expanded-dict identity
+    (one upload per bank)."""
     key = id(expanded)
     hit = _LUT_TAB_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]
     parts, bases, off = [], {}, 0
     for bit in (3, 4, 5, 6):
-        t = expanded[bit]                       # [n_b, 2^bit, 3]
-        pad = np.zeros((t.shape[0], 64, 3), np.uint8)
-        pad[:, : t.shape[1]] = t
+        t = expanded[bit].astype(np.int32)      # [n_b, 2^bit, 3]
+        pad = np.zeros((t.shape[0], 64), np.int32)
+        pad[:, : t.shape[1]] = t[:, :, 0] | (t[:, :, 1] << 8) | (
+            t[:, :, 2] << 16)
         bases[bit] = off
         off += t.shape[0]
         parts.append(pad)
@@ -325,7 +333,8 @@ def lut_device_table(expanded: dict):
 
 
 def lut2d_device_table(expanded2d: dict):
-    """2D analog of lut_device_table: [C, 64, 2] u8 + per-bit row bases.
+    """2D analog of lut_device_table: [C, 64] i32 (2 channels packed as
+    c0 | c1<<8) + per-bit row bases.
 
     Rows are cut as 128-byte windows of the FLAT per-bit section rather than
     zero-padded blocks: 3-bit tiles legitimately index past their 16-byte
@@ -344,10 +353,11 @@ def lut2d_device_table(expanded2d: dict):
                                np.zeros(128, np.uint8)])
         row_size = t.shape[1] * 2
         starts = np.arange(n_rows) * row_size
-        pad = flat[starts[:, None] + np.arange(128)].reshape(n_rows, 64, 2)
+        pad = flat[starts[:, None] + np.arange(128)].reshape(
+            n_rows, 64, 2).astype(np.int32)
         bases[bit] = off
         off += n_rows
-        parts.append(pad)
+        parts.append(pad[:, :, 0] | (pad[:, :, 1] << 8))
     tab = jax.device_put(np.concatenate(parts, axis=0))
     _LUT_TAB_CACHE[key] = (tab, bases, expanded2d)
     return tab, bases

@@ -1,7 +1,12 @@
 """Pallas TPU kernels for the codec hot paths.
 
-lut3d_resolve (decode): the 3D-LUT reconstruction
-    out[g, p, c] = (mn[g, c] + ((diff[g, c] * lut[g, idx[g, p], c]) >> 7)) & 0xFF
+lut3d_tree (decode): the per-pixel 3D-LUT entry lookup
+    L[p, g] = luts_packed[idx[p, g], g]
+as a 6-level binary select tree run entirely in VMEM, tiles on the 128-lane
+axis and the 64-entry table on sublanes; all 3 channels travel packed in one
+i32 (entries <= 128: fields can't interact). Measured at parity with the
+best XLA formulation (packed one-hot matvec) and 2.2x over the old per-tile
+[*, 64] one-hot reduce kernel this replaces.
 
 score48 (encode): the Correlation3DSearch 48-pattern scoring
     sums[t, e, n] = sum_{p alive} min_k || c[t,p] - Q[e,n,k] ||^2
@@ -25,47 +30,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(idx_ref, lut0_ref, lut1_ref, lut2_ref, col_ref,
-            out0_ref, out1_ref, out2_ref):
-    idx = idx_ref[:].astype(jnp.int32)                    # [BG, P]
-    k = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 64), 2)
-    oh = idx[:, :, None] == k                             # [BG, P, 64] VMEM
-    col = col_ref[:].astype(jnp.int32)                    # [BG, 8]
-    for c, (lut_ref, out_ref) in enumerate(((lut0_ref, out0_ref),
-                                            (lut1_ref, out1_ref),
-                                            (lut2_ref, out2_ref))):
-        lut = lut_ref[:].astype(jnp.int32)                # [BG, 64]
-        L = jnp.where(oh, lut[:, None, :], 0).sum(axis=2)  # [BG, P]
-        mn = col[:, c][:, None]
-        diff = col[:, c + 3][:, None] - mn
-        out_ref[:] = (mn + ((diff * L) >> 7)) & 0xFF
+def _tree_kernel(P, idx_ref, lut_ref, out_ref):
+    V0 = lut_ref[:]                                  # [64, LB] i32 packed
+    for p in range(P):
+        b = idx_ref[p, :]                            # [LB]
+        v = V0
+        for lev in (5, 4, 3, 2, 1, 0):
+            half = v.shape[0] // 2
+            bit = ((b >> lev) & 1)[None, :] != 0     # [1, LB]
+            v = jnp.where(bit, v[half:, :], v[:half, :])
+        out_ref[p, :] = v[0]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def lut3d_resolve(indices, luts, colors, interpret=False):
-    """indices [G, P] u8 (entry ids), luts [G, 64, 3] u8, colors [G, 6] i32.
-    Returns [G, P, 3] i32 reconstructed values (mask/assembly done by the
-    caller)."""
-    g, p = indices.shape
-    bg = max(1, 2048 // p)
-    pad = (-g) % bg
-    idx = jnp.pad(indices, ((0, pad), (0, 0)))
-    lutp = jnp.pad(luts, ((0, pad), (0, 0), (0, 0)))
-    col = jnp.pad(colors, ((0, pad), (0, 2)))             # 6 -> 8 lanes
-    grid = ((g + pad) // bg,)
-
-    blk2 = lambda n: pl.BlockSpec((bg, n), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
-        _kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct((g + pad, p), jnp.int32)
-                        for _ in range(3)),
+def lut3d_tree(idxT, lutsT_pk, interpret=False):
+    """idxT [P, G] i32 entry ids (tile-minor!); lutsT_pk [64, G] i32 packed
+    per-tile tables. Returns L packed [P, G] i32: the per-pixel table entry,
+    all channels in one value (callers unpack with & 0xFF / >> 8 / >> 16)."""
+    P, G = idxT.shape
+    LB = 512
+    pad = (-G) % LB
+    idxp = jnp.pad(idxT, ((0, 0), (0, pad)))
+    lutp = jnp.pad(lutsT_pk, ((0, 0), (0, pad)))
+    grid = ((G + pad) // LB,)
+    out = pl.pallas_call(
+        partial(_tree_kernel, P),
+        out_shape=jax.ShapeDtypeStruct((P, G + pad), jnp.int32),
         grid=grid,
-        in_specs=[blk2(p), blk2(64), blk2(64), blk2(64), blk2(8)],
-        out_specs=(blk2(p), blk2(p), blk2(p)),
+        in_specs=[
+            pl.BlockSpec((P, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, LB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, LB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(idx, lutp[:, :, 0], lutp[:, :, 1], lutp[:, :, 2], col)
-    return jnp.stack([o[:g] for o in outs], axis=-1)
+    )(idxp, lutp)
+    return out[:, :G]
 
 
 # ---------------------------------------------------------------------------
