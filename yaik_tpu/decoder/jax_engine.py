@@ -44,41 +44,49 @@ USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "0") == "1"
 def _blend_values(corners, accept, sx, sy):
     """Bilinear tile fill values for one gradient pass: [3, nty*th, ntx*tw]
     plus the [nty*th, ntx*tw] accept mask (exact YAIK_Gradient.cpp
-    fixed-point semantics)."""
+    fixed-point semantics).
+
+    Computed in IMAGE space: every elementwise op runs on [3, H, W] with the
+    full-width W minor axis on the 128 lanes. The tile-space 5D form put
+    tw in {4,8,16} on lanes (3-12% utilization) - measured 1.7x slower
+    across the 7-pass gradient block (24.3 -> 14.3 ms/step, 512^2 b32)."""
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
     qsy, qsx = th // 4, tw // 4
+    H, W = nty * th, ntx * tw
     cg = jnp.moveaxis(corners.astype(jnp.int32), -1, 0)   # [3, qh, qw]
     c00 = cg[:, :nty * qsy:qsy, :ntx * qsx:qsx]
     c01 = cg[:, :nty * qsy:qsy, qsx:ntx * qsx + 1:qsx]
     c10 = cg[:, qsy:nty * qsy + 1:qsy, :ntx * qsx:qsx]
     c11 = cg[:, qsy:nty * qsy + 1:qsy, qsx:ntx * qsx + 1:qsx]
 
-    ry = jnp.arange(th, dtype=jnp.int32).reshape(1, 1, th, 1, 1)
-    rx = jnp.arange(tw, dtype=jnp.int32).reshape(1, 1, 1, 1, tw)
+    def up(c):   # [3, nty, ntx] -> [3, H, W] (broadcast-reshape, fusable)
+        return jnp.repeat(jnp.repeat(c, th, axis=1), tw, axis=2)
 
-    def up(c):  # [3,nty,ntx] -> [3,nty,1,ntx,1]
-        return c[:, :, None, :, None]
-
+    ry = (jnp.arange(H, dtype=jnp.int32) & (th - 1))[None, :, None]
+    rx = (jnp.arange(W, dtype=jnp.int32) & (tw - 1))[None, None, :]
     left = up(c00) * (th - ry) + up(c10) * ry
     right = up(c01) * (th - ry) + up(c11) * ry
     shift = (th.bit_length() - 1) + (tw.bit_length() - 1)
     vals = (left * (tw - rx) + right * rx) >> shift
-    vals = vals.reshape(3, nty * th, ntx * tw)
     mask = jnp.repeat(jnp.repeat(accept, th, axis=0), tw, axis=1)
     return vals, mask
 
 
 def _blend_pass(plane, accept, corners, sx, sy):
-    """One gradient pass: fill accepted tiles with the exact bilinear."""
+    """One gradient pass: fill accepted tiles with the exact bilinear.
+    Full-coverage passes chain as pure selects (no region update), letting
+    XLA fuse consecutive passes into one kernel."""
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
     if nty == 0 or ntx == 0:
         return plane
     vals, mask = _blend_values(corners, accept, sx, sy)
-    region = plane[:, : nty * th, : ntx * tw]
-    region = jnp.where(mask[None], vals, region)
-    return plane.at[:, : nty * th, : ntx * tw].set(region)
+    H, W = nty * th, ntx * tw
+    if (H, W) == plane.shape[1:]:
+        return jnp.where(mask[None], vals, plane)
+    region = jnp.where(mask[None], vals, plane[:, :H, :W])
+    return plane.at[:, :H, :W].set(region)
 
 
 def _tile_to_image(vals, nty, ntx, th, tw):
