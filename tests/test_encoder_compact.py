@@ -41,7 +41,7 @@ def test_overflow_falls_back(bank, monkeypatch):
     real = devp.pass_caps
 
     def tiny_caps(w, h):
-        return tuple(1 for _ in real(w, h))
+        return tuple((1, 1) for _ in real(w, h))
 
     monkeypatch.setattr(devp, "pass_caps", tiny_caps)
     try:
@@ -56,13 +56,13 @@ def test_overflow_falls_back(bank, monkeypatch):
 def test_caps_sane():
     caps = devp.pass_caps(512, 512)
     assert len(caps) == 6
-    assert all(c >= 64 for c in caps)
-    # compact layout round-trips: bits + count + rows offsets must tile the
+    assert all(s >= 64 and d >= 64 and s >= d for s, d in caps)
+    # compact layout round-trips: bits + counts + rows offsets must tile the
     # flat buffer exactly (unpack_compact asserts by construction)
     total = 0
-    for (sx, sy), cap in zip(
+    for (sx, sy), (scap, dcap) in zip(
             [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)], caps):
         P = (1 << sx) * (1 << sy)
         _, gids = devp._scan_perm(sx, sy, 512, 512)
-        total += -(-gids.shape[0] // 8) + 4 + cap * (P + 9)
-    assert total < 600_000      # ~0.57 MB/image vs 1.9 MB full download
+        total += -(-gids.shape[0] // 8) + 8 + dcap * (P + 9)
+    assert total < 300_000      # ~0.28 MB/image vs 1.9 MB full download

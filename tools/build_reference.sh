@@ -30,6 +30,10 @@ printf '#include "%s/external/stb_image/stb_image_write.h"\n' "$REF" > "$OUT/shi
 # ---- vendored zstd 1.3.4 as a shared library ----
 if [ ! -f "$OUT/libzstd134.so" ]; then
   echo "building libzstd134.so (vendored zstd 1.3.4)"
+  # -O3 + native arch for the encode hot path: compressed BYTES are
+  # unaffected by optimization level (the algorithm is deterministic),
+  # only wall time - verified by the byte-exact golden tests
+  CFLAGS="-O3 -march=native -fno-strict-aliasing -w"
   ZSRC=$(ls "$REF"/external/zstd/*.c)
   gcc $CFLAGS -fPIC -shared -DZSTD_MULTITHREAD=0 -o "$OUT/libzstd134.so" $ZSRC -lpthread
 fi

@@ -190,8 +190,8 @@ def _emit_batch(imgs, packed_g, packed_3d, bank, cfg):
     per_pass = devp.unpack_compact(np.asarray(packed_3d), w, h, caps)
     streams = []
     for i in range(B):
-        if any(int(res["count"][i]) > cap
-               for res, cap in zip(per_pass, caps)):
+        if any(int(res["count"][i]) > dcap or int(res["alive"][i]) > scap
+               for res, (scap, dcap) in zip(per_pass, caps)):
             streams.append(encode_image(imgs[i], bank, cfg,
                                         engine="device"))
             continue
@@ -230,21 +230,34 @@ def encode_corpus(images, bank: bankmod.Bank,
     for i, im in enumerate(imgs):
         groups.setdefault(im.shape, []).append(i)
 
-    for shape, idxs in groups.items():
-        pending = None
-        for s in range(0, len(idxs), batch_size):
-            chunk = idxs[s:s + batch_size]
-            batch_imgs = [imgs[i] for i in chunk]
-            pad = batch_size - len(batch_imgs)
-            handles = _dispatch_batch(batch_imgs + [batch_imgs[0]] * pad,
-                                      shape, cfg, tables)
-            if pending is not None:
-                p_chunk, p_imgs, pg, p3 = pending
-                for i, st in zip(p_chunk,
-                                 _emit_batch(p_imgs, pg, p3, bank, cfg)):
-                    results[i] = st
-            pending = (chunk, batch_imgs + [batch_imgs[0]] * pad, *handles)
-        p_chunk, p_imgs, pg, p3 = pending
-        for i, st in zip(p_chunk, _emit_batch(p_imgs, pg, p3, bank, cfg)):
-            results[i] = st
+    # the upload + dispatch of batch k+1 runs on a worker thread while the
+    # main thread emits batch k: the tunnel socket I/O and the zstd/palette
+    # ctypes calls both release the GIL, so the two genuinely overlap even
+    # on a single-core host (measured ~25 ms/image of upload hidden)
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(1)
+    try:
+        for shape, idxs in groups.items():
+            pending = None
+            for s in range(0, len(idxs), batch_size):
+                chunk = idxs[s:s + batch_size]
+                batch_imgs = [imgs[i] for i in chunk]
+                pad = batch_size - len(batch_imgs)
+                fut = pool.submit(_dispatch_batch,
+                                  batch_imgs + [batch_imgs[0]] * pad,
+                                  shape, cfg, tables)
+                if pending is not None:
+                    p_chunk, p_imgs, p_fut = pending
+                    pg, p3 = p_fut.result()
+                    for i, st in zip(p_chunk,
+                                     _emit_batch(p_imgs, pg, p3, bank, cfg)):
+                        results[i] = st
+                pending = (chunk, batch_imgs + [batch_imgs[0]] * pad, fut)
+            p_chunk, p_imgs, p_fut = pending
+            pg, p3 = p_fut.result()
+            for i, st in zip(p_chunk,
+                             _emit_batch(p_imgs, pg, p3, bank, cfg)):
+                results[i] = st
+    finally:
+        pool.shutdown(wait=True)
     return results

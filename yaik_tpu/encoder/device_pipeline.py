@@ -10,6 +10,8 @@ bit-identical with the C reference. Everything device-side is integer.
 Produces byte-identical streams to the host pipeline (tested)."""
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -50,22 +52,26 @@ import jax.numpy as _jnp
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("sx", "sy"))
-def _resident_packed(planes_b, claims_b, qpts, pts, factors, sx, sy):
+@_partial(jax.jit, static_argnames=("sx", "sy", "cap_score"))
+def _resident_packed(planes_b, claims_b, qpts, pts, factors, sx, sy,
+                     cap_score=None):
     """One resident 3D pass over a batch [B,3,H,W]; outputs packed into a
     single u8 array [B, T, P+9] = (idx | mask<<6)(P) | acc(1) | typ(2) |
     bbox(6) - one device->host transfer per pass, ~1 byte/pixel (the tunnel
-    charges ~100ms + ~30MB/s per transfer; idx is 6 bits, mask 1)."""
-    accept, typ, idx, mask, mn, mx, claims_b = \
+    charges ~100ms + ~30MB/s per transfer; idx is 6 bits, mask 1).
+    cap_score (static): alive-tile scoring compaction (jax_scoring doc);
+    alive_cnt [B] lets the host detect cap overflow."""
+    accept, typ, idx, mask, mn, mx, claims_b, alive_cnt = \
         jax_scoring.tile3d_pass_resident_b.__wrapped__(
-            planes_b, claims_b, qpts, pts, factors, sx, sy)
+            planes_b, claims_b, qpts, pts, factors, sx, sy,
+            cap_score=cap_score)
     packed = _jnp.concatenate([
         (idx | (mask.astype(_jnp.int32) << 6)).astype(_jnp.uint8),
         accept.astype(_jnp.uint8)[:, :, None],
         (typ & 0xFF).astype(_jnp.uint8)[:, :, None],
         ((typ >> 8) & 0xFF).astype(_jnp.uint8)[:, :, None],
         mn.astype(_jnp.uint8), mx.astype(_jnp.uint8)], axis=2)
-    return packed, claims_b
+    return packed, claims_b, alive_cnt
 
 
 def _unpack_pass(packed, P):
@@ -87,7 +93,7 @@ def _tile3d_all(planes_b, claims_b, qpts, pts, factors):
     B = planes_b.shape[0]
     outs = []
     for (sx, sy) in [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)]:
-        packed, claims_b = _resident_packed.__wrapped__(
+        packed, claims_b, _ = _resident_packed.__wrapped__(
             planes_b, claims_b, qpts, pts, factors, sx, sy)
         outs.append(packed.reshape(B, -1))
     return jnp.concatenate(outs, axis=1), claims_b
@@ -160,7 +166,7 @@ def emit_tile3d_streams(results, w, h, streams):
             bits[sel] = True
             streams["color"] += bbox[gids].astype(np.uint8).tobytes()
             tvals = types[gids].astype(np.int64)
-            streams["type"].extend(int(t) for t in tvals)
+            streams["type"].extend(tvals.tolist())
             idxo = idx[gids][:, order]
             masko = mask[gids][:, order].astype(bool)
             bit_arr = ((tvals >> 14) & 3) + 3
@@ -206,18 +212,28 @@ def _scan_perm(sx, sy, w, h):
 
 
 def pass_caps(w, h):
-    """Static per-pass row caps: 1/4 of the tile grid (claim-disjointness
-    makes a single pass exceeding this rare; overflow falls back)."""
+    """Static per-pass tile caps as (scoring, download) pairs.
+
+    Scoring cap (T/8): how many ALIVE tiles get scored - gradients claim
+    most pixels of art-like content first (measured ~10% alive tiles per 3D
+    pass). Download cap (T/16): how many ACCEPTED tiles' rows cross the
+    tunnel - accepts are a subset of alive, typically 1-5% of T. An image
+    exceeding either cap falls back to the dense single-image path (correct
+    on any content). YAIK_ENC_CAP_FRAC / YAIK_ENC_DCAP_FRAC override."""
+    frac = int(os.environ.get("YAIK_ENC_CAP_FRAC", "8"))
+    dfrac = int(os.environ.get("YAIK_ENC_DCAP_FRAC", "16"))
     caps = []
     for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
         T = (h >> sy) * (w >> sx)
-        caps.append(max(64, T // 4))
+        caps.append((max(64, T // frac), max(64, T // dfrac)))
     return tuple(caps)
 
 
-def _compact_pass(packed, perm, cap):
+def _compact_pass(packed, perm, cap, alive_cnt=None):
     """packed [B,T,P+9] u8 (accept at byte P); perm [Ts] i32 scan-order
-    tile ids. Returns flat u8 [B, ceil8(Ts)/8 + 4 + cap*(P+9)]."""
+    tile ids; alive_cnt [B] i32 (scoring-compaction overflow detector, 0
+    when scoring ran dense). Returns flat u8
+    [B, ceil8(Ts)/8 + 4 + 4 + cap*(P+9)]."""
     B, T, W = packed.shape
     Ts = perm.shape[0]
     acc = (jnp.take(packed[:, :, W - 9], perm, axis=1) > 0)       # [B,Ts]
@@ -231,7 +247,10 @@ def _compact_pass(packed, perm, cap):
     accp = jnp.pad(acc, ((0, 0), (0, ts8 - Ts)))
     cbits = (accp.reshape(B, ts8 // 8, 8).astype(jnp.int32)
              << jnp.arange(8, dtype=jnp.int32)).sum(-1).astype(jnp.uint8)
-    cnt4 = jnp.stack([(cnt >> s) & 0xFF for s in (0, 8, 16, 24)],
+    if alive_cnt is None:
+        alive_cnt = jnp.zeros((B,), jnp.int32)
+    cnt4 = jnp.stack([(cnt >> s) & 0xFF for s in (0, 8, 16, 24)]
+                     + [(alive_cnt >> s) & 0xFF for s in (0, 8, 16, 24)],
                      axis=1).astype(jnp.uint8)
     return jnp.concatenate(
         [cbits, cnt4, rows.reshape(B, -1)], axis=1)
@@ -239,23 +258,30 @@ def _compact_pass(packed, perm, cap):
 
 def _tile3d_all_compact(planes_b, claims_b, qpts, pts, factors, perms,
                         caps):
-    """All six 3D passes with compacted downloads. perms: tuple of 6
-    scan-order tile-id arrays; caps: static tuple of 6 row caps."""
+    """All six 3D passes with compacted downloads AND compacted scoring:
+    only the first scap alive tiles per image are scored, only the first
+    dcap accepted tiles' rows cross the tunnel; alive_cnt rides in the
+    blob so the host can fall back to the dense path when either cap
+    overflows. perms: tuple of 6 scan-order tile-id arrays; caps: static
+    tuple of 6 (scap, dcap) pairs."""
     B = planes_b.shape[0]
     outs = []
     for pi, (sx, sy) in enumerate(
             [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)]):
-        packed, claims_b = _resident_packed.__wrapped__(
-            planes_b, claims_b, qpts, pts, factors, sx, sy)
-        outs.append(_compact_pass(packed, perms[pi], caps[pi]))
+        scap, dcap = caps[pi]
+        packed, claims_b, alive_cnt = _resident_packed.__wrapped__(
+            planes_b, claims_b, qpts, pts, factors, sx, sy,
+            cap_score=scap)
+        outs.append(_compact_pass(packed, perms[pi], dcap, alive_cnt))
     return jnp.concatenate(outs, axis=1), claims_b
 
 
 def unpack_compact(flat, w, h, caps):
     """Host twin of _tile3d_all_compact's layout. flat [B, total] u8 ->
     per-pass list of dicts {shift, bits_scan [B,Ts] bool, count [B],
-    rows [B,cap,P+9]} (rows beyond count are garbage; count > cap means
-    overflow -> caller falls back for that image)."""
+    alive [B], rows [B,dcap,P+9]} (rows beyond count are garbage; count >
+    dcap OR alive > scap means a cap overflowed -> caller falls back to
+    the dense path for that image)."""
     out, off = [], 0
     for pi, (sx, sy) in enumerate(swizzle.TILE3D_PASS_ORDER):
         tw, th = 1 << sx, 1 << sy
@@ -263,19 +289,23 @@ def unpack_compact(flat, w, h, caps):
         _, gids = _scan_perm(sx, sy, w, h)
         Ts = gids.shape[0]
         nb = -(-Ts // 8)
-        cap = caps[pi]
+        cap = caps[pi][1]
         cbits = flat[:, off:off + nb]
         off += nb
-        cnt = (flat[:, off].astype(np.int64)
-               | (flat[:, off + 1].astype(np.int64) << 8)
-               | (flat[:, off + 2].astype(np.int64) << 16)
-               | (flat[:, off + 3].astype(np.int64) << 24))
-        off += 4
+
+        def u32(o):
+            return (flat[:, o].astype(np.int64)
+                    | (flat[:, o + 1].astype(np.int64) << 8)
+                    | (flat[:, o + 2].astype(np.int64) << 16)
+                    | (flat[:, o + 3].astype(np.int64) << 24))
+        cnt = u32(off)
+        alive = u32(off + 4)
+        off += 8
         rows = flat[:, off:off + cap * (P + 9)].reshape(-1, cap, P + 9)
         off += cap * (P + 9)
         bits = np.unpackbits(cbits, axis=1, bitorder="little")[:, :Ts]
         out.append({"shift": (sx, sy), "bits_scan": bits.astype(bool),
-                    "count": cnt, "rows": rows})
+                    "count": cnt, "alive": alive, "rows": rows})
     return out
 
 
@@ -296,7 +326,7 @@ def emit_tile3d_streams_compact(per_pass_img, w, h, streams):
             streams["color"] += rows[:, P + 3:P + 9].tobytes()
             tvals = (rows[:, P + 1].astype(np.int64)
                      | (rows[:, P + 2].astype(np.int64) << 8))
-            streams["type"].extend(int(t) for t in tvals)
+            streams["type"].extend(tvals.tolist())
             if tw > 8:
                 order = []
                 for xa in range(2):

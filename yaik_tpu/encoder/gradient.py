@@ -137,11 +137,10 @@ def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression,
     sel_mask = valid & inside
     bits[sel_mask] = accept[ty_all[sel_mask], tx_all[sel_mask]]
 
-    corners6 = round6(_corner_grids(planes, tw, th).astype(np.int64))
-
     order = np.flatnonzero(bits)
     if len(order) == 0:
         return None, None, 0
+    corners = _corner_grids(planes, tw, th).astype(np.int64)
 
     # vectorized corner dedup: first touch in tile-scan x (LT, RT, LB, RB)
     # order == the reference's per-tile "emit corner if unseen" cursor.
@@ -158,7 +157,9 @@ def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression,
     isfirst[first] = True
     present = [p for p in range(3) if plane_mask & (1 << p)]
     cy, cx = cids // w1, cids % w1
-    vals6 = corners6[:, cy // th, cx // tw]          # [3, n*4]
+    # round6 only the gathered corners (not the full grid - emit_pass runs
+    # 7x per image and accepted tiles are a small subset)
+    vals6 = round6(corners[:, cy // th, cx // tw])   # [3, n*4]
     newp = np.zeros((len(present), cids.size), bool)
     for j, p in enumerate(present):
         mp = mapped_rgb[p].reshape(-1)

@@ -220,15 +220,16 @@ def tile3d_score_device(c, alive, qpts):
 
 @partial(jax.jit, static_argnames=("sx", "sy"))
 def tile3d_pass_resident(planes, claims, qpts, pts_sub, factors, sx, sy):
-    """Single-image wrapper over the natively-batched resident pass."""
-    accept, typ, idx, mask, mn, mx, claims_b = tile3d_pass_resident_b(
+    """Single-image wrapper over the natively-batched resident pass
+    (always dense - it is the fallback when compaction caps overflow)."""
+    accept, typ, idx, mask, mn, mx, claims_b, _ = tile3d_pass_resident_b(
         planes[None], claims[None], qpts, pts_sub, factors, sx, sy)
     return (accept[0], typ[0], idx[0], mask[0], mn[0], mx[0], claims_b[0])
 
 
-@partial(jax.jit, static_argnames=("sx", "sy"))
+@partial(jax.jit, static_argnames=("sx", "sy", "cap_score"))
 def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
-                           sx, sy):
+                           sx, sy, cap_score=None):
     """One fully device-resident 3D size pass over a BATCH of images
     [B,3,H,W]: tiles/masks/bboxes and the normalizations all on device,
     claims updated in-graph. Images are independent, so the batch is
@@ -269,8 +270,39 @@ def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
     d = mx - mn
     pre = (cnt > 0) & ((d == 0).sum(axis=1) <= 1)
 
-    k = tiles - mn[:, None, :]
-    nvec = jnp.where(d > 0, (1 << 20) // jnp.maximum(d, 1), 0)
+    # Optional alive-tile compaction (cap_score static): after the gradient
+    # stage claims pixels, only a small fraction of tiles still carry alive
+    # pixels (measured ~10% on gradient-heavy art at every size) - scoring
+    # only the first cap alive tiles per image cuts the dominant encoder
+    # device cost ~T/cap x. A tile beyond the cap would be silently
+    # unscored, so alive_cnt travels to the host, which falls back to the
+    # dense single-image path for any image with alive_cnt > cap (same
+    # contract as the download caps). Dense when cap_score is None.
+    alive_cnt = jnp.zeros((B,), jnp.int32)
+    if cap_score is not None:
+        C = int(cap_score)
+        aany = alive.any(axis=1).reshape(B, T)
+        csum = jnp.cumsum(aany.astype(jnp.int32), axis=1)      # [B,T]
+        alive_cnt = csum[:, -1]
+        targets = jnp.arange(C, dtype=jnp.int32) + 1
+        pos = jax.vmap(lambda cs: jnp.searchsorted(cs, targets))(csum)
+        srcv = jnp.minimum(pos, T - 1)                          # [B,C]
+        valid = (targets[None, :] <= alive_cnt[:, None]).reshape(-1)
+        flat_src = (jnp.arange(B, dtype=jnp.int32)[:, None] * T
+                    + srcv).reshape(-1)                         # [B*C]
+
+        def take(x):
+            return jnp.take(x, flat_src, axis=0)
+        tiles_s = take(tiles)
+        alive_s = take(alive) & valid[:, None]
+        mn_s, d_s, pre_s = take(mn), take(d), take(pre) & valid
+        Ns = B * C
+    else:
+        tiles_s, alive_s, mn_s, d_s, pre_s = tiles, alive, mn, d, pre
+        Ns = N
+
+    k = tiles_s - mn_s[:, None, :]
+    nvec = jnp.where(d_s > 0, (1 << 20) // jnp.maximum(d_s, 1), 0)
     r = k * nvec[:, None, :]
     c = ((r.astype(jnp.float32) / jnp.float32(1 << 20))
          * jnp.float32(63)).astype(jnp.int32)
@@ -279,11 +311,11 @@ def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
     # long scalar sequence on TPU): q=(n*M)>>22 == n//d for n=63k, k<=d<=255
     # since n*e <= 63*d^2 < 2^22 (Granlund-Montgomery; verified exhaustively)
     k63 = k * 63
-    dd = jnp.maximum(d, 1)[:, None, :]
-    magic = (1 << 22) // jnp.maximum(d, 1) + 1                # [N,3] only
+    dd = jnp.maximum(d_s, 1)[:, None, :]
+    magic = (1 << 22) // jnp.maximum(d_s, 1) + 1              # [Ns,3] only
     q0 = (k63 * magic[:, None, :]) >> 22
-    q = jnp.where(d[:, None, :] > 0, q0, k63)
-    rem = jnp.where(d[:, None, :] > 0, k63 - q0 * dd, 0)
+    q = jnp.where(d_s[:, None, :] > 0, q0, k63)
+    rem = jnp.where(d_s[:, None, :] > 0, k63 - q0 * dd, 0)
     a_c = q
     b_c = 63 - q - (rem != 0).astype(jnp.int32)
 
@@ -291,40 +323,48 @@ def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
                   and os.environ.get("YAIK_SCORE48", "pallas") == "pallas")
     chunk_px = int(os.environ.get("YAIK_VALUES_CHUNK", "49152"))
     tc = max(1, chunk_px // P)
-    pad = (-N) % tc
+    pad = (-Ns) % tc
     def padt(x):
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-    nch = (N + pad) // tc
+    nch = (Ns + pad) // tc
     if use_pallas:
         # scoring for the whole batch in ONE fused MXU kernel; only the
         # values stage stays lax.map-chunked (its transients are [Tc,E,P,n])
         from yaik_tpu.ops.pallas_kernels import score48
-        sums = score48(c, alive, qpts)                        # [N,E,48]
-        mode48 = jnp.argmin(sums, axis=-1).astype(jnp.int32)  # [N,E]
+        sums = score48(c, alive_s, qpts)                      # [Ns,E,48]
+        mode48 = jnp.argmin(sums, axis=-1).astype(jnp.int32)  # [Ns,E]
         stacked = jax.lax.map(
             lambda i: tile3d_values_device.__wrapped__(
                 *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
-                  for v in (tiles, alive, a_c, b_c, mode48, mn, d)),
+                  for v in (tiles_s, alive_s, a_c, b_c, mode48, mn_s, d_s)),
                 pts_sub, factors),
             jnp.arange(nch))
     else:
         stacked = jax.lax.map(
             lambda i: tile3d_pass_hybrid.__wrapped__(
                 *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
-                  for v in (tiles, alive, c, a_c, b_c, mn, d)),
+                  for v in (tiles_s, alive_s, c, a_c, b_c, mn_s, d_s)),
                 qpts, pts_sub, factors),
             jnp.arange(nch))
-    acc = stacked[0].reshape(-1)[:N]
-    typ = stacked[1].reshape(-1)[:N]
-    idx = stacked[2].reshape(-1, P)[:N]
-    accept = acc & pre
+    acc = stacked[0].reshape(-1)[:Ns]
+    typ = stacked[1].reshape(-1)[:Ns]
+    idx = stacked[2].reshape(-1, P)[:Ns]
+
+    if cap_score is not None:
+        accept_c = acc & pre_s
+        scat = jnp.where(valid, flat_src, N)       # N == out of range
+        accept = jnp.zeros((N,), bool).at[scat].set(accept_c, mode="drop")
+        typ = jnp.zeros((N,), jnp.int32).at[scat].set(typ, mode="drop")
+        idx = jnp.zeros((N, P), jnp.int32).at[scat].set(idx, mode="drop")
+    else:
+        accept = acc & pre
 
     up = jnp.repeat(jnp.repeat(accept.reshape(B, nty, ntx), th, 1), tw, 2)
     region = claims_b[:, :, :nty * th, :ntx * tw] | up[:, None]
     claims_b = claims_b.at[:, :, :nty * th, :ntx * tw].set(region)
     return (accept.reshape(B, T), typ.reshape(B, T), idx.reshape(B, T, P),
             mask.reshape(B, T, P), mn.reshape(B, T, 3), mx.reshape(B, T, 3),
-            claims_b)
+            claims_b, alive_cnt)
 
 
 @partial(jax.jit, static_argnames=())
