@@ -95,3 +95,28 @@ def test_plnt_jax_engine(lut_bytes):
     host = api.decode_image(s, bank, engine="host")
     dev = api.decode_image(s, bank, engine="jax")
     assert np.array_equal(host, dev)
+
+
+@pytest.mark.parametrize("name", ["img64", "corr2d128"])
+def test_plnt_device_plane_matches_host(name):
+    """The device PLNT plane reconstruction (jax_engine.plnt_device_args +
+    decode_plnt_plane_device) is pixel-identical to the host standalone
+    decoder on every PLNT chunk of the golden streams."""
+    from yaik_tpu.decoder import jax_engine
+    data = (FIXTURES / f"{name}.plnt.yaik").read_bytes()
+    n = 0
+    for tag, _, body in decref.iter_chunks(data):
+        if tag != b"PLNT":
+            continue
+        hdr = PlaneTile.unpack(body)
+        pb = body[PlaneTile.size():]
+        host_plane, _ = decref.decode_plnt_plane(hdr, pb)
+        args = jax_engine.plnt_device_args(hdr, pb)
+        assert args is not None
+        luts, codes, vmask, nty, ntx = args
+        dev = np.asarray(jax_engine.decode_plnt_plane_device(
+            luts, codes, vmask, nty=nty, ntx=ntx))
+        assert np.array_equal(dev, host_plane[hdr.y:hdr.y + hdr.h,
+                                              hdr.x:hdr.x + hdr.w])
+        n += 1
+    assert n == 3     # Y, Co, Cg

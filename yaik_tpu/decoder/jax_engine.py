@@ -503,6 +503,79 @@ def alpha_spec_of(plan: plannermod.DecodePlan):
     return (ap.mode, ap.bbox, mspec)
 
 
+def plnt_device_args(hdr, body: bytes, valid: np.ndarray | None = None):
+    """Host planning for the PLNT device decode: parse the chunk (same
+    stream semantics as decoder/reference.py:decode_plnt_plane), build the
+    dense per-tile tensors. Returns (luts [T,16] i32, codes [T,64] i32
+    pre-clamped to each tile's LUT length, vmask [T,64] bool, nty, ntx) or
+    None when the bbox is empty. PLNT never had an upstream decoder
+    (deprecated at YAIK_API.cpp:567); this is the device twin of our
+    standalone plane reconstruction."""
+    from yaik_tpu.decoder.reference import zstd
+    from yaik_tpu.encoder.plnt import (curves_from, diff_range_decode,
+                                       min_range_decode)
+    h, w = hdr.h, hdr.w
+    nty, ntx = h // 8, w // 8
+    if nty == 0 or ntx == 0:
+        return None
+    usize = zstd.frame_content_size(body[:hdr.stream_size_tile_map])
+    if usize is None or usize > nty * ntx * 2:
+        raise ValueError("PLNT tile map size missing or out of bounds")
+    types = np.frombuffer(
+        zstd.decompress(body[:hdr.stream_size_tile_map], usize), "<u2")
+    codes_packed = zstd.decompress(
+        body[hdr.stream_size_tile_map:
+             hdr.stream_size_tile_map + hdr.stream_size_tile_stream],
+        hdr.expected_size_tile_stream)
+    nib = np.frombuffer(codes_packed, np.uint8)
+    flat = np.empty(nib.size * 2, np.uint8)
+    flat[0::2] = nib & 0xF
+    flat[1::2] = nib >> 4
+
+    if valid is None:
+        vm = np.ones((nty * ntx, 64), bool)
+    else:
+        v = valid[hdr.y:hdr.y + h, hdr.x:hdr.x + w]
+        vm = v.reshape(nty, 8, ntx, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+    counts = vm.sum(axis=1)
+    live = counts > 0                      # tiles that consumed a type word
+    if int(live.sum()) > len(types):
+        raise ValueError("PLNT tile map shorter than claimed tiles")
+    ends = np.cumsum(counts)
+    if int(ends[-1]) > flat.size:
+        raise ValueError("PLNT code stream shorter than claimed pixels")
+
+    t_of = np.zeros(nty * ntx, np.int64)
+    t_of[live] = types[:int(live.sum())]
+    luts = np.zeros((nty * ntx, 16), np.int32)
+    lens = np.zeros(nty * ntx, np.int32)
+    for t in np.unique(t_of[live]):
+        bn = min_range_decode(int(t) & 0x7F)
+        dist = diff_range_decode((int(t) >> 7) & 0x3F, bn)
+        lut = np.asarray(curves_from(bn, dist)[int(t) >> 13], np.int32)
+        rows = live & (t_of == t)
+        luts[rows, :len(lut)] = lut
+        lens[rows] = len(lut)
+
+    codes = np.zeros((nty * ntx, 64), np.int32)
+    codes[vm] = flat[:int(ends[-1])]
+    codes = np.minimum(codes, np.maximum(lens - 1, 0)[:, None])
+    return (luts, codes, vm, nty, ntx)
+
+
+@partial(jax.jit, static_argnames=("nty", "ntx"))
+def decode_plnt_plane_device(luts, codes, vmask, nty, ntx):
+    """Device twin of decode_plnt_plane's pixel stage: per-tile 16-entry
+    LUT resolve (one-hot matvec, exact) + masked assembly. Returns the
+    [nty*8, ntx*8] i32 plane with -999 at never-written pixels."""
+    onehot = (codes[:, :, None] == jnp.arange(16, dtype=codes.dtype)
+              [None, None, :]).astype(jnp.float32)
+    L = jnp.einsum("tpk,tk->tp", onehot, luts.astype(jnp.float32),
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+    vals = jnp.where(vmask, L, jnp.int32(-999))
+    return _tile_to_image(vals, nty, ntx, 8, 8)
+
+
 def decode(stream: bytes, lut) -> np.ndarray:
     """Full decode through the device path (host plan + TPU pixels)."""
     from yaik_tpu.utils import profiler
