@@ -211,6 +211,43 @@ def main():
     checksum_ok = checksum_ok and e2e_ok
     e2e_mpix_s = E2E_IMAGES * w * h / dt_e2e / 1e6
 
+    # --- end to end, device-resident consumer ---------------------------
+    # plan + pack + upload + decode, pixels STAY on device (the TPU-serving
+    # scenario: decoded textures feed an on-device consumer); only a 4-byte
+    # checksum returns per batch, and it is validated. This isolates the
+    # host->device pipeline from the rig's pixel-download wall.
+    step_res = jax.jit(lambda t, *a: batch_chk(t, jnp.int32(0), a))
+    int(step_res(tab, *args_a))              # warm
+
+    def plan_pack_batch(k):
+        # every image in the batch is planned and packed individually (the
+        # honest per-image host cost), then stacked and uploaded
+        args = []
+        for j in range(BATCH):
+            p = planner.build_plan(streams[names[(k + j) % 2]], expanded)
+            _, _, a = jax_engine.plan_to_device_args(p, expanded)
+            args.append(a)
+        stk = jax.tree.map(lambda *xs: np.stack(xs), *args)
+        expect = sum(chk_img[names[(k + j) % 2]]
+                     for j in range(BATCH)) % (1 << 32)
+        return step_res(tab, *jax.device_put(stk)), expect
+
+    nres = 3
+    t0 = time.perf_counter()
+    res_ok = True
+    pendingr = None
+    for k in range(nres):
+        handle = plan_pack_batch(k)
+        if pendingr is not None:
+            ph, pe = pendingr
+            res_ok &= int(ph) == pe
+        pendingr = handle
+    ph, pe = pendingr
+    res_ok &= int(ph) == pe
+    dt_res = time.perf_counter() - t0
+    checksum_ok = checksum_ok and res_ok
+    e2e_resident_mpix_s = nres * pix_batch / dt_res / 1e6
+
     value = device_mpix_s if plausible else e2e_mpix_s
     info = {
         "metric": "decode_throughput",
@@ -220,6 +257,7 @@ def main():
         "device_mpix_s": round(device_mpix_s, 2),
         "synced_mpix_s": round(synced_mpix_s, 2),
         "e2e_mpix_s": round(e2e_mpix_s, 2),
+        "e2e_resident_mpix_s": round(e2e_resident_mpix_s, 2),
         "host_plan_ms_per_img": round(host_plan_ms, 2),
         "checksum_ok": checksum_ok,
         "plausible": plausible,

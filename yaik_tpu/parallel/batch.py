@@ -128,18 +128,20 @@ def decode_batch(streams, lut, mesh: Mesh | None = None):
 
 
 def split_plan_bands(plan: plannermod.DecodePlan, n_bands: int):
-    """Slice a decode plan into n_bands horizontal bands (band height must
-    be a multiple of 64 px so every pass's tile grid splits cleanly).
-    Carries EVERY plan field: gradient passes (incl. plane variants), 3D
-    passes, the UCOL/SMAP overlay, 2DTL passes, 1D residual, and alpha."""
+    """Slice a decode plan into <= n_bands horizontal bands. Band starts
+    are 16px-aligned (the largest tile grid, 16x16 gradients), so every
+    pass's tile grid splits cleanly; the LAST band absorbs the remainder
+    and may be shorter (real 4K: 2160 = 4x544 + 16). Carries EVERY plan
+    field: gradient passes (incl. plane variants), 3D passes, the
+    UCOL/SMAP overlay, 2DTL passes, 1D residual, and alpha."""
     h, w = plan.height, plan.width
-    if h % (n_bands * 64):
-        raise ValueError(f"height {h} not splittable into {n_bands} bands "
-                         f"of 64px-multiple height")
-    bh = h // n_bands
+    bh_nom = -(-(-(-h // n_bands)) // 16) * 16    # ceil(h/n) up to 16-mult
+    if bh_nom >= h:
+        return [plan]
+    starts = list(range(0, h, bh_nom))
     bands = []
-    for b in range(n_bands):
-        y0 = b * bh
+    for y0 in starts:
+        bh = min(bh_nom, h - y0)
         grads = []
         for g in plan.gradient:
             sx, sy = g.shift
@@ -197,16 +199,33 @@ def decode_spatial(stream: bytes, lut, mesh: Mesh | None = None,
     n = n_bands or (len(mesh.devices.flat) if mesh is not None
                     else len(jax.devices()))
     bands = split_plan_bands(plan, n)
-    shifts, tab, args0 = jax_engine.plan_to_device_args(
-        bands[0], expanded, expanded2d)
-    all_args = [args0] + [
-        jax_engine.plan_to_device_args(b, expanded, expanded2d)[2]
-        for b in bands[1:]]
-    b_args = _stack_args(all_args)
-    fn = _batched_decoder(shifts, len(b_args))
-    tab, b_args = _put_sharded(tab, b_args, mesh)
-    out = np.asarray(fn(tab, *b_args))
-    full = out.reshape(n * out.shape[1], out.shape[2], 3)
+    if mesh is not None and len({b.height for b in bands}) != 1:
+        raise ValueError(
+            "mesh-sharded spatial decode needs equal bands: image height "
+            f"{plan.height} does not split into {n} equal 16px-multiple "
+            "bands (drop the mesh or pick a dividing n_bands)")
+    # bands group by height: all nominal-height bands batch through one
+    # executable; an uneven remainder band (real 4K: 2160 = 4x544 + 16)
+    # decodes through its own
+    parts = []
+    i = 0
+    while i < len(bands):
+        j = i
+        while j < len(bands) and bands[j].height == bands[i].height:
+            j += 1
+        grp = bands[i:j]
+        shifts, tab, args0 = jax_engine.plan_to_device_args(
+            grp[0], expanded, expanded2d)
+        all_args = [args0] + [
+            jax_engine.plan_to_device_args(b, expanded, expanded2d)[2]
+            for b in grp[1:]]
+        b_args = _stack_args(all_args)
+        fn = _batched_decoder(shifts, len(b_args))
+        tab, b_args = _put_sharded(tab, b_args, mesh)
+        out = np.asarray(fn(tab, *b_args))
+        parts.append(out.reshape(len(grp) * out.shape[1], out.shape[2], 3))
+        i = j
+    full = np.concatenate(parts, axis=0)
     rgb = full[: plan.height, : plan.width]
     if plan.has_alpha:
         rgb = np.concatenate([rgb, plan.host_alpha()[:, :, None]], axis=2)
