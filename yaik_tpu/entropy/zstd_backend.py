@@ -77,14 +77,35 @@ def _dctx():
     return d
 
 
+_lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+_lib.ZSTD_compressCCtx.restype = ctypes.c_size_t
+_lib.ZSTD_compressCCtx.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_size_t, ctypes.c_void_p,
+                                   ctypes.c_size_t, ctypes.c_int]
+
+
+def _cctx():
+    # one reused compression context per thread: one-shot ZSTD_compress
+    # allocates+frees the multi-MB level-18 workspace on EVERY call, and
+    # the encoder makes ~28 calls per image. ZSTD_compressCCtx fully
+    # re-initializes per call, so the output bytes are identical to
+    # ZSTD_compress (golden byte-exactness tests cover this).
+    c = getattr(_TLS, "cctx", None)
+    if c is None:
+        c = _TLS.cctx = ctypes.c_void_p(_lib.ZSTD_createCCtx())
+    return c
+
+
 def compress(data: bytes, level: int = 18, dst_capacity: int | None = None) -> bytes:
-    """ZSTD_compress. dst_capacity mirrors the reference's explicit output
-    buffer sizes (it never uses compressBound); results don't depend on it
-    unless too small, in which case zstd errors like the reference would."""
+    """ZSTD_compress semantics. dst_capacity mirrors the reference's
+    explicit output buffer sizes (it never uses compressBound); results
+    don't depend on it unless too small, in which case zstd errors like
+    the reference would."""
     if dst_capacity is None:
         dst_capacity = int(_lib.ZSTD_compressBound(len(data)))
     out = ctypes.create_string_buffer(dst_capacity)
-    n = _lib.ZSTD_compress(out, dst_capacity, data, len(data), level)
+    n = _lib.ZSTD_compressCCtx(_cctx(), out, dst_capacity, data, len(data),
+                               level)
     if _lib.ZSTD_isError(n):
         raise RuntimeError(f"ZSTD_compress failed (capacity {dst_capacity})")
     return out.raw[:n]
