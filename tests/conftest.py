@@ -2,8 +2,11 @@ import os
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh; the real TPU
 # is exercised only by bench.py / explicit tpu-marked runs. The axon
-# sitecustomize registers the TPU backend whenever PALLAS_AXON_POOL_IPS is
-# set and pins JAX_PLATFORMS=axon, so both must be overridden for CPU runs.
+# sitecustomize registers the TPU backend (and imports jax) at INTERPRETER
+# start whenever PALLAS_AXON_POOL_IPS is set, so env overrides here are too
+# late for jax's import-time config read - the platform must be forced via
+# jax.config.update below. The env sets still matter for subprocesses
+# (tests/jax_driver.py-style re-execs inherit them before interpreter start).
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -11,7 +14,19 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402  (must precede any yaik_tpu jax use)
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.devices()
+
 import pathlib
+
+# Persist XLA compilations across pytest runs: the fast tier's cost is
+# dominated by CPU-backend jit compiles that are identical run to run.
+_CACHE = pathlib.Path(__file__).parent / ".jax_cache"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_CACHE))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np
 import pytest

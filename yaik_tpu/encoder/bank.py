@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 
@@ -116,13 +117,14 @@ def build_eval_ctx(points: np.ndarray) -> EvalCtx3D:
         factors[bit] = tab
     # nearest-point maps + distance field. C iterates pts in order with
     # strict < -> first (lowest-index) point wins ties. Distances expand to
-    # |c|^2 + |p|^2 - 2 c.p via one f64 matmul per bank file: every term is
-    # an integer < 2^53, so values and argmin ties are exact, and the
-    # [64^3, n, 3] broadcast temp (seconds per file) disappears.
+    # |c|^2 + |p|^2 - 2 c.p via one f32 matmul per bank file: every term is
+    # an integer (dot products <= 3*63^2 = 11907, totals < 2^24), so f32
+    # values and argmin ties are exact, and the [64^3, n, 3] broadcast temp
+    # (seconds per file) disappears.
     g = np.arange(64)
     zz, yy, xx = np.meshgrid(g, g, g, indexing="ij")  # [z,y,x]
-    coords = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float64)
-    ptsf = points.astype(np.float64)
+    coords = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.float32)
+    ptsf = points.astype(np.float32)
     d_full = ((coords ** 2).sum(1)[:, None] + (ptsf ** 2).sum(1)[None, :]
               - 2.0 * (coords @ ptsf.T))           # [v, n] exact integers
     position = {}
@@ -162,8 +164,14 @@ class Bank:
         return len(self.ctxs)
 
 
+@lru_cache(maxsize=8)
 def load_bank(bank_dir: str) -> Bank:
-    """RegisterAndCreate3DLut's load phase (:7796-7819)."""
+    """RegisterAndCreate3DLut's load phase (:7796-7819).
+
+    Memoized per directory: the bank is a static artifact and the eval-ctx
+    build (~3 s for the 12-file fixture bank) would otherwise repeat in
+    every test module. Callers must treat the returned Bank as read-only.
+    """
     ctxs, points = [], []
     for name in BANK_FILE_NAMES:
         pts = load_bank_file(os.path.join(bank_dir, name))
