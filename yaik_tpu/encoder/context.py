@@ -194,9 +194,8 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
             sx, sy = res["shift"]
             tw, th = 1 << sx, 1 << sy
             nty, ntx = h // th, w // tw
-            up = np.repeat(np.repeat(res["accept"].reshape(nty, ntx), th, 0),
-                           tw, 1)
-            claims[:, :nty * th, :ntx * tw] |= up[None]
+            gradient.claim_tiles(claims, res["accept"].reshape(nty, ntx),
+                                 th, tw, (0, 1, 2))
     elif engine == "precomputed":
         from yaik_tpu.encoder import device_pipeline as devp
         compact = getattr(precomputed, "t3_compact", None)
@@ -217,9 +216,8 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                 accept[gids] = res["bits_scan"]
             else:
                 accept = res["accept"]
-            up = np.repeat(np.repeat(accept.reshape(nty, ntx), th, 0),
-                           tw, 1)
-            claims[:, :nty * th, :ntx * tw] |= up[None]
+            gradient.claim_tiles(claims, accept.reshape(nty, ntx),
+                                 th, tw, (0, 1, 2))
     else:
         with profiler.stage("encode:3d-scoring"):
             for (sx, sy) in swizzle.TILE3D_PASS_ORDER:

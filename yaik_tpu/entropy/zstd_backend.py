@@ -103,12 +103,12 @@ def compress(data: bytes, level: int = 18, dst_capacity: int | None = None) -> b
     the reference would."""
     if dst_capacity is None:
         dst_capacity = int(_lib.ZSTD_compressBound(len(data)))
-    out = ctypes.create_string_buffer(dst_capacity)
-    n = _lib.ZSTD_compressCCtx(_cctx(), out, dst_capacity, data, len(data),
-                               level)
+    out = _np.empty(dst_capacity, _np.uint8)    # no zero-fill (hot path)
+    n = _lib.ZSTD_compressCCtx(_cctx(), out.ctypes.data, dst_capacity,
+                               data, len(data), level)
     if _lib.ZSTD_isError(n):
         raise RuntimeError(f"ZSTD_compress failed (capacity {dst_capacity})")
-    return out.raw[:n]
+    return out[:n].tobytes()
 
 
 def decompress(data: bytes, expected_size: int) -> bytes:

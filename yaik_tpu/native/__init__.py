@@ -99,11 +99,10 @@ class NativePaletteState:
 
 
 def palette_compress(data: bytes, state: NativePaletteState) -> bytes | None:
-    out = np.zeros(max(len(data) * 3, 1024), np.uint8)
+    out = np.empty(max(len(data) * 3, 1024), np.uint8)
     r = lib.palette_compress(
-        data, len(data), out.ctypes.data_as(ctypes.c_void_p), len(out),
-        state.entries.ctypes.data_as(ctypes.c_void_p),
-        state.length.ctypes.data_as(ctypes.c_void_p))
+        data, len(data), out.ctypes.data, len(out),
+        state.entries.ctypes.data, state.length.ctypes.data)
     if r < 0 or r >= len(data) * 3:
         return None
     return out[:r].tobytes()
@@ -114,15 +113,13 @@ def dyn1d_plane(plane: np.ndarray, claim: np.ndarray,
     h, w = plane.shape
     p8 = np.ascontiguousarray(plane, np.uint8)
     c8 = np.ascontiguousarray(claim, np.uint8)
-    pix = np.zeros(w * h, np.uint8)
-    typ = np.zeros((w // 8) * (h // 8) * 3, np.uint8)
+    pix = np.empty(w * h, np.uint8)
+    typ = np.empty((w // 8) * (h // 8) * 3, np.uint8)
     tlen = np.zeros(1, np.int32)
-    plen = lib.dyn1d_plane(p8.ctypes.data_as(ctypes.c_void_p),
-                           c8.ctypes.data_as(ctypes.c_void_p), w, h,
+    plen = lib.dyn1d_plane(p8.ctypes.data, c8.ctypes.data, w, h,
                            color_compression, range_compression,
-                           pix.ctypes.data_as(ctypes.c_void_p),
-                           typ.ctypes.data_as(ctypes.c_void_p),
-                           tlen.ctypes.data_as(ctypes.c_void_p))
+                           pix.ctypes.data, typ.ctypes.data,
+                           tlen.ctypes.data)
     return pix[:plen].tobytes(), typ[:int(tlen[0])].tobytes()
 
 
