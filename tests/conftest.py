@@ -23,10 +23,14 @@ import pathlib
 
 # Persist XLA compilations across pytest runs: the fast tier's cost is
 # dominated by CPU-backend jit compiles that are identical run to run.
+# Set via jax.config (NOT os.environ) so clean-env subprocesses like
+# tests/jax_driver.py do not inherit it: their CPU client has different
+# machine flags and XLA warns (and may SIGILL) loading the other profile's
+# AOT entries.
 _CACHE = pathlib.Path(__file__).parent / ".jax_cache"
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_CACHE))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest

@@ -256,7 +256,7 @@ def build_plan(stream: bytes, luts_expanded: dict,
     # gradient/3D-claimed images) must still feed the dense device kernel
     _g1 = max(1, (h // 8) * (w // 8))
     d1 = Plan1D(params=np.zeros((3, _g1, 3), np.int32),
-                indices=np.zeros((3, _g1, 64), np.uint8),
+                indices=np.empty((3, _g1, 64), np.uint8),  # wmask-gated
                 wmask=np.zeros((3, _g1, 64), bool))
     alpha_plan = None
     mip_plan = None
@@ -576,8 +576,12 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
                  for (sx, sy) in swizzle.TILE3D_PASS_ORDER]
         G = sum(g for (_, _, g) in sizes)
         PX = sum(g * tw * th for (tw, th, g) in sizes)
+        # packed MUST be zeroed: bit 6 is the per-pixel write mask and
+        # claimed quads inside accepted tiles are skipped (stay 0). cols is
+        # only read for accepted tiles (accept-gated) so it can stay
+        # uninitialized.
         packed_all = np.zeros(PX, np.uint8)
-        cols_all = np.zeros((G, 6), np.int32)
+        cols_all = np.empty((G, 6), np.int32)
         type_all = np.zeros(G, np.int32)
         accept_all = np.zeros(G, bool)
         claims_u8 = claims.view(np.uint8)
@@ -680,7 +684,7 @@ def _plan_1d(body, hdr, w, h, claims):
     ntx, nty = w // 8, h // 8
     g = nty * ntx
     params = np.zeros((3, g, 3), np.int32)
-    indices = np.zeros((3, g, 64), np.uint8)
+    indices = np.empty((3, g, 64), np.uint8)   # wmask-gated everywhere
     wmask = np.zeros((3, g, 64), bool)
     per_plane = claims.ndim == 3
     pairs = [[(0, 0), (1, 0)], [(0, 1), (1, 1)]]
