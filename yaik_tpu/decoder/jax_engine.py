@@ -125,6 +125,9 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
                   [None, None, :]).astype(jnp.float32)
         Lp = jnp.einsum("gpk,gk->gp", onehot, luts_pk.astype(jnp.float32),
                         preferred_element_type=jnp.float32).astype(jnp.int32)
+    # NOTE: a single-relayout variant (write mask folded into bit 24 of the
+    # packed resolve, min/diff upsampled image-space) measured 150 vs 207
+    # MPix/s on chip - one wide i32 relayout loses to these two narrow ones.
     L = jnp.stack([Lp & 0xFF, (Lp >> 8) & 0xFF, Lp >> 16], axis=0)
     mn = colors.T[0:3, :, None]                               # [3, g, 1]
     diff = colors.T[3:6, :, None] - mn
@@ -186,20 +189,25 @@ def _blend_pass_masked(plane, accept, corners, mask, sx, sy):
     return jnp.stack(chans, axis=0)
 
 
-def _d1_pass(plane, params, indices, wbits, h8, w8):
-    """1D residual for all 3 planes: pure elementwise. wbits [3,g,8] u8 is
-    the write mask bit-packed 8x for the host->device link."""
+def _d1_pass(plane, params, indices_img, wbits_img, h8, w8):
+    """1D residual for all 3 planes: pure elementwise, computed in IMAGE
+    space (w8 on the 128 lanes - the [3,g,64] tile layout wasted half of
+    them and needed two relayouts per step). indices_img [3,h8,w8] u8 and
+    wbits_img [3,h8,w8/8] u8 (bit-packed for the host->device link) are
+    relayouted once at plan-pack time; params stay per-tile [3,g,3] and
+    upsample as a broadcast-reshape that fuses into the blend."""
     nty, ntx = h8 // 8, w8 // 8
-    g = nty * ntx
-    wmask = ((wbits[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
-             ).reshape(3, g, 64) != 0
-    L = indices.astype(jnp.int32)                             # [3, g, 64]
-    color0 = params[:, :, 0:1]
-    base = params[:, :, 1:2]
-    delta2 = params[:, :, 2:3]
+    wm = ((wbits_img[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+          ).reshape(3, h8, w8) != 0
+    L = indices_img.astype(jnp.int32)                         # [3, h8, w8]
+    pr = params.reshape(3, nty, ntx, 3)
+
+    def up(c):   # [3, nty, ntx] -> [3, h8, w8]
+        return jnp.broadcast_to(c[:, :, None, :, None],
+                                (3, nty, 8, ntx, 8)).reshape(3, h8, w8)
+
+    color0, base, delta2 = up(pr[..., 0]), up(pr[..., 1]), up(pr[..., 2])
     v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
-    v = _tile_to_image(v, nty, ntx, 8, 8)                     # [3, h8, w8]
-    wm = _tile_to_image(wmask, nty, ntx, 8, 8)
     return jnp.where(wm, v, plane)
 
 
@@ -420,8 +428,17 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
         # (corrupt streams can carry byte//3 <= 85) - zero-copy here
         t3p.append(p.packed)
 
-    wbits = np.packbits(plan.d1.wmask.astype(np.uint8), axis=-1,
-                        bitorder="little")                     # [3, g, 8]
+    # 1D tensors travel and compute in image space (see _d1_pass)
+    nty8, ntx8 = h // 8, w // 8
+
+    def _d1_img(a):
+        return np.ascontiguousarray(
+            a.reshape(3, nty8, ntx8, 8, 8).transpose(0, 1, 3, 2, 4)
+            .reshape(3, nty8 * 8, ntx8 * 8))
+
+    d1_idx = _d1_img(plan.d1.indices)
+    wbits = np.packbits(_d1_img(plan.d1.wmask.astype(np.uint8)),
+                        axis=-1, bitorder="little")       # [3, h, w/8]
 
     ucol_arg = None
     if plan.overlay is not None:
@@ -481,7 +498,7 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
 
     args = (tuple(accepts), tuple(corners),
             tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p),
-            plan.d1.params, plan.d1.indices, wbits, ucol_arg, t2_arg,
+            plan.d1.params, d1_idx, wbits, ucol_arg, t2_arg,
             pg_pairs, pg_singles, alpha_arg)
     return GRAD_SHIFTS, tab, args
 
