@@ -53,6 +53,18 @@ def test_overflow_falls_back(bank, monkeypatch):
         _all_batch_compact_fn.cache_clear()
 
 
+def test_device_score_gate_falls_back(bank, monkeypatch):
+    """Images above DEVICE_SCORE_MAX_PIX must bypass device scoring (the
+    3D scorer's [T,P,3] channel-minor temps OOM HBM past ~2 MPix) and
+    host-encode byte-identically, through both entry points."""
+    from yaik_tpu.encoder import batch as encbatch
+    monkeypatch.setattr(encbatch, "DEVICE_SCORE_MAX_PIX", 1)
+    img = np.asarray(Image.open(FIXTURES / "img64.png"))
+    want = encode_image(img, bank, engine="host")
+    assert encbatch.encode_batch([img, img], bank) == [want, want]
+    assert encode_corpus([img, img], bank, batch_size=2) == [want, want]
+
+
 def test_caps_sane():
     caps = devp.pass_caps(512, 512)
     assert len(caps) == 6

@@ -11,6 +11,7 @@ Streams are byte-identical to encode_image (tested).
 """
 from __future__ import annotations
 
+import os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -98,9 +99,19 @@ class _Precomputed:
         self.t3_compact = t3_compact
 
 
+# Device-scoring pixel ceiling per image. The 3D scorer's [T, P, 3]
+# channel-minor temps pad 3 -> 128 lanes (42x), so a single 8.3 MPix image
+# wants ~16 GB of HBM transients and the compile OOMs; 1 MPix is measured
+# fine (tools/demo_scale.py). Beyond the gate we fall back to host scoring
+# - byte-identical, just slower. Override with YAIK_DEVICE_SCORE_MAX_PIX.
+DEVICE_SCORE_MAX_PIX = int(os.environ.get("YAIK_DEVICE_SCORE_MAX_PIX",
+                                          str(2 * 1024 * 1024)))
+
+
 def encode_batch(images, bank: bankmod.Bank,
                  config: EncoderConfig | None = None) -> list[bytes]:
-    """Encode B same-sized RGB images with batched device scoring."""
+    """Encode B same-sized RGB images with batched device scoring.
+    Images above DEVICE_SCORE_MAX_PIX fall back to host scoring."""
     cfg = config or EncoderConfig()
     imgs = [np.asarray(im) for im in images]
     h, w = imgs[0].shape[:2]
@@ -110,6 +121,8 @@ def encode_batch(images, bank: bankmod.Bank,
         raise ValueError("expected [h, w, 3|4] u8 images")
     if h % 8 or w % 8:
         raise ValueError("image dimensions must be multiples of 8")
+    if h * w > DEVICE_SCORE_MAX_PIX:
+        return [encode_image(im, bank, cfg) for im in imgs]
     B = len(imgs)
 
     planes_b = jax.device_put(np.ascontiguousarray(np.stack(
@@ -238,6 +251,10 @@ def encode_corpus(images, bank: bankmod.Bank,
     pool = ThreadPoolExecutor(1)
     try:
         for shape, idxs in groups.items():
+            if shape[0] * shape[1] > DEVICE_SCORE_MAX_PIX:
+                for i in idxs:              # host fallback (see gate above)
+                    results[i] = encode_image(imgs[i], bank, cfg)
+                continue
             pending = None
             for s in range(0, len(idxs), batch_size):
                 chunk = idxs[s:s + batch_size]
