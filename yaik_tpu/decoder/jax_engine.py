@@ -131,14 +131,18 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
     L = jnp.stack([Lp & 0xFF, (Lp >> 8) & 0xFF, Lp >> 16], axis=0)
     mn = colors.T[0:3, :, None]                               # [3, g, 1]
     diff = colors.T[3:6, :, None] - mn
-    vals = (mn + ((diff * L) >> 7)) & 0xFF                    # [3, g, npx]
+    # u8 BEFORE the tile->image relayout: exact (values in [0,255] after the
+    # &0xFF) and the transpose-copy moves 4x fewer bytes than the i32 form.
+    # Measured neutral on chip (206.5 vs 206.9 MPix/s same-session) - the
+    # relayout is shape-, not byte-, bound - kept for the smaller transient.
+    vals = ((mn + ((diff * L) >> 7)) & 0xFF).astype(jnp.uint8)
 
     write = wmask & accept.reshape(g)[:, None]
     vals = _tile_to_image(vals, nty, ntx, th, tw)             # [3, H, W]
     wm = _tile_to_image(write, nty, ntx, th, tw)              # [H, W]
 
     region = plane[:, : nty * th, : ntx * tw]
-    region = jnp.where(wm[None], vals, region)
+    region = jnp.where(wm[None], vals.astype(jnp.int32), region)
     return plane.at[:, : nty * th, : ntx * tw].set(region)
 
 
@@ -165,12 +169,14 @@ def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy):
     L = jnp.stack([Lp & 0xFF, Lp >> 8], axis=0)
     mn = colors.T[0:2, :, None]
     diff = colors.T[2:4, :, None] - mn
-    vals = (mn + ((diff * L) >> 7)) & 0xFF                    # [2, g, npx]
+    # u8 before the relayout, as in _tile3d_pass
+    vals = ((mn + ((diff * L) >> 7)) & 0xFF).astype(jnp.uint8)
 
     write = wmask & accept.reshape(g)[:, None]
     vals = _tile_to_image(vals, nty, ntx, th, tw)             # [2, H, W]
     wm = _tile_to_image(write, nty, ntx, th, tw)              # [H, W]
 
+    vals = vals.astype(jnp.int32)
     region = plane[:, : nty * th, : ntx * tw]
     region = region.at[pa].set(jnp.where(wm, vals[0], region[pa]))
     region = region.at[pb].set(jnp.where(wm, vals[1], region[pb]))
