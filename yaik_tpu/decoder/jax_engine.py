@@ -82,6 +82,11 @@ def _blend_pass(plane, accept, corners, sx, sy):
     if nty == 0 or ntx == 0:
         return plane
     vals, mask = _blend_values(corners, accept, sx, sy)
+    # the blend is a convex combination of u8 corners (weights sum to
+    # th*tw, then >>shift) so vals is provably 0..255 - store as u8. The
+    # plane is pure select-carry (no pass reads its value into arithmetic),
+    # and u8 selects move 4x fewer bytes than the old i32 carry.
+    vals = vals.astype(jnp.uint8)
     H, W = nty * th, ntx * tw
     if (H, W) == plane.shape[1:]:
         return jnp.where(mask[None], vals, plane)
@@ -142,7 +147,7 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
     wm = _tile_to_image(write, nty, ntx, th, tw)              # [H, W]
 
     region = plane[:, : nty * th, : ntx * tw]
-    region = jnp.where(wm[None], vals.astype(jnp.int32), region)
+    region = jnp.where(wm[None], vals, region)          # u8 select-carry
     return plane.at[:, : nty * th, : ntx * tw].set(region)
 
 
@@ -176,7 +181,6 @@ def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy):
     vals = _tile_to_image(vals, nty, ntx, th, tw)             # [2, H, W]
     wm = _tile_to_image(write, nty, ntx, th, tw)              # [H, W]
 
-    vals = vals.astype(jnp.int32)
     region = plane[:, : nty * th, : ntx * tw]
     region = region.at[pa].set(jnp.where(wm, vals[0], region[pa]))
     region = region.at[pb].set(jnp.where(wm, vals[1], region[pb]))
@@ -214,7 +218,7 @@ def _d1_pass(plane, params, indices_img, wbits_img, h8, w8):
 
     color0, base, delta2 = up(pr[..., 0]), up(pr[..., 1]), up(pr[..., 2])
     v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
-    return jnp.where(wm, v, plane)
+    return jnp.where(wm, v.astype(jnp.uint8), plane)
 
 
 def _unpack6_device(raw, count, inverse):
@@ -289,12 +293,12 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
     nty4, ntx4 = t3_accepts[-1].shape
     h8, w8 = nty4 * 4, ntx4 * 4
 
-    plane = jnp.full((3, h8, w8), 0x80, jnp.int32)
+    plane = jnp.full((3, h8, w8), 0x80, jnp.uint8)
     if ucol is not None:
         ov_vals, ov_bits = ucol        # overlay (UCOL + SMAP, stream order)
         m = ((ov_bits[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
              ).reshape(h8, w8) != 0
-        plane = jnp.where(m[None], ov_vals.astype(jnp.int32), plane)
+        plane = jnp.where(m[None], ov_vals, plane)
     for k, (sx, sy) in enumerate(shifts):
         plane = _blend_pass(plane, grad_accepts[k], grad_corners[k], sx, sy)
     for k, (sx, sy) in enumerate(T3_SHIFTS):
@@ -311,7 +315,7 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         for k, mask in enumerate(_PGRAD_SINGLES):
             plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
     plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
-    rgb = plane.astype(jnp.uint8).transpose(1, 2, 0)
+    rgb = plane.transpose(1, 2, 0)
     if aspec is not None:
         raw, mip_bits = alpha if alpha is not None else (None, None)
         a = _alpha_pass(aspec, raw, mip_bits, h8, w8)
