@@ -199,26 +199,25 @@ def _blend_pass_masked(plane, accept, corners, mask, sx, sy):
     return jnp.stack(chans, axis=0)
 
 
-def _d1_pass(plane, params, indices_img, wbits_img, h8, w8):
-    """1D residual for all 3 planes: pure elementwise, computed in IMAGE
-    space (w8 on the 128 lanes - the [3,g,64] tile layout wasted half of
-    them and needed two relayouts per step). indices_img [3,h8,w8] u8 and
-    wbits_img [3,h8,w8/8] u8 (bit-packed for the host->device link) are
-    relayouted once at plan-pack time; params stay per-tile [3,g,3] and
-    upsample as a broadcast-reshape that fuses into the blend."""
+def _d1_pass(plane, params, indices, wbits_img, h8, w8):
+    """1D residual for all 3 planes. Values are computed in TILE space
+    [3, g, 64], where the per-tile params broadcast along the pixel axis
+    for free (no relayout), then ONE u8 tile->image relayout feeds the
+    select. The previous image-space variant upsampled all three i32
+    params through a broadcast+reshape-copy (~4 ms/step at 512^2 b32);
+    delta2 needs up to 21 bits ((delta*inv_range)>>8, inv_range=2^24/
+    range) so the params can't pack into one i32. The write mask stays
+    image-space (bit-packed at plan time) so the final select fuses."""
     nty, ntx = h8 // 8, w8 // 8
     wm = ((wbits_img[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
           ).reshape(3, h8, w8) != 0
-    L = indices_img.astype(jnp.int32)                         # [3, h8, w8]
-    pr = params.reshape(3, nty, ntx, 3)
-
-    def up(c):   # [3, nty, ntx] -> [3, h8, w8]
-        return jnp.broadcast_to(c[:, :, None, :, None],
-                                (3, nty, 8, ntx, 8)).reshape(3, h8, w8)
-
-    color0, base, delta2 = up(pr[..., 0]), up(pr[..., 1]), up(pr[..., 2])
+    L = indices.astype(jnp.int32)                             # [3, g, 64]
+    color0 = params[:, :, 0:1]
+    base = params[:, :, 1:2]
+    delta2 = params[:, :, 2:3]
     v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
-    return jnp.where(wm, v.astype(jnp.uint8), plane)
+    v_img = _tile_to_image(v.astype(jnp.uint8), nty, ntx, 8, 8)
+    return jnp.where(wm, v_img, plane)
 
 
 def _unpack6_device(raw, count, inverse):
@@ -438,7 +437,9 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
         # (corrupt streams can carry byte//3 <= 85) - zero-copy here
         t3p.append(p.packed)
 
-    # 1D tensors travel and compute in image space (see _d1_pass)
+    # 1D indices travel tile-major [3, g, 64] (values are computed in tile
+    # space, see _d1_pass); only the write mask is relayouted to image
+    # space at plan time (bit-packed for the host->device link)
     nty8, ntx8 = h // 8, w // 8
 
     def _d1_img(a):
@@ -446,7 +447,7 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             a.reshape(3, nty8, ntx8, 8, 8).transpose(0, 1, 3, 2, 4)
             .reshape(3, nty8 * 8, ntx8 * 8))
 
-    d1_idx = _d1_img(plan.d1.indices)
+    d1_idx = plan.d1.indices
     wbits = np.packbits(_d1_img(plan.d1.wmask.astype(np.uint8)),
                         axis=-1, bitorder="little")       # [3, h, w/8]
 
