@@ -314,12 +314,20 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         for k, mask in enumerate(_PGRAD_SINGLES):
             plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
     plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
-    rgb = plane.transpose(1, 2, 0)
+    # Channel interleave via u32 pack + bitcast: the [3,H,W]->[H,W,3] u8
+    # transpose relayouts with a 3-wide minor dim (3.5-18 ms/step at 512^2
+    # b32); packing r|g<<8|b<<16 into [H,W] u32 and bitcasting to
+    # [H,W,4] u8 is a pure elementwise fusion (~0.15 ms) and byte-exact
+    # little-endian on both TPU and CPU backends. Alpha rides bits 24-31.
+    packed = (plane[0].astype(jnp.uint32)
+              | (plane[1].astype(jnp.uint32) << 8)
+              | (plane[2].astype(jnp.uint32) << 16))
     if aspec is not None:
         raw, mip_bits = alpha if alpha is not None else (None, None)
         a = _alpha_pass(aspec, raw, mip_bits, h8, w8)
-        return jnp.concatenate([rgb, a[:, :, None]], axis=2)
-    return rgb
+        packed = packed | (a.astype(jnp.uint32) << 24)
+        return jax.lax.bitcast_convert_type(packed, jnp.uint8)
+    return jax.lax.bitcast_convert_type(packed, jnp.uint8)[:, :, :3]
 
 
 decode_pixels = partial(jax.jit,
