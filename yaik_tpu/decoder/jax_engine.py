@@ -33,12 +33,14 @@ from yaik_tpu.format import swizzle
 GRAD_SHIFTS = tuple(swizzle.GRADIENT_PASS_ORDER)
 T3_SHIFTS = tuple(swizzle.TILE3D_PASS_ORDER)
 
-# opt-in Pallas path for the 3D-LUT resolve (identical output, verified
-# on-chip). Default off: the VMEM select-tree kernel measured at parity
-# with the packed one-hot matvec (21.5 vs 22.7 ms/step on the t3 block at
-# 512^2 batch 32 - inside session noise), and the XLA form also runs on
-# the CPU backend (see BASELINE.md Pallas A/B table).
-USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "0") == "1"
+# Pallas path for the 3D-LUT resolve (identical output, verified
+# on-chip). Default ON since the u8-plane/tile-space-d1 rework: the VMEM
+# select-tree kernel beats the packed one-hot matvec 280.4 vs 267.5
+# MPix/s (same session, 512^2 batch 32) - the f32 one-hot select_reduce
+# was ~6.3 ms/step of the remaining 30. The gate below still falls back
+# to the XLA form on non-TPU backends (CPU tests) and under
+# YAIK_USE_PALLAS=0 (see BASELINE.md Pallas A/B table).
+USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "1") == "1"
 
 
 def _blend_values(corners, accept, sx, sy):
