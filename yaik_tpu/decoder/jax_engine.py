@@ -124,25 +124,27 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
     indices = (packed & 63).astype(jnp.int32)
     wmask = (packed >> 6) != 0
     colors = colors.astype(jnp.int32)
+    # NOTE: a single-relayout variant (write mask folded into bit 24 of the
+    # packed resolve, min/diff upsampled image-space) measured 150 vs 207
+    # MPix/s on chip - one wide i32 relayout loses to these two narrow ones.
     if USE_PALLAS and jax.devices()[0].platform == "tpu":
-        from yaik_tpu.ops.pallas_kernels import lut3d_tree
-        Lp = lut3d_tree(indices.T, luts_pk.T).T               # [g, npx]
+        # fused resolve + color apply: the [3, g, npx] i32 entry stack
+        # (100 MB/step at 512^2 b32, ~3.5 ms) never leaves the kernel
+        from yaik_tpu.ops.pallas_kernels import lut3d_vals
+        Vp = lut3d_vals(indices.T, luts_pk.T, colors.T).T     # [g, npx]
+        vals = jnp.stack([Vp & 0xFF, (Vp >> 8) & 0xFF, Vp >> 16],
+                         axis=0).astype(jnp.uint8)
     else:
         onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
                   [None, None, :]).astype(jnp.float32)
         Lp = jnp.einsum("gpk,gk->gp", onehot, luts_pk.astype(jnp.float32),
                         preferred_element_type=jnp.float32).astype(jnp.int32)
-    # NOTE: a single-relayout variant (write mask folded into bit 24 of the
-    # packed resolve, min/diff upsampled image-space) measured 150 vs 207
-    # MPix/s on chip - one wide i32 relayout loses to these two narrow ones.
-    L = jnp.stack([Lp & 0xFF, (Lp >> 8) & 0xFF, Lp >> 16], axis=0)
-    mn = colors.T[0:3, :, None]                               # [3, g, 1]
-    diff = colors.T[3:6, :, None] - mn
-    # u8 BEFORE the tile->image relayout: exact (values in [0,255] after the
-    # &0xFF) and the transpose-copy moves 4x fewer bytes than the i32 form.
-    # Measured neutral on chip (206.5 vs 206.9 MPix/s same-session) - the
-    # relayout is shape-, not byte-, bound - kept for the smaller transient.
-    vals = ((mn + ((diff * L) >> 7)) & 0xFF).astype(jnp.uint8)
+        L = jnp.stack([Lp & 0xFF, (Lp >> 8) & 0xFF, Lp >> 16], axis=0)
+        mn = colors.T[0:3, :, None]                           # [3, g, 1]
+        diff = colors.T[3:6, :, None] - mn
+        # u8 BEFORE the tile->image relayout: exact (values in [0,255] after
+        # the &0xFF) and the transpose-copy moves 4x fewer bytes than i32.
+        vals = ((mn + ((diff * L) >> 7)) & 0xFF).astype(jnp.uint8)
 
     write = wmask & accept.reshape(g)[:, None]
     vals = _tile_to_image(vals, nty, ntx, th, tw)             # [3, H, W]

@@ -69,6 +69,60 @@ def lut3d_tree(idxT, lutsT_pk, interpret=False):
     return out[:, :G]
 
 
+def _vals_kernel(P, idx_ref, lut_ref, col_ref, out_ref):
+    V0 = lut_ref[:]                                  # [64, LB] i32 packed
+    C = col_ref[:]                                   # [8, LB] i32 (6 used)
+    mn0, mn1, mn2 = C[0:1, :], C[1:2, :], C[2:3, :]
+    d0 = C[3:4, :] - mn0
+    d1 = C[4:5, :] - mn1
+    d2 = C[5:6, :] - mn2
+    for p in range(P):
+        b = idx_ref[p, :]                            # [LB]
+        v = V0
+        for lev in (5, 4, 3, 2, 1, 0):
+            half = v.shape[0] // 2
+            bit = ((b >> lev) & 1)[None, :] != 0     # [1, LB]
+            v = jnp.where(bit, v[half:, :], v[:half, :])
+        L = v[0:1, :]                                # [1, LB] packed entry
+        v0 = (mn0 + ((d0 * (L & 0xFF)) >> 7)) & 0xFF
+        v1 = (mn1 + ((d1 * ((L >> 8) & 0xFF)) >> 7)) & 0xFF
+        v2 = (mn2 + ((d2 * (L >> 16)) >> 7)) & 0xFF
+        out_ref[p, :] = (v0 | (v1 << 8) | (v2 << 16))[0]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lut3d_vals(idxT, lutsT_pk, colsT, interpret=False):
+    """lut3d_tree fused with the Tile3D color apply: for each pixel
+    vals_c = (mn_c + ((diff_c * entry_c) >> 7)) & 0xFF  (YAIK_3DTile.cpp
+    per-pixel math), channels packed v0 | v1<<8 | v2<<16. idxT [P, G] i32,
+    lutsT_pk [64, G] i32 packed entries, colsT [6, G] i32 (min0..2,
+    max0..2 per tile). Returns [P, G] i32 packed final values - the XLA
+    side only unpacks to u8 planes, so the [3, g, npx] i32 entry stack
+    never materializes in HBM (~3.5 ms/step at 512^2 batch 32)."""
+    P, G = idxT.shape
+    LB = 512
+    pad = (-G) % LB
+    idxp = jnp.pad(idxT, ((0, 0), (0, pad)))
+    lutp = jnp.pad(lutsT_pk, ((0, 0), (0, pad)))
+    colp = jnp.pad(colsT, ((0, 2), (0, pad)))        # 8 sublanes
+    grid = ((G + pad) // LB,)
+    out = pl.pallas_call(
+        partial(_vals_kernel, P),
+        out_shape=jax.ShapeDtypeStruct((P, G + pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, LB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, LB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(idxp, lutp, colp)
+    return out[:, :G]
+
+
 # ---------------------------------------------------------------------------
 # Encoder 48-pattern scoring
 # ---------------------------------------------------------------------------
