@@ -43,34 +43,58 @@ T3_SHIFTS = tuple(swizzle.TILE3D_PASS_ORDER)
 USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "1") == "1"
 
 
+def _blend_mats(nty, ntx, qh, qw, sx, sy):
+    """Constant blend matrices for one gradient pass: vals = (By @ cg @ Bx)
+    >> (sy+sx) reproduces the exact YAIK_Gradient.cpp bilinear. By[y, :]
+    carries (th-ry) at the tile's top corner row and ry at the bottom
+    (corner grid columns are qsy-strided); Bx likewise for x. All entries
+    <= 16, so bf16 operands are exact and the MXU accumulates integers in
+    f32 without rounding."""
+    tw, th = 1 << sx, 1 << sy
+    qsy, qsx = th // 4, tw // 4
+    H, W = nty * th, ntx * tw
+    By = np.zeros((H, qh), np.float32)
+    ys = np.arange(H)
+    ty, ry = ys // th, ys % th
+    By[ys, ty * qsy] += th - ry
+    By[ys, ty * qsy + qsy] += ry
+    Bx = np.zeros((qw, W), np.float32)
+    xs = np.arange(W)
+    tx, rx = xs // tw, xs % tw
+    Bx[tx * qsx, xs] += tw - rx
+    Bx[tx * qsx + qsx, xs] += rx
+    return By.astype(jnp.bfloat16), Bx.astype(jnp.bfloat16)
+
+
 def _blend_values(corners, accept, sx, sy):
     """Bilinear tile fill values for one gradient pass: [3, nty*th, ntx*tw]
     plus the [nty*th, ntx*tw] accept mask (exact YAIK_Gradient.cpp
     fixed-point semantics).
 
-    Computed in IMAGE space: every elementwise op runs on [3, H, W] with the
-    full-width W minor axis on the 128 lanes. The tile-space 5D form put
-    tw in {4,8,16} on lanes (3-12% utilization) - measured 1.7x slower
-    across the 7-pass gradient block (24.3 -> 14.3 ms/step, 512^2 b32)."""
+    Computed as TWO constant matmuls per channel (vals = By @ cg @ Bx,
+    see _blend_mats): the corner upsampling rides the idle MXU instead of
+    jnp.repeat chains, whose broadcast relayout copies measured ~5 ms/step
+    across the 7-pass block (512^2 b32). The y-blend result t <= 255*16
+    exceeds bf16's 8 integer bits, so the x-matmul runs on an exact hi/lo
+    byte split (each half <= 255, recombined *256 in f32: every
+    intermediate < 2^24 stays integer-exact). An earlier tile-space 5D
+    repeat form was 1.7x slower again (tw in {4,8,16} on the 128 lanes)."""
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
-    qsy, qsx = th // 4, tw // 4
-    H, W = nty * th, ntx * tw
-    cg = jnp.moveaxis(corners.astype(jnp.int32), -1, 0)   # [3, qh, qw]
-    c00 = cg[:, :nty * qsy:qsy, :ntx * qsx:qsx]
-    c01 = cg[:, :nty * qsy:qsy, qsx:ntx * qsx + 1:qsx]
-    c10 = cg[:, qsy:nty * qsy + 1:qsy, :ntx * qsx:qsx]
-    c11 = cg[:, qsy:nty * qsy + 1:qsy, qsx:ntx * qsx + 1:qsx]
-
-    def up(c):   # [3, nty, ntx] -> [3, H, W] (broadcast-reshape, fusable)
-        return jnp.repeat(jnp.repeat(c, th, axis=1), tw, axis=2)
-
-    ry = (jnp.arange(H, dtype=jnp.int32) & (th - 1))[None, :, None]
-    rx = (jnp.arange(W, dtype=jnp.int32) & (tw - 1))[None, None, :]
-    left = up(c00) * (th - ry) + up(c10) * ry
-    right = up(c01) * (th - ry) + up(c11) * ry
+    qh, qw = corners.shape[0], corners.shape[1]
+    By, Bx = _blend_mats(nty, ntx, qh, qw, sx, sy)
+    cg = jnp.moveaxis(corners, -1, 0).astype(jnp.bfloat16)   # [3, qh, qw]
+    t = jnp.einsum("yi,cij->cyj", By, cg,
+                   preferred_element_type=jnp.float32)
+    ti = t.astype(jnp.int32)                                 # <= 4080 exact
+    t_hi = (ti >> 8).astype(jnp.bfloat16)                    # <= 15
+    t_lo = (ti & 0xFF).astype(jnp.bfloat16)                  # <= 255
+    v = (jnp.einsum("cyj,jx->cyx", t_hi, Bx,
+                    preferred_element_type=jnp.float32) * 256.0
+         + jnp.einsum("cyj,jx->cyx", t_lo, Bx,
+                      preferred_element_type=jnp.float32))
     shift = (th.bit_length() - 1) + (tw.bit_length() - 1)
-    vals = (left * (tw - rx) + right * rx) >> shift
+    vals = v.astype(jnp.int32) >> shift
     mask = jnp.repeat(jnp.repeat(accept, th, axis=0), tw, axis=1)
     return vals, mask
 
