@@ -71,11 +71,6 @@ def lut3d_tree(idxT, lutsT_pk, interpret=False):
 
 def _vals_kernel(P, idx_ref, lut_ref, col_ref, out_ref):
     V0 = lut_ref[:]                                  # [64, LB] i32 packed
-    C = col_ref[:]                                   # [8, LB] i32 (6 used)
-    mn0, mn1, mn2 = C[0:1, :], C[1:2, :], C[2:3, :]
-    d0 = C[3:4, :] - mn0
-    d1 = C[4:5, :] - mn1
-    d2 = C[5:6, :] - mn2
     for p in range(P):
         b = idx_ref[p, :]                            # [LB]
         v = V0
@@ -83,11 +78,17 @@ def _vals_kernel(P, idx_ref, lut_ref, col_ref, out_ref):
             half = v.shape[0] // 2
             bit = ((b >> lev) & 1)[None, :] != 0     # [1, LB]
             v = jnp.where(bit, v[half:, :], v[:half, :])
-        L = v[0:1, :]                                # [1, LB] packed entry
-        v0 = (mn0 + ((d0 * (L & 0xFF)) >> 7)) & 0xFF
-        v1 = (mn1 + ((d1 * ((L >> 8) & 0xFF)) >> 7)) & 0xFF
-        v2 = (mn2 + ((d2 * (L >> 16)) >> 7)) & 0xFF
-        out_ref[p, :] = (v0 | (v1 << 8) | (v2 << 16))[0]
+        out_ref[p, :] = v[0]
+    # color apply vectorized over the whole [P, LB] block (a per-p apply
+    # on [1, LB] rows uses 1 of 8 sublanes - measured ~1.9 ms/step slower)
+    L = out_ref[:]
+    C = col_ref[:]                                   # [8, LB] i32 (6 used)
+    mn0, mn1, mn2 = C[0:1, :], C[1:2, :], C[2:3, :]
+    d0, d1, d2 = C[3:4, :] - mn0, C[4:5, :] - mn1, C[5:6, :] - mn2
+    v0 = (mn0 + ((d0 * (L & 0xFF)) >> 7)) & 0xFF
+    v1 = (mn1 + ((d1 * ((L >> 8) & 0xFF)) >> 7)) & 0xFF
+    v2 = (mn2 + ((d2 * (L >> 16)) >> 7)) & 0xFF
+    out_ref[:] = v0 | (v1 << 8) | (v2 << 16)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
