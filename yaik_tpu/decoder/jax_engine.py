@@ -145,20 +145,27 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
     nty, ntx = accept.shape
     g, npx = packed.shape
     luts_pk = lut_tab[rows]                  # [g, 64] i32 row gather, exact
-    indices = (packed & 63).astype(jnp.int32)
-    wmask = (packed >> 6) != 0
     colors = colors.astype(jnp.int32)
-    # NOTE: a single-relayout variant (write mask folded into bit 24 of the
-    # packed resolve, min/diff upsampled image-space) measured 150 vs 207
-    # MPix/s on chip - one wide i32 relayout loses to these two narrow ones.
     if USE_PALLAS and jax.devices()[0].platform == "tpu":
-        # fused resolve + color apply: the [3, g, npx] i32 entry stack
-        # (100 MB/step at 512^2 b32, ~3.5 ms) never leaves the kernel
+        # fused resolve + color apply + write bit: the kernel emits the
+        # FINAL per-pixel channels packed in one i32 with the write mask
+        # (wmask & accept) in bit 24, so the pass needs exactly ONE
+        # tile->image relayout and the unpack fuses into the select. (An
+        # earlier bit-24 variant lost 207 -> 150 MPix/s, but it still
+        # upsampled min/diff image-space and relayouted u8+pred besides;
+        # this form replaces ALL of that with the single i32 relayout:
+        # 391 -> re-measured below.)
         from yaik_tpu.ops.pallas_kernels import lut3d_vals
-        Vp = lut3d_vals(indices.T, luts_pk.T, colors.T).T     # [g, npx]
-        vals = jnp.stack([Vp & 0xFF, (Vp >> 8) & 0xFF, Vp >> 16],
-                         axis=0).astype(jnp.uint8)
+        cols7 = jnp.concatenate(
+            [colors, accept.reshape(g, 1).astype(jnp.int32)], axis=1)
+        Vp = lut3d_vals(packed.astype(jnp.int32).T, luts_pk.T, cols7.T).T
+        V = _tile_to_image(Vp, nty, ntx, th, tw)              # [H, W] i32
+        wm = (V >> 24) != 0
+        vals = jnp.stack([V & 0xFF, (V >> 8) & 0xFF, (V >> 16) & 0xFF],
+                         axis=0).astype(jnp.uint8)            # fuses in
     else:
+        indices = (packed & 63).astype(jnp.int32)
+        wmask = (packed >> 6) != 0
         onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
                   [None, None, :]).astype(jnp.float32)
         Lp = jnp.einsum("gpk,gk->gp", onehot, luts_pk.astype(jnp.float32),
@@ -168,11 +175,10 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
         diff = colors.T[3:6, :, None] - mn
         # u8 BEFORE the tile->image relayout: exact (values in [0,255] after
         # the &0xFF) and the transpose-copy moves 4x fewer bytes than i32.
-        vals = ((mn + ((diff * L) >> 7)) & 0xFF).astype(jnp.uint8)
-
-    write = wmask & accept.reshape(g)[:, None]
-    vals = _tile_to_image(vals, nty, ntx, th, tw)             # [3, H, W]
-    wm = _tile_to_image(write, nty, ntx, th, tw)              # [H, W]
+        vals8 = ((mn + ((diff * L) >> 7)) & 0xFF).astype(jnp.uint8)
+        write = wmask & accept.reshape(g)[:, None]
+        vals = _tile_to_image(vals8, nty, ntx, th, tw)        # [3, H, W]
+        wm = _tile_to_image(write, nty, ntx, th, tw)          # [H, W]
 
     region = plane[:, : nty * th, : ntx * tw]
     region = jnp.where(wm[None], vals, region)          # u8 select-carry

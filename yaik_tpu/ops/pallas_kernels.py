@@ -72,7 +72,7 @@ def lut3d_tree(idxT, lutsT_pk, interpret=False):
 def _vals_kernel(P, idx_ref, lut_ref, col_ref, out_ref):
     V0 = lut_ref[:]                                  # [64, LB] i32 packed
     for p in range(P):
-        b = idx_ref[p, :]                            # [LB]
+        b = idx_ref[p, :] & 63
         v = V0
         for lev in (5, 4, 3, 2, 1, 0):
             half = v.shape[0] // 2
@@ -82,30 +82,36 @@ def _vals_kernel(P, idx_ref, lut_ref, col_ref, out_ref):
     # color apply vectorized over the whole [P, LB] block (a per-p apply
     # on [1, LB] rows uses 1 of 8 sublanes - measured ~1.9 ms/step slower)
     L = out_ref[:]
-    C = col_ref[:]                                   # [8, LB] i32 (6 used)
+    C = col_ref[:]                                   # [8, LB] i32 (7 used)
     mn0, mn1, mn2 = C[0:1, :], C[1:2, :], C[2:3, :]
     d0, d1, d2 = C[3:4, :] - mn0, C[4:5, :] - mn1, C[5:6, :] - mn2
     v0 = (mn0 + ((d0 * (L & 0xFF)) >> 7)) & 0xFF
     v1 = (mn1 + ((d1 * ((L >> 8) & 0xFF)) >> 7)) & 0xFF
     v2 = (mn2 + ((d2 * (L >> 16)) >> 7)) & 0xFF
-    out_ref[:] = v0 | (v1 << 8) | (v2 << 16)
+    # write bit: per-pixel wmask (bit 6 of the packed byte) AND the
+    # per-tile accept flag (col row 6) - rides bit 24 of the output so the
+    # pass needs ONE tile->image relayout, with no separate pred plane
+    w = ((idx_ref[:] >> 6) & 1) * C[6:7, :]
+    out_ref[:] = v0 | (v1 << 8) | (v2 << 16) | (w << 24)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def lut3d_vals(idxT, lutsT_pk, colsT, interpret=False):
-    """lut3d_tree fused with the Tile3D color apply: for each pixel
-    vals_c = (mn_c + ((diff_c * entry_c) >> 7)) & 0xFF  (YAIK_3DTile.cpp
-    per-pixel math), channels packed v0 | v1<<8 | v2<<16. idxT [P, G] i32,
-    lutsT_pk [64, G] i32 packed entries, colsT [6, G] i32 (min0..2,
-    max0..2 per tile). Returns [P, G] i32 packed final values - the XLA
-    side only unpacks to u8 planes, so the [3, g, npx] i32 entry stack
-    never materializes in HBM (~3.5 ms/step at 512^2 batch 32)."""
+    """lut3d_tree fused with the Tile3D color apply AND the write mask:
+    for each pixel vals_c = (mn_c + ((diff_c * entry_c) >> 7)) & 0xFF
+    (YAIK_3DTile.cpp per-pixel math), channels packed v0 | v1<<8 | v2<<16,
+    and bit 24 = (packed byte bit 6) & per-tile accept. idxT [P, G] i32
+    RAW packed bytes (idx | wmask<<6), lutsT_pk [64, G] i32 packed
+    entries, colsT [7, G] i32 (min0..2, max0..2, accept per tile).
+    Returns [P, G] i32 - the XLA side relayouts ONCE to image space and
+    unpacks channels + write bit elementwise, so neither the [3, g, npx]
+    entry stack nor a separate pred write plane ever reaches HBM."""
     P, G = idxT.shape
     LB = 512
     pad = (-G) % LB
     idxp = jnp.pad(idxT, ((0, 0), (0, pad)))
     lutp = jnp.pad(lutsT_pk, ((0, 0), (0, pad)))
-    colp = jnp.pad(colsT, ((0, 2), (0, pad)))        # 8 sublanes
+    colp = jnp.pad(colsT, ((0, 1), (0, pad)))        # 8 sublanes
     grid = ((G + pad) // LB,)
     out = pl.pallas_call(
         partial(_vals_kernel, P),
