@@ -144,9 +144,12 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
     g, npx = packed.shape
-    luts_pk = lut_tab[rows]                  # [g, 64] i32 row gather, exact
     colors = colors.astype(jnp.int32)
     if USE_PALLAS and jax.devices()[0].platform == "tpu":
+        # row gather + transpose (a column gather from the pre-transposed
+        # table measured 388 vs 402 MPix/s - XLA's row gather is faster
+        # even counting the .T relayout)
+        luts_pkT = lut_tab[rows].T                            # [64, g]
         # fused resolve + color apply + write bit: the kernel emits the
         # FINAL per-pixel channels packed in one i32 with the write mask
         # (wmask & accept) in bit 24, so the pass needs exactly ONE
@@ -158,12 +161,14 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
         from yaik_tpu.ops.pallas_kernels import lut3d_vals
         cols7 = jnp.concatenate(
             [colors, accept.reshape(g, 1).astype(jnp.int32)], axis=1)
-        Vp = lut3d_vals(packed.astype(jnp.int32).T, luts_pk.T, cols7.T).T
+        # transpose the packed bytes while still u8 (4x fewer bytes moved)
+        Vp = lut3d_vals(packed.T.astype(jnp.int32), luts_pkT, cols7.T).T
         V = _tile_to_image(Vp, nty, ntx, th, tw)              # [H, W] i32
         wm = (V >> 24) != 0
         vals = jnp.stack([V & 0xFF, (V >> 8) & 0xFF, (V >> 16) & 0xFF],
                          axis=0).astype(jnp.uint8)            # fuses in
     else:
+        luts_pk = lut_tab[rows]              # [g, 64] i32 row gather, exact
         indices = (packed & 63).astype(jnp.int32)
         wmask = (packed >> 6) != 0
         onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
