@@ -10,10 +10,16 @@ all pixel math on device with TPU-friendly primitives only:
   - 1D residual: pure elementwise select
   - image assembly: reshapes of full tile grids (no scatter)
 
-Layout: all pixel state is PLANAR [3, h, w] - like the reference's
-swizzled planar buffers (YAIK.h:205-224) and unlike [h, w, 3], whose
-3-wide minor dimension wastes the TPU's 128-lane registers and pads every
-masked update 42x. Channels interleave once, at the very end, on u8.
+Layout: all pixel state lives in ONE channel-packed u32 word per pixel
+(r | g<<8 | b<<16, alpha joining bits 24-31 at the end) - [h, w] with the
+full image width on the 128 lanes. Unlike [h, w, 3] (3-wide minor wastes
+the lanes 42x) and unlike the earlier planar [3, h, w] u8 select-carry
+(every pass output was re-read 3x through the channel broadcast), each
+pass applies as a single bitwise masked blend
+    plane ^= (plane ^ vals) & mask32
+where mask32 carries 0xFF per written channel byte - plane-subset writes
+(GTIL plane != 7, 2DTL pairs, per-channel 1D residuals) are just masks.
+The reference keeps swizzled PLANAR buffers instead (YAIK.h:205-224).
 
 The same function compiles for CPU tests and TPU, and batches with vmap.
 """
@@ -99,25 +105,32 @@ def _blend_values(corners, accept, sx, sy):
     return vals, mask
 
 
-def _blend_pass(plane, accept, corners, sx, sy):
+def _mask_blend(plane, vp, m32, H, W):
+    """Bitwise masked blend of the packed-u32 plane: copy exactly the bits
+    selected by m32 from vp (out = plane ^ ((plane ^ vp) & m32)). One u32
+    read of the pass values per pixel - the old [3, H, W] u8 select-carry
+    re-read every pass output 3x through the channel broadcast (the
+    terminal select fusion alone measured ~8 ms/step at 512^2 b32)."""
+    if (H, W) == plane.shape:
+        return plane ^ ((plane ^ vp) & m32)
+    region = plane[:H, :W]
+    return plane.at[:H, :W].set(region ^ ((region ^ vp) & m32))
+
+
+def _blend_pass(plane, accept, corners, sx, sy, chmask=0xFFFFFF):
     """One gradient pass: fill accepted tiles with the exact bilinear.
-    Full-coverage passes chain as pure selects (no region update), letting
-    XLA fuse consecutive passes into one kernel."""
+    The blend is a convex combination of u8 corners (weights sum to th*tw,
+    then >>shift) so each channel is provably 0..255; channels pack into
+    the u32 plane word and chmask restricts the write to the pass's plane
+    subset (the GTIL plane != 7 variants)."""
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
     if nty == 0 or ntx == 0:
         return plane
     vals, mask = _blend_values(corners, accept, sx, sy)
-    # the blend is a convex combination of u8 corners (weights sum to
-    # th*tw, then >>shift) so vals is provably 0..255 - store as u8. The
-    # plane is pure select-carry (no pass reads its value into arithmetic),
-    # and u8 selects move 4x fewer bytes than the old i32 carry.
-    vals = vals.astype(jnp.uint8)
-    H, W = nty * th, ntx * tw
-    if (H, W) == plane.shape[1:]:
-        return jnp.where(mask[None], vals, plane)
-    region = jnp.where(mask[None], vals, plane[:, :H, :W])
-    return plane.at[:, :H, :W].set(region)
+    vp = (vals[0] | (vals[1] << 8) | (vals[2] << 16)).astype(jnp.uint32)
+    m32 = mask.astype(jnp.uint32) * chmask
+    return _mask_blend(plane, vp, m32, nty * th, ntx * tw)
 
 
 def _tile_to_image(vals, nty, ntx, th, tw):
@@ -163,14 +176,9 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
             [colors, accept.reshape(g, 1).astype(jnp.int32)], axis=1)
         # transpose the packed bytes while still u8 (4x fewer bytes moved)
         Vp = lut3d_vals(packed.T.astype(jnp.int32), luts_pkT, cols7.T).T
-        V = _tile_to_image(Vp, nty, ntx, th, tw)              # [H, W] i32
-        wm = (V >> 24) != 0
-        vals = jnp.stack([V & 0xFF, (V >> 8) & 0xFF, (V >> 16) & 0xFF],
-                         axis=0).astype(jnp.uint8)            # fuses in
     else:
         luts_pk = lut_tab[rows]              # [g, 64] i32 row gather, exact
         indices = (packed & 63).astype(jnp.int32)
-        wmask = (packed >> 6) != 0
         onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
                   [None, None, :]).astype(jnp.float32)
         Lp = jnp.einsum("gpk,gk->gp", onehot, luts_pk.astype(jnp.float32),
@@ -178,16 +186,13 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
         L = jnp.stack([Lp & 0xFF, (Lp >> 8) & 0xFF, Lp >> 16], axis=0)
         mn = colors.T[0:3, :, None]                           # [3, g, 1]
         diff = colors.T[3:6, :, None] - mn
-        # u8 BEFORE the tile->image relayout: exact (values in [0,255] after
-        # the &0xFF) and the transpose-copy moves 4x fewer bytes than i32.
-        vals8 = ((mn + ((diff * L) >> 7)) & 0xFF).astype(jnp.uint8)
-        write = wmask & accept.reshape(g)[:, None]
-        vals = _tile_to_image(vals8, nty, ntx, th, tw)        # [3, H, W]
-        wm = _tile_to_image(write, nty, ntx, th, tw)          # [H, W]
-
-    region = plane[:, : nty * th, : ntx * tw]
-    region = jnp.where(wm[None], vals, region)          # u8 select-carry
-    return plane.at[:, : nty * th, : ntx * tw].set(region)
+        vals = (mn + ((diff * L) >> 7)) & 0xFF                # [3, g, npx]
+        write = (packed >> 6).astype(jnp.int32) * \
+            accept.reshape(g, 1).astype(jnp.int32)
+        Vp = vals[0] | (vals[1] << 8) | (vals[2] << 16) | (write << 24)
+    V = _tile_to_image(Vp, nty, ntx, th, tw).astype(jnp.uint32)  # [H, W]
+    m32 = (V >> 24) * 0xFFFFFF           # write bit -> all-channel mask
+    return _mask_blend(plane, V, m32, nty * th, ntx * tw)
 
 
 _T2_ORDER = tuple((mode, shift) for mode in (0, 1, 2)
@@ -204,7 +209,6 @@ def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy):
     g, npx = packed.shape
     luts_pk = lut2_tab[rows]                  # [g, 64] i32 (2ch packed)
     indices = (packed & 63).astype(jnp.int32)
-    wmask = (packed >> 6) != 0
     colors = colors.astype(jnp.int32)
     onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
               [None, None, :]).astype(jnp.float32)
@@ -213,17 +217,13 @@ def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy):
     L = jnp.stack([Lp & 0xFF, Lp >> 8], axis=0)
     mn = colors.T[0:2, :, None]
     diff = colors.T[2:4, :, None] - mn
-    # u8 before the relayout, as in _tile3d_pass
-    vals = ((mn + ((diff * L) >> 7)) & 0xFF).astype(jnp.uint8)
-
-    write = wmask & accept.reshape(g)[:, None]
-    vals = _tile_to_image(vals, nty, ntx, th, tw)             # [2, H, W]
-    wm = _tile_to_image(write, nty, ntx, th, tw)              # [H, W]
-
-    region = plane[:, : nty * th, : ntx * tw]
-    region = region.at[pa].set(jnp.where(wm, vals[0], region[pa]))
-    region = region.at[pb].set(jnp.where(wm, vals[1], region[pb]))
-    return plane.at[:, : nty * th, : ntx * tw].set(region)
+    vals = (mn + ((diff * L) >> 7)) & 0xFF                    # [2, g, npx]
+    write = (packed >> 6).astype(jnp.int32) * \
+        accept.reshape(g, 1).astype(jnp.int32)
+    Vp = (vals[0] << (8 * pa)) | (vals[1] << (8 * pb)) | (write << 24)
+    V = _tile_to_image(Vp, nty, ntx, th, tw).astype(jnp.uint32)
+    m32 = (V >> 24) * ((0xFF << (8 * pa)) | (0xFF << (8 * pb)))
+    return _mask_blend(plane, V, m32, nty * th, ntx * tw)
 
 
 _PGRAD_PAIRS = (5, 3, 6)      # RB, RG, GB 4x4 emission order
@@ -233,30 +233,31 @@ _PGRAD_SINGLES = (1, 2, 4)    # R, G, B
 def _blend_pass_masked(plane, accept, corners, mask, sx, sy):
     """_blend_pass writing only the planes in `mask` (static) - the
     plane-variant GTIL chunks (GTIL plane != 7)."""
-    full = _blend_pass(plane, accept, corners, sx, sy)
-    chans = [full[p] if (mask & (1 << p)) else plane[p] for p in range(3)]
-    return jnp.stack(chans, axis=0)
+    ch = sum(0xFF << (8 * p) for p in range(3) if mask & (1 << p))
+    return _blend_pass(plane, accept, corners, sx, sy, chmask=ch)
 
 
 def _d1_pass(plane, params, indices, wbits_img, h8, w8):
     """1D residual for all 3 planes. Values are computed in TILE space
     [3, g, 64], where the per-tile params broadcast along the pixel axis
-    for free (no relayout), then ONE u8 tile->image relayout feeds the
-    select. The previous image-space variant upsampled all three i32
-    params through a broadcast+reshape-copy (~4 ms/step at 512^2 b32);
-    delta2 needs up to 21 bits ((delta*inv_range)>>8, inv_range=2^24/
-    range) so the params can't pack into one i32. The write mask stays
-    image-space (bit-packed at plan time) so the final select fuses."""
+    for free (no relayout), channel-packed there, then ONE i32
+    tile->image relayout feeds the bitwise blend. delta2 needs up to 21
+    bits ((delta*inv_range)>>8, inv_range=2^24/range) so the PARAMS can't
+    pack into one i32 - but the resulting 8-bit values can. The write
+    mask is per-CHANNEL (bit-packed image-space at plan time): each
+    channel's bit expands to a 0xFF byte of the blend mask."""
     nty, ntx = h8 // 8, w8 // 8
-    wm = ((wbits_img[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
-          ).reshape(3, h8, w8) != 0
+    b = ((wbits_img[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+         ).reshape(3, h8, w8).astype(jnp.uint32)
+    m32 = (b[0] | (b[1] << 8) | (b[2] << 16)) * 0xFF
     L = indices.astype(jnp.int32)                             # [3, g, 64]
     color0 = params[:, :, 0:1]
     base = params[:, :, 1:2]
     delta2 = params[:, :, 2:3]
     v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
-    v_img = _tile_to_image(v.astype(jnp.uint8), nty, ntx, 8, 8)
-    return jnp.where(wm, v_img, plane)
+    vp = v[0] | (v[1] << 8) | (v[2] << 16)                    # [g, 64]
+    v_img = _tile_to_image(vp, nty, ntx, 8, 8).astype(jnp.uint32)
+    return plane ^ ((plane ^ v_img) & m32)
 
 
 def _unpack6_device(raw, count, inverse):
@@ -331,12 +332,15 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
     nty4, ntx4 = t3_accepts[-1].shape
     h8, w8 = nty4 * 4, ntx4 * 4
 
-    plane = jnp.full((3, h8, w8), 0x80, jnp.uint8)
+    plane = jnp.full((h8, w8), 0x808080, jnp.uint32)
     if ucol is not None:
         ov_vals, ov_bits = ucol        # overlay (UCOL + SMAP, stream order)
-        m = ((ov_bits[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
-             ).reshape(h8, w8) != 0
-        plane = jnp.where(m[None], ov_vals, plane)
+        m = (((ov_bits[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1)
+             .reshape(h8, w8).astype(jnp.uint32))
+        vp = (ov_vals[0].astype(jnp.uint32)
+              | (ov_vals[1].astype(jnp.uint32) << 8)
+              | (ov_vals[2].astype(jnp.uint32) << 16))
+        plane = plane ^ ((plane ^ vp) & (m * 0xFFFFFF))
     for k, (sx, sy) in enumerate(shifts):
         plane = _blend_pass(plane, grad_accepts[k], grad_corners[k], sx, sy)
     for k, (sx, sy) in enumerate(T3_SHIFTS):
@@ -353,20 +357,15 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         for k, mask in enumerate(_PGRAD_SINGLES):
             plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
     plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
-    # Channel interleave via u32 pack + bitcast: the [3,H,W]->[H,W,3] u8
-    # transpose relayouts with a 3-wide minor dim (3.5-18 ms/step at 512^2
-    # b32); packing r|g<<8|b<<16 into [H,W] u32 and bitcasting to
-    # [H,W,4] u8 is a pure elementwise fusion (~0.15 ms) and byte-exact
+    # The plane IS the channel-packed u32 word (r | g<<8 | b<<16); the
+    # final interleave is just the bitcast to [H, W, 4] u8 - byte-exact
     # little-endian on both TPU and CPU backends. Alpha rides bits 24-31.
-    packed = (plane[0].astype(jnp.uint32)
-              | (plane[1].astype(jnp.uint32) << 8)
-              | (plane[2].astype(jnp.uint32) << 16))
     if aspec is not None:
         raw, mip_bits = alpha if alpha is not None else (None, None)
         a = _alpha_pass(aspec, raw, mip_bits, h8, w8)
-        packed = packed | (a.astype(jnp.uint32) << 24)
-        return jax.lax.bitcast_convert_type(packed, jnp.uint8)
-    return jax.lax.bitcast_convert_type(packed, jnp.uint8)[:, :, :3]
+        plane = plane | (a.astype(jnp.uint32) << 24)
+        return jax.lax.bitcast_convert_type(plane, jnp.uint8)
+    return jax.lax.bitcast_convert_type(plane, jnp.uint8)[:, :, :3]
 
 
 decode_pixels = partial(jax.jit,
