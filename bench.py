@@ -86,8 +86,11 @@ def main():
 
     shifts = None
     dev_args = {}
+    t3m = tuple(all(col) for col in zip(
+        *[jax_engine.t3_dict_modes(plans[n]) for n in names]))
     for n in names:
-        shifts, tab, args = jax_engine.plan_to_device_args(plans[n], expanded)
+        shifts, tab, args = jax_engine.plan_to_device_args(plans[n], expanded,
+                                                           t3_modes=t3m)
 
         def rep(x):
             x = np.asarray(x)
@@ -109,7 +112,7 @@ def main():
         # (plain loop-invariant bodies WERE hoisted by XLA - measured as an
         # impossible 3 GPix/s that the scales_with_steps guard rejected)
         a = list(a)
-        a[6] = a[6].at[..., 0].add(s)
+        a[7] = a[7].at[..., 0].add(s)    # d1_params (slot 7 since t3_dicts)
         out = vdec(t, *a)
         return jnp.sum(out.astype(jnp.uint32) * wgt_dev[None],
                        dtype=jnp.uint32)
@@ -225,7 +228,8 @@ def main():
         args = []
         for j in range(BATCH):
             p = planner.build_plan(streams[names[(k + j) % 2]], expanded)
-            _, _, a = jax_engine.plan_to_device_args(p, expanded)
+            _, _, a = jax_engine.plan_to_device_args(p, expanded,
+                                                     t3_modes=t3m)
             args.append(a)
         stk = jax.tree.map(lambda *xs: np.stack(xs), *args)
         expect = sum(chk_img[names[(k + j) % 2]]

@@ -142,7 +142,8 @@ def _tile_to_image(vals, nty, ntx, th, tw):
     return v.transpose(perm).reshape(lead + (nty * th, ntx * tw))
 
 
-def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
+def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy,
+                 dict_rows=None):
     """One 3D-LUT size pass over the full grid, channel-PACKED resolve.
 
     The global table carries all 3 channels packed into one i32 per entry
@@ -153,31 +154,46 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy):
 
     Uploads stay thin: the packed table [C,64] travels once per bank, each
     tile carries its table ROW (from its type word), and index+mask pack
-    into one byte per pixel."""
+    into one byte per pixel. With dict_rows (the plan-time distinct-row
+    dictionary, padded to 256), `rows` carries DICTIONARY indices instead
+    of table rows.
+
+    The Pallas kernel emits the FINAL per-pixel channels packed in one
+    i32 with the write mask (wmask & accept) in bit 24, so the pass needs
+    exactly ONE tile->image relayout and the unpack fuses into the
+    bitwise blend. (The round-2 bit-24 variant lost 207 -> 150 MPix/s,
+    but it still upsampled min/diff image-space and relayouted u8+pred
+    besides. A column gather from the pre-transposed table measured 388
+    vs 402: XLA's row gather wins even counting the .T relayout.)"""
     tw, th = 1 << sx, 1 << sy
     nty, ntx = accept.shape
     g, npx = packed.shape
     colors = colors.astype(jnp.int32)
     if USE_PALLAS and jax.devices()[0].platform == "tpu":
-        # row gather + transpose (a column gather from the pre-transposed
-        # table measured 388 vs 402 MPix/s - XLA's row gather is faster
-        # even counting the .T relayout)
-        luts_pkT = lut_tab[rows].T                            # [64, g]
-        # fused resolve + color apply + write bit: the kernel emits the
-        # FINAL per-pixel channels packed in one i32 with the write mask
-        # (wmask & accept) in bit 24, so the pass needs exactly ONE
-        # tile->image relayout and the unpack fuses into the select. (An
-        # earlier bit-24 variant lost 207 -> 150 MPix/s, but it still
-        # upsampled min/diff image-space and relayouted u8+pred besides;
-        # this form replaces ALL of that with the single i32 relayout:
-        # 391 -> re-measured below.)
-        from yaik_tpu.ops.pallas_kernels import lut3d_vals
-        cols7 = jnp.concatenate(
-            [colors, accept.reshape(g, 1).astype(jnp.int32)], axis=1)
+        acc = accept.reshape(g, 1).astype(jnp.int32)
         # transpose the packed bytes while still u8 (4x fewer bytes moved)
-        Vp = lut3d_vals(packed.T.astype(jnp.int32), luts_pkT, cols7.T).T
+        packedT = packed.T.astype(jnp.int32)
+        if dict_rows is not None:
+            # dictionary resolve: the per-pass distinct LUT rows (<= 256)
+            # expand to per-tile columns inside the kernel via one-hot MXU
+            # matmuls - the dense [g, 64] i32 lut_tab[rows] gather
+            # (~3.3 ms/step at 512^2 b32) never materializes
+            from yaik_tpu.ops.pallas_kernels import lut3d_vals_dict
+            ls = lut_tab[dict_rows]                           # [U, 64] i32
+            tab3 = jnp.concatenate(
+                [(ls & 0xFF).T, ((ls >> 8) & 0xFF).T, (ls >> 16).T],
+                axis=0).astype(jnp.bfloat16)                  # [192, U]
+            cols8 = jnp.concatenate(
+                [colors, acc, rows.reshape(g, 1)], axis=1)
+            Vp = lut3d_vals_dict(packedT, tab3, cols8.T).T
+        else:
+            from yaik_tpu.ops.pallas_kernels import lut3d_vals
+            luts_pkT = lut_tab[rows].T                        # [64, g]
+            cols7 = jnp.concatenate([colors, acc], axis=1)
+            Vp = lut3d_vals(packedT, luts_pkT, cols7.T).T
     else:
-        luts_pk = lut_tab[rows]              # [g, 64] i32 row gather, exact
+        true_rows = rows if dict_rows is None else dict_rows[rows]
+        luts_pk = lut_tab[true_rows]         # [g, 64] i32 row gather, exact
         indices = (packed & 63).astype(jnp.int32)
         onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
                   [None, None, :]).astype(jnp.float32)
@@ -239,9 +255,10 @@ def _blend_pass_masked(plane, accept, corners, mask, sx, sy):
 
 def _d1_pass(plane, params, indices, wbits_img, h8, w8):
     """1D residual for all 3 planes. Values are computed in TILE space
-    [3, g, 64], where the per-tile params broadcast along the pixel axis
-    for free (no relayout), channel-packed there, then ONE i32
-    tile->image relayout feeds the bitwise blend. delta2 needs up to 21
+    [3, 64, g] (pixel-major, tiles on lanes - the kernels' native
+    layout), where the per-tile params broadcast along the pixel axis
+    for free (no relayout), channel-packed there, then ONE fused
+    relayout+blend (or i32 relayout on the XLA fallback) applies them. delta2 needs up to 21
     bits ((delta*inv_range)>>8, inv_range=2^24/range) so the PARAMS can't
     pack into one i32 - but the resulting 8-bit values can. The write
     mask is per-CHANNEL (bit-packed image-space at plan time): each
@@ -250,13 +267,13 @@ def _d1_pass(plane, params, indices, wbits_img, h8, w8):
     b = ((wbits_img[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
          ).reshape(3, h8, w8).astype(jnp.uint32)
     m32 = (b[0] | (b[1] << 8) | (b[2] << 16)) * 0xFF
-    L = indices.astype(jnp.int32)                             # [3, g, 64]
-    color0 = params[:, :, 0:1]
-    base = params[:, :, 1:2]
-    delta2 = params[:, :, 2:3]
+    L = indices.astype(jnp.int32)                             # [3, 64, g]
+    color0 = params[:, :, 0][:, None, :]                      # [3, 1, g]
+    base = params[:, :, 1][:, None, :]
+    delta2 = params[:, :, 2][:, None, :]
     v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
-    vp = v[0] | (v[1] << 8) | (v[2] << 16)                    # [g, 64]
-    v_img = _tile_to_image(vp, nty, ntx, 8, 8).astype(jnp.uint32)
+    vpT = v[0] | (v[1] << 8) | (v[2] << 16)                   # [64, g]
+    v_img = _tile_to_image(vpT.T, nty, ntx, 8, 8).astype(jnp.uint32)
     return plane ^ ((plane ^ v_img) & m32)
 
 
@@ -320,14 +337,16 @@ def _alpha_pass(aspec, raw, mip_bits, h8, w8):
 
 
 def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
-                t3_accepts, t3_rows, t3_colors, t3_packed,
+                t3_accepts, t3_rows, t3_colors, t3_packed, t3_dicts,
                 d1_params, d1_indices, d1_wmask,
                 ucol=None, t2=None, pgrad_pairs=None, pgrad_singles=None,
                 alpha=None, aspec=None):
     """ucol: None or the pre-pass overlay (vals [3,h8,w8] u8 planar, mask
     packbits [h8,w8/8] u8) carrying UCOL + SMAP pixels - applied first, in
     stream order. t2: None or (lut2_tab [C,64,2], 6x (accept, rows, colors,
-    packed)) in _T2_ORDER. Returns [h8, w8, 3] u8."""
+    packed)) in _T2_ORDER. t3_dicts: per-pass [256] LUT-row dictionary (or
+    None for the dense-rows fallback when a pass exceeds 256 distinct
+    rows). Returns [h8, w8, 3] u8."""
     # image dims (multiples of 8) from the 4x4 3D pass grid
     nty4, ntx4 = t3_accepts[-1].shape
     h8, w8 = nty4 * 4, ntx4 * 4
@@ -345,7 +364,8 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         plane = _blend_pass(plane, grad_accepts[k], grad_corners[k], sx, sy)
     for k, (sx, sy) in enumerate(T3_SHIFTS):
         plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], t3_rows[k],
-                             t3_colors[k], t3_packed[k], sx, sy)
+                             t3_colors[k], t3_packed[k], sx, sy,
+                             dict_rows=t3_dicts[k])
     if pgrad_pairs is not None:     # GTIL plane in (5, 3, 6), before 2DTL
         for k, mask in enumerate(_PGRAD_PAIRS):
             plane = _blend_pass_masked(plane, *pgrad_pairs[k], mask, 2, 2)
@@ -434,12 +454,29 @@ def lut2d_device_table(expanded2d: dict):
     return tab, bases
 
 
+def t3_dict_modes(plan: plannermod.DecodePlan):
+    """Per-T3-pass: can the pass use the <= 256-row LUT dictionary?
+    (uniq(rows) <= uniq(types), so the type-word count is a safe bound;
+    batch decode ANDs these across images so stacked args stay uniform)."""
+    by_shift = {p.shift: p for p in plan.tile3d}
+    modes = []
+    for shift in T3_SHIFTS:
+        p = by_shift.get(shift)
+        modes.append(p is None or
+                     np.unique(p.types.astype(np.int64) & 0xFFFF).size
+                     <= 256)
+    return tuple(modes)
+
+
 def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
-                        expanded2d: dict | None = None):
+                        expanded2d: dict | None = None,
+                        t3_modes: tuple | None = None):
     """Assemble (static shifts, lut table + bases, per-image tensor args)
     from a plan. Per-image tensors are packed thin for the host->device
     link: LUT row ids instead of per-tile table slices, idx|mask<<6 bytes,
-    u8 colors."""
+    u8 colors. t3_modes (default: per-pass automatic) forces each T3
+    pass's dictionary-vs-dense-rows choice - batch decode passes the AND
+    across its images so the stacked pytrees share one structure."""
     w, h = plan.width, plan.height
     qh, qw = h // 4 + 1, w // 4 + 1
     tab, bases = lut_device_table(expanded)
@@ -455,14 +492,16 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             accepts.append(g.accept)
             corners.append(g.corners)
 
+    if t3_modes is None:
+        t3_modes = t3_dict_modes(plan)
     t3_by_shift = {p.shift: p for p in plan.tile3d}
-    t3a, t3r, t3c, t3p = [], [], [], []
+    t3a, t3r, t3c, t3p, t3d = [], [], [], [], []
     base_arr = np.zeros(4, np.int64)
     nrows = np.zeros(4, np.int64)
     for bi, bit in enumerate((3, 4, 5, 6)):
         base_arr[bi] = bases[bit]
         nrows[bi] = expanded[bit].shape[0]
-    for (sx, sy) in T3_SHIFTS:
+    for k, (sx, sy) in enumerate(T3_SHIFTS):
         tw, th = 1 << sx, 1 << sy
         ntx, nty = w // tw, h // th
         g = nty * ntx
@@ -472,12 +511,25 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             t3r.append(np.zeros(g, np.int32))
             t3c.append(np.zeros((g, 6), np.uint8))
             t3p.append(np.zeros((g, th * tw), np.uint8))
+            t3d.append(np.zeros(256, np.int32) if t3_modes[k] else None)
             continue
         t = p.types.astype(np.int64) & 0xFFFF
         bi = (t >> 14) & 3
         comb = np.minimum(t & 0x3FFF, nrows[bi] - 1)  # same clamp as planner
+        rows_full = (base_arr[bi] + comb).astype(np.int32)
         t3a.append(p.accept)
-        t3r.append((base_arr[bi] + comb).astype(np.int32))
+        if t3_modes[k]:
+            # distinct-row dictionary (<= 256 by t3_dict_modes); `rows`
+            # then carries dictionary indices - the device expands them
+            # in-kernel (lut3d_vals_dict) instead of a dense [g,64] gather
+            uniq, inv = np.unique(rows_full, return_inverse=True)
+            d = np.zeros(256, np.int32)
+            d[: uniq.size] = uniq
+            t3r.append(inv.astype(np.int32))
+            t3d.append(d)
+        else:
+            t3r.append(rows_full)
+            t3d.append(None)
         t3c.append(p.colors.astype(np.uint8))         # min/max are 0..255
         # the planner already stores idx|wmask<<6 with idx clamped to 63
         # (corrupt streams can carry byte//3 <= 85) - zero-copy here
@@ -493,7 +545,9 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             a.reshape(3, nty8, ntx8, 8, 8).transpose(0, 1, 3, 2, 4)
             .reshape(3, nty8 * 8, ntx8 * 8))
 
-    d1_idx = plan.d1.indices
+    # pixel-major [3, 64, g]: the device kernels' native layout (tiles on
+    # the 128 lanes), transposed once here on the host
+    d1_idx = np.ascontiguousarray(plan.d1.indices.transpose(0, 2, 1))
     wbits = np.packbits(_d1_img(plan.d1.wmask.astype(np.uint8)),
                         axis=-1, bitorder="little")       # [3, h, w/8]
 
@@ -554,7 +608,7 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
         alpha_arg = (raw, mip)
 
     args = (tuple(accepts), tuple(corners),
-            tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p),
+            tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p), tuple(t3d),
             plan.d1.params, d1_idx, wbits, ucol_arg, t2_arg,
             pg_pairs, pg_singles, alpha_arg)
     return GRAD_SHIFTS, tab, args

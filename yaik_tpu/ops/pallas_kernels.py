@@ -130,6 +130,79 @@ def lut3d_vals(idxT, lutsT_pk, colsT, interpret=False):
     return out[:, :G]
 
 
+def _vals_dict_kernel(P, U, idx_ref, tab_ref, col_ref, out_ref):
+    C = col_ref[:]                                   # [8, LB] i32
+    loc = C[7, :]                                    # [LB] dict index
+    T = tab_ref[:]                                   # [192, U] bf16
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (U, loc.shape[0]), 0)
+          == loc[None, :]).astype(jnp.bfloat16)      # [U, LB]
+    # per-tile LUT columns via MXU one-hot matmuls (entries <= 128 are
+    # bf16-exact; each output column has exactly one contribution)
+    L0 = jnp.dot(T[0:64], oh, preferred_element_type=jnp.float32)
+    L1 = jnp.dot(T[64:128], oh, preferred_element_type=jnp.float32)
+    L2 = jnp.dot(T[128:192], oh, preferred_element_type=jnp.float32)
+    V0 = (L0.astype(jnp.int32) | (L1.astype(jnp.int32) << 8)
+          | (L2.astype(jnp.int32) << 16))            # [64, LB] packed
+    for p in range(P):
+        b = idx_ref[p, :] & 63
+        v = V0
+        for lev in (5, 4, 3, 2, 1, 0):
+            half = v.shape[0] // 2
+            bit = ((b >> lev) & 1)[None, :] != 0
+            v = jnp.where(bit, v[half:, :], v[:half, :])
+        out_ref[p, :] = v[0]
+    L = out_ref[:]
+    mn0, mn1, mn2 = C[0:1, :], C[1:2, :], C[2:3, :]
+    d0, d1, d2 = C[3:4, :] - mn0, C[4:5, :] - mn1, C[5:6, :] - mn2
+    v0 = (mn0 + ((d0 * (L & 0xFF)) >> 7)) & 0xFF
+    v1 = (mn1 + ((d1 * ((L >> 8) & 0xFF)) >> 7)) & 0xFF
+    v2 = (mn2 + ((d2 * (L >> 16)) >> 7)) & 0xFF
+    w = ((idx_ref[:] >> 6) & 1) * C[6:7, :]
+    out_ref[:] = v0 | (v1 << 8) | (v2 << 16) | (w << 24)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lut3d_vals_dict(idxT, tab3, colsT, interpret=False):
+    """lut3d_vals with a per-image LUT DICTIONARY instead of per-tile
+    gathered tables: most streams use only a handful of distinct LUT rows
+    per pass (6-104 observed vs 2048-16384 tiles), so the dense
+    lut_tab[rows] gather (~3.3 ms/step at 512^2 b32, [g, 64] i32 in HBM)
+    is replaced by a [U=256]-row dictionary expanded to per-tile columns
+    INSIDE the kernel by one-hot MXU matmuls. idxT [P, G] i32 raw packed
+    bytes; tab3 [192, U] bf16 (three 64-entry channel tables stacked);
+    colsT [8, G] i32 (min0..2, max0..2, accept, dict index per tile).
+    Returns [P, G] i32 packed values + write bit, as lut3d_vals."""
+    P, G = idxT.shape
+    U = tab3.shape[1]
+    LB = 512
+    pad = (-G) % LB
+    idxp = jnp.pad(idxT, ((0, 0), (0, pad)))
+    colp = jnp.pad(colsT, ((0, 0), (0, pad)))
+    grid = ((G + pad) // LB,)
+    out = pl.pallas_call(
+        partial(_vals_dict_kernel, P, U),
+        out_shape=jax.ShapeDtypeStruct((P, G + pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((192, U), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, LB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(idxp, tab3, colp)
+    return out[:, :G]
+
+
+# NOTE (negative result): a fused tile->image relayout+blend kernel
+# (vp_ref[:].reshape(th, tw, BR, ntx).transpose(2, 0, 3, 1) on VMEM
+# blocks) does NOT compile - Mosaic rejects the 2D->4D shape cast
+# ("infer-vector-layout: unsupported shape cast"). The tile->image
+# permutation stays an XLA transpose-copy per pass.
+
+
 # ---------------------------------------------------------------------------
 # Encoder 48-pattern scoring
 # ---------------------------------------------------------------------------

@@ -57,6 +57,13 @@ def _batched_decoder(shifts, nargs, aspec=None):
     return fn
 
 
+def _common_t3_modes(plans):
+    """AND of each image's T3 dictionary eligibility, so every image in a
+    stacked batch packs the same (dict vs dense-rows) arg structure."""
+    modes = [jax_engine.t3_dict_modes(p) for p in plans]
+    return tuple(all(col) for col in zip(*modes))
+
+
 def _common_alpha_spec(plans):
     """One shared static alpha spec for a batch, or None when the streams
     mix specs (then alpha is host-decoded and reattached per image)."""
@@ -109,11 +116,13 @@ def decode_batch(streams, lut, mesh: Mesh | None = None):
         raise ValueError("decode_batch cannot mix alpha/non-alpha "
                          "streams in one batch")
     aspec = _common_alpha_spec(plans)
+    t3m = _common_t3_modes(plans)
     all_args = []
     shifts = None
     for p in plans:
         shifts, tab, a = jax_engine.plan_to_device_args(p, expanded,
-                                                        expanded2d)
+                                                        expanded2d,
+                                                        t3_modes=t3m)
         all_args.append(a if aspec is not None else _strip_alpha_arg(a))
     b_args = _stack_args(all_args)
 
@@ -214,10 +223,12 @@ def decode_spatial(stream: bytes, lut, mesh: Mesh | None = None,
         while j < len(bands) and bands[j].height == bands[i].height:
             j += 1
         grp = bands[i:j]
+        t3m = _common_t3_modes(grp)
         shifts, tab, args0 = jax_engine.plan_to_device_args(
-            grp[0], expanded, expanded2d)
+            grp[0], expanded, expanded2d, t3_modes=t3m)
         all_args = [args0] + [
-            jax_engine.plan_to_device_args(b, expanded, expanded2d)[2]
+            jax_engine.plan_to_device_args(b, expanded, expanded2d,
+                                           t3_modes=t3m)[2]
             for b in grp[1:]]
         b_args = _stack_args(all_args)
         fn = _batched_decoder(shifts, len(b_args))
@@ -273,10 +284,11 @@ def decode_corpus(streams, lut, batch_size: int = 8,
                                                    expanded2d)
                              for i in chunk]
                 aspec = _common_alpha_spec(plans)
+                t3m = _common_t3_modes(plans)
                 args = []
                 for p in plans:
                     shifts, tab, a = jax_engine.plan_to_device_args(
-                        p, expanded, expanded2d)
+                        p, expanded, expanded2d, t3_modes=t3m)
                     args.append(a if aspec is not None
                                 else _strip_alpha_arg(a))
                 fn = _batched_decoder(shifts, len(args[0]), aspec)
