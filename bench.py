@@ -52,7 +52,9 @@ from yaik_tpu.decoder import jax_engine, planner  # noqa: E402
 from yaik_tpu.format import lut as lutmod  # noqa: E402
 
 FIX = pathlib.Path(__file__).parent / "tests" / "fixtures"
-BATCH = int(os.environ.get("YAIK_BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("YAIK_BENCH_BATCH", "64"))   # 64 > 32/128 (608
+# vs 585/592 MPix/s same-session): amortizes per-pass fixed costs without
+# outgrowing VMEM-friendly working sets
 STEPS = int(os.environ.get("YAIK_BENCH_STEPS", "64"))
 SYNC_STEPS = int(os.environ.get("YAIK_BENCH_SYNC_STEPS", "6"))
 E2E_IMAGES = int(os.environ.get("YAIK_BENCH_E2E_IMAGES", "32"))

@@ -273,7 +273,10 @@ def _d1_pass(plane, params, indices, wbits_img, h8, w8):
     delta2 = params[:, :, 2][:, None, :]
     v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
     vpT = v[0] | (v[1] << 8) | (v[2] << 16)                   # [64, g]
-    v_img = _tile_to_image(vpT.T, nty, ntx, 8, 8).astype(jnp.uint32)
+    # relayout straight from the pixel-major form - vpT.T + _tile_to_image
+    # was TWO copies (~1.7 ms/step at 512^2 b32)
+    v4 = vpT.reshape(8, 8, nty, ntx).transpose(2, 0, 3, 1)
+    v_img = v4.reshape(nty * 8, ntx * 8).astype(jnp.uint32)
     return plane ^ ((plane ^ v_img) & m32)
 
 

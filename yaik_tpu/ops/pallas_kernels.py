@@ -136,13 +136,10 @@ def _vals_dict_kernel(P, U, idx_ref, tab_ref, col_ref, out_ref):
     T = tab_ref[:]                                   # [192, U] bf16
     oh = (jax.lax.broadcasted_iota(jnp.int32, (U, loc.shape[0]), 0)
           == loc[None, :]).astype(jnp.bfloat16)      # [U, LB]
-    # per-tile LUT columns via MXU one-hot matmuls (entries <= 128 are
+    # per-tile LUT columns via ONE one-hot MXU matmul (entries <= 128 are
     # bf16-exact; each output column has exactly one contribution)
-    L0 = jnp.dot(T[0:64], oh, preferred_element_type=jnp.float32)
-    L1 = jnp.dot(T[64:128], oh, preferred_element_type=jnp.float32)
-    L2 = jnp.dot(T[128:192], oh, preferred_element_type=jnp.float32)
-    V0 = (L0.astype(jnp.int32) | (L1.astype(jnp.int32) << 8)
-          | (L2.astype(jnp.int32) << 16))            # [64, LB] packed
+    L = jnp.dot(T, oh, preferred_element_type=jnp.float32).astype(jnp.int32)
+    V0 = (L[0:64] | (L[64:128] << 8) | (L[128:192] << 16))   # [64, LB]
     for p in range(P):
         b = idx_ref[p, :] & 63
         v = V0
