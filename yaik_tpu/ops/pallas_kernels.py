@@ -193,11 +193,17 @@ def lut3d_vals_dict(idxT, tab3, colsT, interpret=False):
     return out[:, :G]
 
 
-# NOTE (negative result): a fused tile->image relayout+blend kernel
-# (vp_ref[:].reshape(th, tw, BR, ntx).transpose(2, 0, 3, 1) on VMEM
-# blocks) does NOT compile - Mosaic rejects the 2D->4D shape cast
-# ("infer-vector-layout: unsupported shape cast"). The tile->image
-# permutation stays an XLA transpose-copy per pass.
+# NOTE (negative results, this chip's Mosaic): the tile->image relayout
+# cannot move into the kernels.
+# (1) A fused relayout+blend kernel (vp_ref[:].reshape(th, tw, BR, ntx)
+#     .transpose(2, 0, 3, 1) on VMEM blocks) fails "infer-vector-layout:
+#     unsupported shape cast" on the 2D->4D reshape.
+# (2) A py-major emit (per within-tile row: seg [tw, LB] -> seg.T
+#     .reshape(1, LB*tw), leaving XLA only a whole-row block permute)
+#     fails on the [LB, tw] -> [1, LB*tw] LANE-INTERLEAVE collapse; the
+#     orientation Mosaic does accept ([tw, LB] row-major flatten) is the
+#     trivial px-major concat, which doesn't help the consumer.
+# The tile->image permutation stays an XLA transpose-copy per pass.
 
 
 # ---------------------------------------------------------------------------
