@@ -457,6 +457,18 @@ def lut2d_device_table(expanded2d: dict):
     return tab, bases
 
 
+def _flag_uniq(vals, bound):
+    """np.unique(vals, return_inverse=True) without the sort: O(n + bound)
+    flag-array remap (vals are small non-negative ints: LUT rows < C,
+    type words < 2^16)."""
+    flags = np.zeros(bound, bool)
+    flags[vals] = True
+    uniq = np.flatnonzero(flags)
+    remap = np.empty(bound, np.int32)
+    remap[uniq] = np.arange(uniq.size, dtype=np.int32)
+    return uniq.astype(np.int32), remap[vals]
+
+
 def t3_dict_modes(plan: plannermod.DecodePlan):
     """Per-T3-pass: can the pass use the <= 256-row LUT dictionary?
     (uniq(rows) <= uniq(types), so the type-word count is a safe bound;
@@ -465,9 +477,12 @@ def t3_dict_modes(plan: plannermod.DecodePlan):
     modes = []
     for shift in T3_SHIFTS:
         p = by_shift.get(shift)
-        modes.append(p is None or
-                     np.unique(p.types.astype(np.int64) & 0xFFFF).size
-                     <= 256)
+        if p is None:
+            modes.append(True)
+            continue
+        flags = np.zeros(1 << 16, bool)
+        flags[p.types] = True
+        modes.append(int(flags.sum()) <= 256)
     return tuple(modes)
 
 
@@ -525,10 +540,10 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             # distinct-row dictionary (<= 256 by t3_dict_modes); `rows`
             # then carries dictionary indices - the device expands them
             # in-kernel (lut3d_vals_dict) instead of a dense [g,64] gather
-            uniq, inv = np.unique(rows_full, return_inverse=True)
+            uniq, inv = _flag_uniq(rows_full, int(base_arr[3] + nrows[3]))
             d = np.zeros(256, np.int32)
             d[: uniq.size] = uniq
-            t3r.append(inv.astype(np.int32))
+            t3r.append(inv)
             t3d.append(d)
         else:
             t3r.append(rows_full)
@@ -549,8 +564,8 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             .reshape(3, nty8 * 8, ntx8 * 8))
 
     # pixel-major [3, 64, g]: the device kernels' native layout (tiles on
-    # the 128 lanes), transposed once here on the host
-    d1_idx = np.ascontiguousarray(plan.d1.indices.transpose(0, 2, 1))
+    # the 128 lanes); lazily strided - the device transfer copies anyway
+    d1_idx = plan.d1.indices.transpose(0, 2, 1)
     wbits = np.packbits(_d1_img(plan.d1.wmask.astype(np.uint8)),
                         axis=-1, bitorder="little")       # [3, h, w/8]
 
