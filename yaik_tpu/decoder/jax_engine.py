@@ -3,11 +3,12 @@
 Consumes the dense per-tile tensors from yaik_tpu.decoder.planner and runs
 all pixel math on device with TPU-friendly primitives only:
 
-  - gradient passes: integer bilinear blends (broadcast + shifts, exact
-    YAIK_Gradient.cpp semantics), masked by accept grids
-  - 3D-LUT tiles: per-tile one-hot @ LUT-slice batched matmuls (MXU), then
-    min + ((diff * L) >> 7)
-  - 1D residual: pure elementwise select
+  - gradient passes: exact YAIK_Gradient.cpp bilinears as constant MXU
+    matmuls (By @ cg @ Bx, bf16-exact operands), masked by accept grids
+  - 3D-LUT tiles: a fused Pallas kernel (entry select-tree + min/diff
+    color apply + write bit, per-image LUT dictionary expanded in-kernel
+    by one-hot MXU matmuls); XLA one-hot matvec fallback on CPU
+  - 1D residual: tile-space values, one relayout, bitwise masked blend
   - image assembly: reshapes of full tile grids (no scatter)
 
 Layout: all pixel state lives in ONE channel-packed u32 word per pixel
@@ -40,12 +41,11 @@ GRAD_SHIFTS = tuple(swizzle.GRADIENT_PASS_ORDER)
 T3_SHIFTS = tuple(swizzle.TILE3D_PASS_ORDER)
 
 # Pallas path for the 3D-LUT resolve (identical output, verified
-# on-chip). Default ON since the u8-plane/tile-space-d1 rework: the VMEM
-# select-tree kernel beats the packed one-hot matvec 280.4 vs 267.5
-# MPix/s (same session, 512^2 batch 32) - the f32 one-hot select_reduce
-# was ~6.3 ms/step of the remaining 30. The gate below still falls back
-# to the XLA form on non-TPU backends (CPU tests) and under
-# YAIK_USE_PALLAS=0 (see BASELINE.md Pallas A/B table).
+# on-chip; see BASELINE.md round-2 decode history for each measured
+# step: select-tree default-on at 280 MPix/s, fused color apply 289,
+# bit-24 write mask 402, in-kernel LUT dictionary 582). The gate below
+# falls back to the XLA one-hot form on non-TPU backends (CPU tests)
+# and under YAIK_USE_PALLAS=0.
 USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "1") == "1"
 
 
