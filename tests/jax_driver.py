@@ -28,6 +28,21 @@ def main(fast: bool = False):
         got = api.decode_image(stream, lut, engine="jax")
         assert np.array_equal(got, want), f"{name}: jax decode mismatch"
         print(f"{name}: jax decode bit-exact")
+    # forced dense-rows T3 packing: the >256-distinct-LUT-rows fallback
+    # arg structure (dict_rows=None per pass) must decode identically
+    from yaik_tpu.decoder import jax_engine
+    from yaik_tpu.decoder import planner as plannermod
+    stream64 = (FIX / "img64.yaik").read_bytes()
+    want64 = np.load(FIX / "img64.dec.npz")["rgb"]
+    plan64 = plannermod.build_plan(stream64, lut.expanded)
+    shifts, tab, a_dense = jax_engine.plan_to_device_args(
+        plan64, lut.expanded, t3_modes=(False,) * 6)
+    got64 = np.asarray(jax_engine.decode_pixels(
+        shifts, tab, *a_dense, aspec=jax_engine.alpha_spec_of(plan64)))
+    got64 = got64[: plan64.height, : plan64.width]
+    assert np.array_equal(got64, want64), "dense-rows fallback mismatch"
+    print("img64: forced dense-rows T3 packing bit-exact")
+
     if fast:   # smoke tier: one compiled decode proves the engine wiring
         print("ALL OK")
         return
