@@ -88,8 +88,9 @@ def main():
 
     shifts = None
     dev_args = {}
-    t3m = tuple(all(col) for col in zip(
-        *[jax_engine.t3_dict_modes(plans[n]) for n in names]))
+    t3m = jax_engine.combine_t3_modes(
+        [jax_engine.t3_pack_mode(plans[n], expanded) for n in names],
+        [plans[n] for n in names])
     for n in names:
         shifts, tab, args = jax_engine.plan_to_device_args(plans[n], expanded,
                                                            t3_modes=t3m)

@@ -39,6 +39,12 @@ from yaik_tpu.format import swizzle
 
 GRAD_SHIFTS = tuple(swizzle.GRADIENT_PASS_ORDER)
 T3_SHIFTS = tuple(swizzle.TILE3D_PASS_ORDER)
+# merged Tile3D: all 6 size passes re-blocked onto the uniform 4x4 grid as
+# <= 2 priority layers (see t3_merge_plan) - each layer decodes as one
+# (2, 2) pass, so the whole T3 stage costs 2 kernel dispatches + 2
+# tile->image relayouts instead of 6 (measured 7.2 ms -> ~2.4 ms of
+# lut3d kernels per 64-image step at 512^2)
+MERGED_T3_SHIFTS = ((2, 2), (2, 2))
 
 # Pallas path for the 3D-LUT resolve (identical output, verified
 # on-chip; see BASELINE.md round-2 decode history for each measured
@@ -47,6 +53,15 @@ T3_SHIFTS = tuple(swizzle.TILE3D_PASS_ORDER)
 # falls back to the XLA one-hot form on non-TPU backends (CPU tests)
 # and under YAIK_USE_PALLAS=0.
 USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "1") == "1"
+USE_GRAD_MERGED = os.environ.get("YAIK_GRAD_MERGED", "1") == "1"
+
+
+def _grad_merge_available(w):
+    """Merged-gradient Pallas packing: TPU only (CPU tests keep the XLA
+    blends) and w <= 1024 (wider images put the [KX+8, W] Bx constant
+    past a comfortable VMEM budget; 4K decodes band H, not W)."""
+    return (USE_PALLAS and USE_GRAD_MERGED and w <= 1024
+            and jax.devices()[0].platform == "tpu")
 
 
 def _blend_mats(nty, ntx, qh, qw, sx, sy):
@@ -131,6 +146,85 @@ def _blend_pass(plane, accept, corners, sx, sy, chmask=0xFFFFFF):
     vp = (vals[0] | (vals[1] << 8) | (vals[2] << 16)).astype(jnp.uint32)
     m32 = mask.astype(jnp.uint32) * chmask
     return _mask_blend(plane, vp, m32, nty * th, ntx * tw)
+
+
+_GRAD_CONST_CACHE: dict = {}
+
+
+def _grad_consts(H, W):
+    """Constant blend matrices for the merged gradient kernel, cached per
+    image size and embedded as jit constants: by [7, H, KY+128] bf16 /
+    bx [7, KX+8, W] bf16 carry the _blend_mats weights for every pass with
+    the LAST corner row/col relocated to sublane/lane KY/KX (so each
+    matmul contraction is whole 128-lane K tiles and the edge rides a
+    rank-1 update); r4y/r4x expand the [H/4, W/4] winner-code grid to
+    pixels. BR = the largest row block in (128..8) dividing H."""
+    key = (H, W)
+    hit = _GRAD_CONST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    qh, qw = H // 4 + 1, W // 4 + 1
+    KX = -(-(qw - 1) // 128) * 128
+    KY = -(-(qh - 1) // 128) * 128
+    BR = next(b for b in (128, 64, 32, 16, 8) if H % b == 0)
+    by = np.zeros((7, H, KY + 128), np.float32)
+    bx = np.zeros((7, KX + 8, W), np.float32)
+    for k, (sx, sy) in enumerate(GRAD_SHIFTS):
+        tw, th = 1 << sx, 1 << sy
+        nty, ntx = H // th, W // tw
+        if nty == 0 or ntx == 0:
+            continue
+        qsy, qsx = th // 4, tw // 4
+        ys = np.arange(nty * th)
+        ty, ry = ys // th, ys % th
+        for col, wgt in ((ty * qsy, th - ry), (ty * qsy + qsy, ry)):
+            col = np.where(col == qh - 1, KY, col)
+            np.add.at(by[k], (ys, col), wgt)
+        xs = np.arange(ntx * tw)
+        tx, rx = xs // tw, xs % tw
+        for row, wgt in ((tx * qsx, tw - rx), (tx * qsx + qsx, rx)):
+            row = np.where(row == qw - 1, KX, row)
+            np.add.at(bx[k], (row, xs), wgt)
+    r4y = np.zeros((BR, BR // 4), np.float32)
+    r4y[np.arange(BR), np.arange(BR) // 4] = 1
+    r4x = np.zeros((W // 4, W), np.float32)
+    r4x[np.arange(W) // 4, np.arange(W)] = 1
+    out = (by.astype(jnp.bfloat16), bx.astype(jnp.bfloat16),
+           r4y.astype(jnp.bfloat16), r4x.astype(jnp.bfloat16))
+    _GRAD_CONST_CACHE[key] = out
+    return out
+
+
+def _grad_merged_pass(plane, corners7, code4):
+    """All full-plane gradient passes as ONE Pallas dispatch (see
+    pallas_kernels.grad_plane). corners7 [7, qh, qw, 3] u8 per-pass corner
+    grids, code4 [H/4, W/4] u8 per-4x4-block winner (0 = none). The
+    legacy 7x _blend_pass chain wrote a ~200 MB f32 + 64 MB u32 plane per
+    pass per 64-image step; this reads 0.4 MB of corners and writes the
+    one [H, W] u32 result (measured 6.7 -> ~1.8 ms/step at 512^2 b64)."""
+    from yaik_tpu.ops.pallas_kernels import grad_plane
+    H, W = plane.shape
+    qh, qw = H // 4 + 1, W // 4 + 1
+    KX = -(-(qw - 1) // 128) * 128
+    KY = -(-(qh - 1) // 128) * 128
+    by, bx, r4y, r4x = _grad_consts(H, W)
+    c = corners7.astype(jnp.int32)
+    pk = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)   # [7, qh, qw]
+    main = jnp.pad(pk[:, : qh - 1, : qw - 1],
+                   ((0, 0), (0, 0), (0, KX - (qw - 1))))
+    top = jnp.pad(jnp.concatenate([main, pk[:, : qh - 1, qw - 1:]], axis=2),
+                  ((0, 0), (0, 0), (0, 127)))
+    erow = jnp.pad(pk[:, qh - 1:, : qw - 1],
+                   ((0, 0), (0, 0), (0, KX - (qw - 1))))
+    bot = jnp.pad(jnp.concatenate([erow, pk[:, qh - 1:, qw - 1:]], axis=2),
+                  ((0, 0), (0, 0), (0, 127)))
+    corn = jnp.concatenate(
+        [jnp.pad(top, ((0, 0), (0, KY - (qh - 1)), (0, 0))), bot], axis=1)
+    corn = jnp.pad(corn, ((0, 0), (0, 7), (0, 0)))     # [7, KY+8, KX+128]
+    V = grad_plane(corn, code4.astype(jnp.int32), by, bx, r4y, r4x,
+                   shifts=GRAD_SHIFTS).astype(jnp.uint32)
+    m32 = ((V >> 24) & 1) * 0xFFFFFF
+    return plane ^ ((plane ^ V) & m32)
 
 
 def _tile_to_image(vals, nty, ntx, th, tw):
@@ -353,6 +447,10 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
     # image dims (multiples of 8) from the 4x4 3D pass grid
     nty4, ntx4 = t3_accepts[-1].shape
     h8, w8 = nty4 * 4, ntx4 * 4
+    # merged-T3 layout is carried by the pytree structure itself (2 layers
+    # instead of 6 size passes) so no extra static argument is needed and
+    # jit re-specializes automatically
+    t3_shift_list = MERGED_T3_SHIFTS if len(t3_accepts) == 2 else T3_SHIFTS
 
     plane = jnp.full((h8, w8), 0x808080, jnp.uint32)
     if ucol is not None:
@@ -363,9 +461,15 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
               | (ov_vals[1].astype(jnp.uint32) << 8)
               | (ov_vals[2].astype(jnp.uint32) << 16))
         plane = plane ^ ((plane ^ vp) & (m * 0xFFFFFF))
-    for k, (sx, sy) in enumerate(shifts):
-        plane = _blend_pass(plane, grad_accepts[k], grad_corners[k], sx, sy)
-    for k, (sx, sy) in enumerate(T3_SHIFTS):
+    if grad_accepts is None:
+        # merged: (corners7 [7, qh, qw, 3] u8, code4 [h/4, w/4] u8) - one
+        # Pallas dispatch for all 7 full-plane passes (TPU packing only)
+        plane = _grad_merged_pass(plane, *grad_corners)
+    else:
+        for k, (sx, sy) in enumerate(shifts):
+            plane = _blend_pass(plane, grad_accepts[k], grad_corners[k],
+                                sx, sy)
+    for k, (sx, sy) in enumerate(t3_shift_list):
         plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], t3_rows[k],
                              t3_colors[k], t3_packed[k], sx, sy,
                              dict_rows=t3_dicts[k])
@@ -486,6 +590,138 @@ def t3_dict_modes(plan: plannermod.DecodePlan):
     return tuple(modes)
 
 
+def _t3_rows_full(p, base_arr, nrows):
+    """Full LUT-table row per tile of one T3 pass (same type-word decode +
+    clamp as the host planner, YAIK_3DTile.cpp type words)."""
+    t = p.types.astype(np.int64) & 0xFFFF
+    bi = (t >> 14) & 3
+    comb = np.minimum(t & 0x3FFF, nrows[bi] - 1)
+    return (base_arr[bi] + comb).astype(np.int32)
+
+
+def _lut_bases_arrays(expanded):
+    _, bases = lut_device_table(expanded)
+    base_arr = np.zeros(4, np.int64)
+    nrows = np.zeros(4, np.int64)
+    for bi, bit in enumerate((3, 4, 5, 6)):
+        base_arr[bi] = bases[bit]
+        nrows[bi] = expanded[bit].shape[0]
+    return base_arr, nrows
+
+
+def t3_merge_plan(plan: plannermod.DecodePlan, expanded: dict,
+                  max_layers: int = 2):
+    """Re-block ALL Tile3D size passes onto the uniform 4x4 grid.
+
+    Every T3 tile size is a multiple of 4x4, so each accepted tile scatters
+    its LUT row / colors / idx bytes onto its covering 4x4 blocks. Blocks
+    covered by tiles from k different passes land on k priority LAYERS in
+    stream-pass order, so blending layer 0 then layer 1 reproduces the
+    sequential 6-pass semantics exactly (later passes win, per-pixel write
+    bits ride bit 6 of the idx byte unchanged). Measured streams need
+    <= 2 layers (accepted tiles of different passes rarely share a block
+    and their written pixels are disjoint); returns None when a block
+    needs more - callers fall back to the legacy per-size path.
+
+    Returns (layers, dict_ok): layers = tuple of (accept4 [nty4, ntx4],
+    rows4 [G4] full table rows, colors4 [G4, 6] u8, packed4 [G4, 16] u8);
+    dict_ok = the union of distinct rows fits the 256-entry kernel
+    dictionary. Cached on the plan (the feasibility probe and the arg
+    packer would otherwise both pay it)."""
+    cached = getattr(plan, "_t3_merge_cache", None)
+    if cached is not None and cached[0] is expanded:
+        return cached[1]
+    h, w = plan.height, plan.width
+    nty4, ntx4 = h // 4, w // 4
+    G4 = nty4 * ntx4
+    base_arr, nrows = _lut_bases_arrays(expanded)
+    count = np.zeros(G4, np.uint8)
+    lay_acc = [np.zeros(G4, bool) for _ in range(max_layers)]
+    lay_rows = [np.zeros(G4, np.int32) for _ in range(max_layers)]
+    lay_cols = [np.zeros((G4, 6), np.uint8) for _ in range(max_layers)]
+    lay_pk = [np.zeros((G4, 16), np.uint8) for _ in range(max_layers)]
+    by_shift = {p.shift: p for p in plan.tile3d}
+    result = None
+    ok = True
+    for (sx, sy) in T3_SHIFTS:
+        p = by_shift.get((sx, sy))
+        if p is None:
+            continue
+        tw, th = 1 << sx, 1 << sy
+        nty, ntx = p.accept.shape
+        ids = np.flatnonzero(p.accept.reshape(-1))
+        if ids.size == 0:
+            continue
+        nsy, nsx = th // 4, tw // 4
+        nsub = nsy * nsx
+        ty, tx = ids // ntx, ids % ntx
+        by = ty[:, None, None] * nsy + np.arange(nsy)[None, :, None]
+        bx = tx[:, None, None] * nsx + np.arange(nsx)[None, None, :]
+        g4 = (by * ntx4 + bx).reshape(-1)                 # [n*nsub]
+        pk = p.packed[ids].reshape(-1, nsy, 4, nsx, 4).transpose(
+            0, 1, 3, 2, 4).reshape(-1, 16)                # g4-ordered
+        rows_sub = np.repeat(_t3_rows_full(p, base_arr, nrows)[ids], nsub)
+        cols_sub = np.repeat(p.colors[ids].astype(np.uint8), nsub, axis=0)
+        cur = count[g4]
+        if int(cur.max(initial=0)) >= max_layers:
+            ok = False
+            break
+        for L in range(max_layers):
+            sel = cur == L
+            if not sel.any():
+                continue
+            t = g4[sel]
+            lay_acc[L][t] = True
+            lay_rows[L][t] = rows_sub[sel]
+            lay_cols[L][t] = cols_sub[sel]
+            lay_pk[L][t] = pk[sel]
+        count[g4] = cur + 1                # g4 unique within one pass
+    if ok:
+        uniq = np.zeros(int(base_arr[3] + nrows[3]), bool)
+        for r in lay_rows:
+            uniq[r] = True
+        dict_ok = int(uniq.sum()) <= 256
+        layers = tuple(
+            (lay_acc[L].reshape(nty4, ntx4), lay_rows[L], lay_cols[L],
+             lay_pk[L]) for L in range(max_layers))
+        result = (layers, dict_ok)
+    try:
+        plan._t3_merge_cache = (expanded, result)
+    except AttributeError:
+        pass
+    return result
+
+
+def t3_pack_mode(plan: plannermod.DecodePlan, expanded: dict):
+    """Preferred T3 device packing for one plan: ("merged", dict_ok) when
+    the passes re-block onto <= 2 layers (t3_merge_plan), else
+    ("legacy",) + t3_dict_modes(plan). Batch callers AND these with
+    combine_t3_modes so stacked pytrees share one structure."""
+    m = t3_merge_plan(plan, expanded)
+    if m is not None:
+        return ("merged", m[1])
+    return ("legacy",) + t3_dict_modes(plan)
+
+
+def combine_t3_modes(modes, plans=None):
+    """AND a set of per-plan t3_pack_mode results into one batch-uniform
+    mode. All-merged -> merged with the AND of dict_ok; any legacy ->
+    legacy with per-pass dict modes ANDed (merged members contribute
+    their t3_dict_modes via `plans`, required in that case)."""
+    modes = list(modes)
+    if all(m[0] == "merged" for m in modes):
+        return ("merged", all(m[1] for m in modes))
+    cols = []
+    for i, m in enumerate(modes):
+        if m[0] == "legacy":
+            cols.append(m[1:])
+        else:
+            if plans is None:
+                raise ValueError("mixed merged/legacy modes need plans")
+            cols.append(t3_dict_modes(plans[i]))
+    return ("legacy",) + tuple(all(c) for c in zip(*cols))
+
+
 def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
                         expanded2d: dict | None = None,
                         t3_modes: tuple | None = None):
@@ -509,49 +745,83 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
         else:
             accepts.append(g.accept)
             corners.append(g.corners)
+    if _grad_merge_available(w):
+        # merged gradient packing: stacked corner grids + the per-4x4-block
+        # winner code (later passes overwrite - sequential blend order)
+        code4 = np.zeros((h // 4, w // 4), np.uint8)
+        for k, (sx, sy) in enumerate(GRAD_SHIFTS):
+            g = by_shift.get((sx, sy))
+            if g is None:
+                continue
+            tw, th = 1 << sx, 1 << sy
+            exp = np.repeat(np.repeat(g.accept, th // 4, 0), tw // 4, 1)
+            region = code4[: exp.shape[0], : exp.shape[1]]
+            region[exp] = k + 1
+        grad_args = (None, (np.stack(corners), code4))
+    else:
+        grad_args = (tuple(accepts), tuple(corners))
 
-    if t3_modes is None:
-        t3_modes = t3_dict_modes(plan)
-    t3_by_shift = {p.shift: p for p in plan.tile3d}
+    mode = t3_modes
+    if mode is None:
+        mode = t3_pack_mode(plan, expanded)
+    elif not isinstance(mode[0], str):
+        mode = ("legacy",) + tuple(mode)   # round-2 style 6-tuple of bools
+    base_arr, nrows = _lut_bases_arrays(expanded)
     t3a, t3r, t3c, t3p, t3d = [], [], [], [], []
-    base_arr = np.zeros(4, np.int64)
-    nrows = np.zeros(4, np.int64)
-    for bi, bit in enumerate((3, 4, 5, 6)):
-        base_arr[bi] = bases[bit]
-        nrows[bi] = expanded[bit].shape[0]
-    for k, (sx, sy) in enumerate(T3_SHIFTS):
-        tw, th = 1 << sx, 1 << sy
-        ntx, nty = w // tw, h // th
-        g = nty * ntx
-        p = t3_by_shift.get((sx, sy))
-        if p is None:
-            t3a.append(np.zeros((nty, ntx), bool))
-            t3r.append(np.zeros(g, np.int32))
-            t3c.append(np.zeros((g, 6), np.uint8))
-            t3p.append(np.zeros((g, th * tw), np.uint8))
-            t3d.append(np.zeros(256, np.int32) if t3_modes[k] else None)
-            continue
-        t = p.types.astype(np.int64) & 0xFFFF
-        bi = (t >> 14) & 3
-        comb = np.minimum(t & 0x3FFF, nrows[bi] - 1)  # same clamp as planner
-        rows_full = (base_arr[bi] + comb).astype(np.int32)
-        t3a.append(p.accept)
-        if t3_modes[k]:
-            # distinct-row dictionary (<= 256 by t3_dict_modes); `rows`
-            # then carries dictionary indices - the device expands them
-            # in-kernel (lut3d_vals_dict) instead of a dense [g,64] gather
-            uniq, inv = _flag_uniq(rows_full, int(base_arr[3] + nrows[3]))
+    if mode[0] == "merged":
+        m = t3_merge_plan(plan, expanded)
+        if m is None:
+            raise ValueError("merged T3 requested but plan needs >2 layers")
+        layers, _ = m
+        use_dict = bool(mode[1])
+        if use_dict:
+            allrows = np.concatenate([l[1] for l in layers])
+            uniq, inv = _flag_uniq(allrows, int(base_arr[3] + nrows[3]))
             d = np.zeros(256, np.int32)
             d[: uniq.size] = uniq
-            t3r.append(inv)
-            t3d.append(d)
-        else:
-            t3r.append(rows_full)
-            t3d.append(None)
-        t3c.append(p.colors.astype(np.uint8))         # min/max are 0..255
-        # the planner already stores idx|wmask<<6 with idx clamped to 63
-        # (corrupt streams can carry byte//3 <= 85) - zero-copy here
-        t3p.append(p.packed)
+            invs = inv.reshape(len(layers), -1)
+        for L, (acc4, rows4, cols4, pk4) in enumerate(layers):
+            t3a.append(acc4)
+            t3r.append(invs[L] if use_dict else rows4)
+            t3d.append(d if use_dict else None)
+            t3c.append(cols4)
+            t3p.append(pk4)
+    else:
+        t3_dicts_on = mode[1:]
+        t3_by_shift = {p.shift: p for p in plan.tile3d}
+        for k, (sx, sy) in enumerate(T3_SHIFTS):
+            tw, th = 1 << sx, 1 << sy
+            ntx, nty = w // tw, h // th
+            g = nty * ntx
+            p = t3_by_shift.get((sx, sy))
+            if p is None:
+                t3a.append(np.zeros((nty, ntx), bool))
+                t3r.append(np.zeros(g, np.int32))
+                t3c.append(np.zeros((g, 6), np.uint8))
+                t3p.append(np.zeros((g, th * tw), np.uint8))
+                t3d.append(np.zeros(256, np.int32) if t3_dicts_on[k]
+                           else None)
+                continue
+            rows_full = _t3_rows_full(p, base_arr, nrows)
+            t3a.append(p.accept)
+            if t3_dicts_on[k]:
+                # distinct-row dictionary (<= 256 by t3_dict_modes); `rows`
+                # then carries dictionary indices - the device expands them
+                # in-kernel (lut3d_vals_dict) instead of a dense [g,64]
+                # gather
+                uniq, inv = _flag_uniq(rows_full,
+                                       int(base_arr[3] + nrows[3]))
+                d = np.zeros(256, np.int32)
+                d[: uniq.size] = uniq
+                t3r.append(inv)
+                t3d.append(d)
+            else:
+                t3r.append(rows_full)
+                t3d.append(None)
+            t3c.append(p.colors.astype(np.uint8))     # min/max are 0..255
+            # the planner already stores idx|wmask<<6 with idx clamped to
+            # 63 (corrupt streams can carry byte//3 <= 85) - zero-copy here
+            t3p.append(p.packed)
 
     # 1D indices travel tile-major [3, g, 64] (values are computed in tile
     # space, see _d1_pass); only the write mask is relayouted to image
@@ -625,7 +895,7 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
                else np.zeros(1, np.uint8))
         alpha_arg = (raw, mip)
 
-    args = (tuple(accepts), tuple(corners),
+    args = grad_args + (
             tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p), tuple(t3d),
             plan.d1.params, d1_idx, wbits, ucol_arg, t2_arg,
             pg_pairs, pg_singles, alpha_arg)

@@ -135,7 +135,7 @@ def _vp(a):
     # read-only buffers fall back.
     try:
         return _addressof(_from_buffer(a))
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, BufferError):
         return a.ctypes.data
 
 

@@ -207,6 +207,97 @@ def lut3d_vals_dict(idxT, tab3, colsT, interpret=False):
 
 
 # ---------------------------------------------------------------------------
+# Merged gradient pass (decode)
+# ---------------------------------------------------------------------------
+
+def _grad_kernel(shifts, KX, KY, W, corn_ref, code_ref, by_ref, bx_ref,
+                 r4y_ref, r4x_ref, out_ref):
+    """All 7 gradient size passes for one row block, in VMEM.
+
+    Per pass k: u = cg_k @ Bx_k (x-interp, exact f32 <= 4080), then
+    v = (By_k @ u_hi) * 256 + By_k @ u_lo (the bf16 hi/lo split of
+    _blend_values, exact < 2^24), >> shift_k. The qh-1/qw-1 corner
+    row/col live at sublane/lane KY/KX so BOTH matmul contractions stay
+    on whole 128-lane K tiles; the edge row/col contributes through a
+    rank-1 f32 VPU update instead (exact: 16 * 4080 < 2^24).
+
+    The per-pixel winner pass rides `code` (1..7 in GRADIENT_PASS_ORDER,
+    0 = no gradient) at 4x4-block granularity - every tile size is a
+    multiple of 4x4 and later passes overwrite earlier ones exactly as
+    the sequential blends did. Expanded to pixels by constant 0/1
+    matmuls, the select chain replaces 7 full-image masked blends."""
+    code = code_ref[:].astype(jnp.bfloat16)              # [BR/4, W/4]
+    Cf = jnp.dot(r4y_ref[:],
+                 jnp.dot(code, r4x_ref[:],
+                         preferred_element_type=jnp.float32)
+                 .astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)
+    C = Cf.astype(jnp.int32)                             # [BR, W]
+    out = jnp.zeros(C.shape, jnp.int32)
+    for k, (sx, sy) in enumerate(shifts):
+        cg = corn_ref[k]                                 # [KY+8, KX+128]
+        byk = by_ref[k]                                  # [BR, KY+128]
+        by_m = byk[:, :KY]
+        by_e = byk[:, KY:KY + 1].astype(jnp.float32)
+        vk = None
+        for c in (0, 8, 16):
+            cgc = ((cg >> c) & 0xFF).astype(jnp.bfloat16)
+            u = (jnp.dot(cgc[:, :KX], bx_ref[k, :KX, :],
+                         preferred_element_type=jnp.float32)
+                 + cgc[:, KX:KX + 1].astype(jnp.float32)
+                 * bx_ref[k, KX:KX + 1, :].astype(jnp.float32))
+            ui = u.astype(jnp.int32)
+            uh = (ui >> 8).astype(jnp.bfloat16)
+            ul = (ui & 255).astype(jnp.bfloat16)
+            t = (jnp.dot(by_m, uh[:KY],
+                         preferred_element_type=jnp.float32) * 256.0
+                 + jnp.dot(by_m, ul[:KY],
+                           preferred_element_type=jnp.float32)
+                 + by_e * u[KY:KY + 1, :])
+            vc = t.astype(jnp.int32) >> (sy + sx)
+            vk = vc if c == 0 else vk | (vc << c)
+        out = jnp.where(C == k + 1, vk, out)
+    out_ref[:] = out | jnp.where(C > 0, 1 << 24, 0)
+
+
+@partial(jax.jit, static_argnames=("shifts", "interpret"))
+def grad_plane(corn, code4, by, bx, r4y, r4x, shifts, interpret=False):
+    """Merged gradient plane: corn [7, KY+8, KX+128] i32 packed corner
+    grids (edge row/col relocated to KY/KX), code4 [H/4, W/4] i32 winner
+    codes, by/bx/r4y/r4x the constant blend matrices from
+    jax_engine._grad_consts. Returns [H, W] i32: packed RGB + write flag
+    in bit 24. Exact YAIK_Gradient.cpp fixed-point semantics."""
+    BR = r4y.shape[0]
+    H = by.shape[1]
+    W = bx.shape[2]
+    KY = by.shape[2] - 128
+    KX = bx.shape[1] - 8
+    grid = (H // BR,)
+    return pl.pallas_call(
+        partial(_grad_kernel, shifts, KX, KY, W),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((7, KY + 8, KX + 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR // 4, W // 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, BR, KY + 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, KX + 8, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, BR // 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W // 4, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BR, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(corn, code4, by, bx, r4y, r4x)
+
+
+# ---------------------------------------------------------------------------
 # Encoder 48-pattern scoring
 # ---------------------------------------------------------------------------
 

@@ -57,11 +57,12 @@ def _batched_decoder(shifts, nargs, aspec=None):
     return fn
 
 
-def _common_t3_modes(plans):
-    """AND of each image's T3 dictionary eligibility, so every image in a
-    stacked batch packs the same (dict vs dense-rows) arg structure."""
-    modes = [jax_engine.t3_dict_modes(p) for p in plans]
-    return tuple(all(col) for col in zip(*modes))
+def _common_t3_modes(plans, expanded):
+    """Batch-uniform T3 packing mode (merged-4x4 layers when every image
+    merges, else legacy with per-pass dictionary eligibility ANDed), so
+    every image in a stacked batch packs the same arg structure."""
+    modes = [jax_engine.t3_pack_mode(p, expanded) for p in plans]
+    return jax_engine.combine_t3_modes(modes, plans)
 
 
 def _common_alpha_spec(plans):
@@ -116,7 +117,7 @@ def decode_batch(streams, lut, mesh: Mesh | None = None):
         raise ValueError("decode_batch cannot mix alpha/non-alpha "
                          "streams in one batch")
     aspec = _common_alpha_spec(plans)
-    t3m = _common_t3_modes(plans)
+    t3m = _common_t3_modes(plans, expanded)
     all_args = []
     shifts = None
     for p in plans:
@@ -223,7 +224,7 @@ def decode_spatial(stream: bytes, lut, mesh: Mesh | None = None,
         while j < len(bands) and bands[j].height == bands[i].height:
             j += 1
         grp = bands[i:j]
-        t3m = _common_t3_modes(grp)
+        t3m = _common_t3_modes(grp, expanded)
         shifts, tab, args0 = jax_engine.plan_to_device_args(
             grp[0], expanded, expanded2d, t3_modes=t3m)
         all_args = [args0] + [
@@ -284,7 +285,7 @@ def decode_corpus(streams, lut, batch_size: int = 8,
                                                    expanded2d)
                              for i in chunk]
                 aspec = _common_alpha_spec(plans)
-                t3m = _common_t3_modes(plans)
+                t3m = _common_t3_modes(plans, expanded)
                 args = []
                 for p in plans:
                     shifts, tab, a = jax_engine.plan_to_device_args(
