@@ -58,7 +58,82 @@ BATCH = int(os.environ.get("YAIK_BENCH_BATCH", "64"))   # 64 > 32/128 (608
 STEPS = int(os.environ.get("YAIK_BENCH_STEPS", "64"))
 SYNC_STEPS = int(os.environ.get("YAIK_BENCH_SYNC_STEPS", "6"))
 E2E_IMAGES = int(os.environ.get("YAIK_BENCH_E2E_IMAGES", "32"))
+ENC_IMAGES = int(os.environ.get("YAIK_BENCH_ENC_IMAGES", "96"))
+ENC_BATCH = int(os.environ.get("YAIK_BENCH_ENC_BATCH", "8"))
 MAX_WRITE_BYTES_S = 1.0e12     # v5e HBM ceiling: harder than any real rate
+
+
+def _enc_variant(img, i):
+    """Deterministic, materially distinct corpus member i: rolls by
+    multiples of 8 keep tile alignment (every stream differs; the encoder
+    sees fresh tile statistics each image), flips add orientation
+    variety."""
+    v = np.roll(img, 8 * ((i * 7) % 63 + 1), axis=1)
+    v = np.roll(v, 8 * ((i * 5) % 63 + 1), axis=0)
+    if i % 3 == 1:
+        v = v[::-1]
+    elif i % 3 == 2:
+        v = v[:, ::-1]
+    return np.ascontiguousarray(v)
+
+
+def run_encode_lane(names, wgt, w, h, gen_golden=False):
+    """Encode ENC_IMAGES distinct 512^2 images through the pipelined
+    device encoder (the other half of the BASELINE metric). Every produced
+    stream is validated: host-decoded pixels must match per-image golden
+    checksums (entropy-backend-independent - zstd is lossless), and when
+    the bit-exact vendored zstd is loaded the stream BYTES must match
+    golden CRCs too. Returns (encode_mpix_s, ok, bytes_checked)."""
+    import zlib
+
+    from PIL import Image
+
+    from yaik_tpu.decoder import reference as refdec
+    from yaik_tpu.encoder import bank as bankmod
+    from yaik_tpu.encoder.batch import encode_corpus
+    from yaik_tpu.entropy import zstd_backend
+    from yaik_tpu.format import lut as lutmod
+
+    expanded = lutmod.expand_lut(
+        lutmod.parse_lut_file((FIX / "LutFile.lut").read_bytes()))
+    bank = bankmod.load_bank(str(FIX / "Bank3D"))
+    base = [np.asarray(Image.open(FIX / f"{n}.png").convert("RGB"))
+            for n in names]
+    corpus = [_enc_variant(base[i % 2], i) for i in range(ENC_IMAGES)]
+
+    encode_corpus(corpus[: 2 * ENC_BATCH], bank,
+                  batch_size=ENC_BATCH)                 # compile + warm
+    t0 = time.perf_counter()
+    streams_out = encode_corpus(corpus, bank, batch_size=ENC_BATCH)
+    dt = time.perf_counter() - t0
+    encode_mpix_s = ENC_IMAGES * w * h / dt / 1e6
+
+    gpath = FIX / "bench_encode_golden.json"
+    if gen_golden:
+        pix = []
+        for st in streams_out:
+            rgb = refdec.decode(st, expanded)
+            pix.append(int((rgb.astype(np.uint64) * wgt).sum() % (1 << 32)))
+        gold = {"n": ENC_IMAGES,
+                "zstd_ref": bool(zstd_backend.IS_REFERENCE_ZSTD),
+                "pix": pix,
+                "bytes": [zlib.crc32(st) & 0xFFFFFFFF
+                          for st in streams_out]}
+        gpath.write_text(json.dumps(gold))
+        print(f"# wrote {gpath}", file=sys.stderr)
+        return encode_mpix_s, True, zstd_backend.IS_REFERENCE_ZSTD
+
+    gold = json.loads(gpath.read_text())
+    ok = True
+    bytes_checked = bool(zstd_backend.IS_REFERENCE_ZSTD
+                         and gold.get("zstd_ref"))
+    for i, st in enumerate(streams_out[: gold["n"]]):
+        rgb = refdec.decode(st, expanded)
+        chk = int((rgb.astype(np.uint64) * wgt).sum() % (1 << 32))
+        ok &= chk == gold["pix"][i]
+        if bytes_checked:
+            ok &= (zlib.crc32(st) & 0xFFFFFFFF) == gold["bytes"][i]
+    return encode_mpix_s, ok, bytes_checked
 
 
 def _checksum_weights(h, w):
@@ -75,9 +150,16 @@ def main():
     streams = {n: (FIX / f"{n}.yaik").read_bytes() for n in names}
     want = {n: np.load(FIX / f"{n}.dec.npz")["rgb"] for n in names}
 
-    t0 = time.perf_counter()
     plans = {n: planner.build_plan(streams[n], expanded) for n in names}
-    host_plan_ms = (time.perf_counter() - t0) / len(names) * 1e3
+    # steady-state planning cost (the first plans pay imports/page faults;
+    # production planning is warm by definition - it runs per image)
+    plan_times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        for n in names:
+            planner.build_plan(streams[n], expanded)
+        plan_times.append((time.perf_counter() - t0) / len(names))
+    host_plan_ms = float(np.median(plan_times)) * 1e3
 
     w, h = plans["img512"].width, plans["img512"].height
     pix_batch = BATCH * w * h
@@ -255,6 +337,11 @@ def main():
     checksum_ok = checksum_ok and res_ok
     e2e_resident_mpix_s = nres * pix_batch / dt_res / 1e6
 
+    # --- encode lane (the other half of the BASELINE metric) ------------
+    encode_mpix_s, enc_ok, enc_bytes_checked = run_encode_lane(
+        names, wgt, w, h, gen_golden="--gen-encode-golden" in sys.argv)
+    checksum_ok = checksum_ok and enc_ok
+
     value = device_mpix_s if plausible else e2e_mpix_s
     info = {
         "metric": "decode_throughput",
@@ -265,6 +352,8 @@ def main():
         "synced_mpix_s": round(synced_mpix_s, 2),
         "e2e_mpix_s": round(e2e_mpix_s, 2),
         "e2e_resident_mpix_s": round(e2e_resident_mpix_s, 2),
+        "encode_mpix_s": round(encode_mpix_s, 2),
+        "encode_bytes_checked": enc_bytes_checked,
         "host_plan_ms_per_img": round(host_plan_ms, 2),
         "checksum_ok": checksum_ok,
         "plausible": plausible,

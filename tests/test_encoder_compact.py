@@ -34,23 +34,48 @@ def test_corpus_compact_parity(bank):
     assert sts[1] == h128 and sts[3] == h128
 
 
-def test_overflow_falls_back(bank, monkeypatch):
-    """Tiny caps force every pass to overflow; _emit_batch must fall back
-    to the full-download single-image path and still match host bytes."""
+def test_overflow_escalates_and_matches(bank, monkeypatch):
+    """Tiny caps force every pass to overflow; the corpus path must grow
+    the caps to fit (caps_fit escalation loop), stay byte-identical to the
+    host engine, and remember the learned caps for later batches."""
+    from yaik_tpu.encoder import batch as encbatch
     _all_batch_compact_fn.cache_clear()
     real = devp.pass_caps
 
-    def tiny_caps(w, h):
+    def tiny_caps(w, h, scale=1):
         return tuple((1, 1) for _ in real(w, h))
 
     monkeypatch.setattr(devp, "pass_caps", tiny_caps)
     try:
+        encbatch._CAP_STATE.clear()
         img = np.asarray(Image.open(FIXTURES / "img64.png"))
         want = encode_image(img, bank, engine="host")
         got = encode_corpus([img, img], bank, batch_size=2)
         assert got[0] == want and got[1] == want
+        learned = encbatch._CAP_STATE.get((64, 64, 3))
+        assert learned is not None and all(
+            s >= 1 and d >= 1 for s, d in learned)
+        assert any(s > 1 or d > 1 for s, d in learned)
     finally:
+        encbatch._CAP_STATE.clear()
         _all_batch_compact_fn.cache_clear()
+
+
+def test_adaptive_caps_noise_parity(bank):
+    """Pure noise (gradients claim nothing, every 3D pass ~all-alive)
+    overflows the art-tuned T/8 caps; the adaptive path must stay
+    byte-identical to single-image host encode."""
+    from yaik_tpu.encoder import batch as encbatch
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (64, 64, 3), np.uint8) for _ in range(3)]
+    encbatch._CAP_STATE.clear()
+    try:
+        outs = encode_corpus(imgs, bank, batch_size=2)
+        for im, got in zip(imgs, outs):
+            assert got == encode_image(im, bank, engine="host")
+        assert (64, 64, 3) in encbatch._CAP_STATE
+    finally:
+        encbatch._CAP_STATE.clear()
 
 
 def test_device_score_gate_falls_back(bank, monkeypatch):

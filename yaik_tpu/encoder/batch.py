@@ -166,13 +166,13 @@ def encode_batch(images, bank: bankmod.Bank,
     return streams
 
 
-def _dispatch_batch(imgs, claims_shape, cfg, tables):
+def _dispatch_batch(imgs, claims_shape, cfg, tables, caps=None):
     """Upload one padded batch and enqueue gradient + 3D scoring (compacted
     3D downloads); start the device->host copies without blocking (the axon
     runtime otherwise wedges when an older buffer is fetched after newer
     enqueues)."""
     h, w = imgs[0].shape[:2]
-    caps = devp.pass_caps(w, h)
+    caps = caps or devp.pass_caps(w, h)
     perms = tuple(
         jnp.asarray(devp._scan_perm(sx, sy, w, h)[1])
         for (sx, sy) in [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)])
@@ -185,22 +185,27 @@ def _dispatch_batch(imgs, claims_shape, cfg, tables):
     return packed_g, packed_3d
 
 
-def _emit_batch(imgs, packed_g, packed_3d, bank, cfg):
+def _emit_batch(imgs, packed_g, packed_3d, bank, cfg, caps=None):
     """Unpack one batch's compacted device outputs and run host emission
     per image. An image whose accepted-tile count overflows a pass cap
     (pathological content) falls back to the single-image full-download
     device path - still byte-identical."""
+    h, w = imgs[0].shape[:2]
+    caps = caps or devp.pass_caps(w, h)
+    packed = np.asarray(packed_g)
+    per_pass = devp.unpack_compact(np.asarray(packed_3d), w, h, caps)
+    return _emit_from_unpacked(imgs, packed, per_pass, caps, bank, cfg)
+
+
+def _emit_from_unpacked(imgs, packed, per_pass, caps, bank, cfg):
     B = len(imgs)
     h, w = imgs[0].shape[:2]
-    caps = devp.pass_caps(w, h)
-    packed = np.asarray(packed_g)
     grad_accepts, off = [], 0
     for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
         nty, ntx = h >> sy, w >> sx
         grad_accepts.append(packed[:, off:off + nty * ntx]
                             .reshape(B, nty, ntx).astype(bool))
         off += nty * ntx
-    per_pass = devp.unpack_compact(np.asarray(packed_3d), w, h, caps)
     streams = []
     for i in range(B):
         if any(int(res["count"][i]) > dcap or int(res["alive"][i]) > scap
@@ -218,6 +223,34 @@ def _emit_batch(imgs, packed_g, packed_3d, bank, cfg):
         streams.append(encode_image(imgs[i], bank, cfg, engine="precomputed",
                                     precomputed=pre))
     return streams
+
+
+# Learned per-shape caps (see pass_caps/caps_fit): photo-like corpora
+# overflow the art-tuned T/8 caps on every image; once a corpus teaches us
+# its caps, later batches (and later corpora in the same process) dispatch
+# with caps that fit on the first try.
+_CAP_STATE: dict = {}
+
+
+def _drain_adaptive(p_imgs, pg, p3, caps, bank, cfg, tables):
+    """Unpack one batch; when any image overflows its caps, grow them to
+    fit (caps_fit, remembered in _CAP_STATE) and re-dispatch the batch
+    with roomier caps - batched, unlike the per-image single-image
+    fallback. Terminates: caps grow monotonically and clamp at T, and
+    counts are <= T."""
+    h, w = p_imgs[0].shape[:2]
+    key = (h, w, cfg.reject_factor)
+    while True:
+        packed = np.asarray(pg)
+        per_pass = devp.unpack_compact(np.asarray(p3), w, h, caps)
+        fit = devp.caps_fit(per_pass, caps, w, h)
+        if fit == caps:
+            return _emit_from_unpacked(p_imgs, packed, per_pass, caps,
+                                       bank, cfg)
+        caps = tuple((max(s1, s2), max(d1, d2)) for (s1, d1), (s2, d2)
+                     in zip(fit, _CAP_STATE.get(key, fit)))
+        _CAP_STATE[key] = caps
+        pg, p3 = _dispatch_batch(p_imgs, None, cfg, tables, caps)
 
 
 def encode_corpus(images, bank: bankmod.Bank,
@@ -255,25 +288,29 @@ def encode_corpus(images, bank: bankmod.Bank,
                 for i in idxs:              # host fallback (see gate above)
                     results[i] = encode_image(imgs[i], bank, cfg)
                 continue
+            key = (shape[0], shape[1], cfg.reject_factor)
+            base_caps = devp.pass_caps(shape[1], shape[0])
             pending = None
             for s in range(0, len(idxs), batch_size):
                 chunk = idxs[s:s + batch_size]
                 batch_imgs = [imgs[i] for i in chunk]
                 pad = batch_size - len(batch_imgs)
+                caps = _CAP_STATE.get(key, base_caps)
                 fut = pool.submit(_dispatch_batch,
                                   batch_imgs + [batch_imgs[0]] * pad,
-                                  shape, cfg, tables)
+                                  shape, cfg, tables, caps)
                 if pending is not None:
-                    p_chunk, p_imgs, p_fut = pending
+                    p_chunk, p_imgs, p_fut, p_caps = pending
                     pg, p3 = p_fut.result()
-                    for i, st in zip(p_chunk,
-                                     _emit_batch(p_imgs, pg, p3, bank, cfg)):
+                    for i, st in zip(p_chunk, _drain_adaptive(
+                            p_imgs, pg, p3, p_caps, bank, cfg, tables)):
                         results[i] = st
-                pending = (chunk, batch_imgs + [batch_imgs[0]] * pad, fut)
-            p_chunk, p_imgs, p_fut = pending
+                pending = (chunk, batch_imgs + [batch_imgs[0]] * pad, fut,
+                           caps)
+            p_chunk, p_imgs, p_fut, p_caps = pending
             pg, p3 = p_fut.result()
-            for i, st in zip(p_chunk,
-                             _emit_batch(p_imgs, pg, p3, bank, cfg)):
+            for i, st in zip(p_chunk, _drain_adaptive(
+                    p_imgs, pg, p3, p_caps, bank, cfg, tables)):
                 results[i] = st
     finally:
         pool.shutdown(wait=True)

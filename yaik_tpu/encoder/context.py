@@ -144,11 +144,21 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
     # ---- gradient passes ----
     _grad_stage = profiler.stage("encode:gradient")
     _grad_stage.__enter__()
+    # device/precomputed emission: one shared 4x4 corner grid serves all 7
+    # passes and per-pixel claims defer to ONE 4x4-block accumulator
+    # expanded after the 3D stage (the 13 full-image repeats were ~2-3
+    # ms/image of pure host emission). The host engine keeps per-pass
+    # updates: score_pass READS claims between passes.
+    claims4 = (np.zeros((h // 4, w // 4), bool)
+               if engine in ("device", "precomputed") else None)
+    corners4 = (gradient._corner_grids(planes, 4, 4).astype(np.int64)
+                if engine in ("device", "precomputed") else None)
     for k, (sx, sy) in enumerate(swizzle.GRADIENT_PASS_ORDER):
         if engine in ("device", "precomputed"):
             bitmap, rgb_stream, count = gradient.emit_pass(
                 planes, claims, mapped_rgb, dev_grad_accepts[k], sx, sy,
-                cfg.color_compression_quad)
+                cfg.color_compression_quad, corners4=corners4,
+                claims4=claims4)
         else:
             bitmap, rgb_stream, count = gradient.run_pass(
                 planes, claims, mapped_rgb, sx, sy, cfg.reject_factor,
@@ -194,8 +204,10 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
             sx, sy = res["shift"]
             tw, th = 1 << sx, 1 << sy
             nty, ntx = h // th, w // tw
-            gradient.claim_tiles(claims, res["accept"].reshape(nty, ntx),
-                                 th, tw, (0, 1, 2))
+            acc = res["accept"].reshape(nty, ntx)
+            if acc.any():
+                claims4[: nty * (th // 4), : ntx * (tw // 4)] |= np.repeat(
+                    np.repeat(acc, th // 4, 0), tw // 4, 1)
     elif engine == "precomputed":
         from yaik_tpu.encoder import device_pipeline as devp
         compact = getattr(precomputed, "t3_compact", None)
@@ -216,14 +228,23 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                 accept[gids] = res["bits_scan"]
             else:
                 accept = res["accept"]
-            gradient.claim_tiles(claims, accept.reshape(nty, ntx),
-                                 th, tw, (0, 1, 2))
+            acc = accept.reshape(nty, ntx)
+            if acc.any():
+                claims4[: nty * (th // 4), : ntx * (tw // 4)] |= np.repeat(
+                    np.repeat(acc, th // 4, 0), tw // 4, 1)
     else:
         with profiler.stage("encode:3d-scoring"):
             for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
                 corr3d.run_pass(planes, claims, bank, sx, sy, streams)
     with profiler.stage("encode:3d-chunk"):
         out += _tile3d_chunk(streams, cfg, w, h)
+
+    if claims4 is not None and claims4.any():
+        # ONE expansion of all deferred gradient + 3D claims (every tile
+        # size is a multiple of 4x4; later stages - plane gradients, 2D,
+        # 1D leftovers - read the union exactly as the sequential updates
+        # left it)
+        claims |= np.repeat(np.repeat(claims4, 4, 0), 4, 1)[None]
 
     def _plane_gradient(mask):
         bitmap, rgb_stream, count = gradient.run_pass(

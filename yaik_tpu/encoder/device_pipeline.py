@@ -211,7 +211,7 @@ def _scan_perm(sx, sy, w, h):
     return sel0, gids
 
 
-def pass_caps(w, h):
+def pass_caps(w, h, scale: int = 1):
     """Static per-pass tile caps as (scoring, download) pairs.
 
     Scoring cap (T/8): how many ALIVE tiles get scored - gradients claim
@@ -219,14 +219,48 @@ def pass_caps(w, h):
     pass). Download cap (T/16): how many ACCEPTED tiles' rows cross the
     tunnel - accepts are a subset of alive, typically 1-5% of T. An image
     exceeding either cap falls back to the dense single-image path (correct
-    on any content). YAIK_ENC_CAP_FRAC / YAIK_ENC_DCAP_FRAC override."""
+    on any content). YAIK_ENC_CAP_FRAC / YAIK_ENC_DCAP_FRAC override.
+
+    scale: power-of-2 multiplier on both caps (clamped to T). encode_corpus
+    escalates caps when content overflows the art-tuned defaults (photo-like
+    images have ~30-40% alive tiles) so the whole corpus stays on the
+    batched path instead of collapsing to single-image fallbacks."""
     frac = int(os.environ.get("YAIK_ENC_CAP_FRAC", "8"))
     dfrac = int(os.environ.get("YAIK_ENC_DCAP_FRAC", "16"))
     caps = []
     for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
         T = (h >> sy) * (w >> sx)
-        caps.append((max(64, T // frac), max(64, T // dfrac)))
+        caps.append((min(T, max(64, T // frac) * scale),
+                     min(T, max(64, T // dfrac) * scale)))
     return tuple(caps)
+
+
+def caps_fit(per_pass, caps_used, w, h):
+    """Per-pass caps that FIT an unpacked compact blob with 1.5x headroom,
+    rounded up to powers of 2 (compile-cache-friendly), never below the
+    caps the blob was produced with, clamped at T. When the scoring cap was
+    itself overflowed, the true accept count is unknown (only the first
+    scap alive tiles were scored) - extrapolate it by the alive/scap ratio
+    before applying the margin. Returns caps_used unchanged when nothing
+    overflowed - the 'no re-dispatch needed' signal."""
+    def p2(x):
+        return 1 << max(0, (int(x) - 1)).bit_length()
+
+    fit, grew = [], False
+    for res, (scap, dcap) in zip(per_pass, caps_used):
+        sx, sy = res["shift"]
+        T = (h >> sy) * (w >> sx)
+        alive = res["alive"].astype(np.int64)
+        count = res["count"].astype(np.int64)
+        a = int(alive.max())
+        c = int((count * np.maximum(alive, scap) // scap).max())
+        if a <= scap and int(count.max()) <= dcap:
+            fit.append((scap, dcap))
+            continue
+        grew = True
+        fit.append((min(T, max(scap, p2(a * 3 // 2))),
+                    min(T, max(dcap, p2(c * 3 // 2)))))
+    return tuple(fit) if grew else caps_used
 
 
 def _compact_pass(packed, perm, cap, alive_cnt=None):

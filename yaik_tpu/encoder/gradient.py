@@ -124,9 +124,16 @@ def run_pass(planes, claims, mapped_rgb, sx, sy, reject_factor,
 
 
 def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression,
-              plane_mask: int = 7):
+              plane_mask: int = 7, corners4=None, claims4=None):
     """Stream emission for one gradient pass given its accept grid (from
-    host or device scoring): swizzle-scan-order corner dedup + claim update."""
+    host or device scoring): swizzle-scan-order corner dedup + claim update.
+
+    corners4: optional shared [3, h/4+1, w/4+1] i64 corner grid (every
+    pass's corner positions are a stride-of-4 subset, so one gather serves
+    all 7 passes instead of recomputing per pass). claims4: optional
+    [h/4, w/4] bool accumulator - when given, the per-pixel claim update
+    is DEFERRED (caller ORs the 4x4-block accepts and expands once; the
+    7 per-pass full-image repeats were ~2 ms/image)."""
     tw, th = 1 << sx, 1 << sy
     _, h, w = planes.shape
 
@@ -140,7 +147,6 @@ def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression,
     order = np.flatnonzero(bits)
     if len(order) == 0:
         return None, None, 0
-    corners = _corner_grids(planes, tw, th).astype(np.int64)
 
     # vectorized corner dedup: first touch in tile-scan x (LT, RT, LB, RB)
     # order == the reference's per-tile "emit corner if unseen" cursor.
@@ -158,8 +164,12 @@ def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression,
     present = [p for p in range(3) if plane_mask & (1 << p)]
     cy, cx = cids // w1, cids % w1
     # round6 only the gathered corners (not the full grid - emit_pass runs
-    # 7x per image and accepted tiles are a small subset)
-    vals6 = round6(corners[:, cy // th, cx // tw])   # [3, n*4]
+    # 7x per image and accepted tiles are a small subset). Corner pixel
+    # coords are multiples of (th, tw) so cy//4, cx//4 index the shared
+    # 4x4 grid directly (same edge clamp).
+    if corners4 is None:
+        corners4 = _corner_grids(planes, 4, 4).astype(np.int64)
+    vals6 = round6(corners4[:, cy // 4, cx // 4])    # [3, n*4]
     newp = np.zeros((len(present), cids.size), bool)
     for j, p in enumerate(present):
         mp = mapped_rgb[p].reshape(-1)
@@ -172,7 +182,11 @@ def emit_pass(planes, claims, mapped_rgb, accept, sx, sy, color_compression,
 
     up = np.zeros((h // th, w // tw), bool)
     up[tys, txs] = True
-    claim_tiles(claims, up, th, tw, present)
+    if claims4 is not None and len(present) == 3:
+        claims4[: (h // th) * (th // 4), : (w // tw) * (tw // 4)] |= \
+            np.repeat(np.repeat(up, th // 4, 0), tw // 4, 1)
+    else:
+        claim_tiles(claims, up, th, tw, present)
 
     bitmap = swizzle.pack_bitmap(bits)
     return bitmap, rgb_stream, len(order)
