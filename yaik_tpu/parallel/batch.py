@@ -245,7 +245,8 @@ def decode_spatial(stream: bytes, lut, mesh: Mesh | None = None,
 
 
 def decode_corpus(streams, lut, batch_size: int = 8,
-                  planner_workers: int | None = None) -> list[np.ndarray]:
+                  planner_workers: int | None = None,
+                  mesh: Mesh | None = None) -> list[np.ndarray]:
     """End-to-end pipelined corpus decode: while the device renders batch
     k's pixels, the host plans batch k+1's streams (planning is the
     end-to-end bottleneck - the device path runs at GPix/s). Streams are
@@ -257,11 +258,16 @@ def decode_corpus(streams, lut, batch_size: int = 8,
     cpu_count). The hot planning stages - zstd, the palette codec, and the
     native pass-scatter replay - are ctypes calls that release the GIL, so
     planning scales across host cores on multi-core TPU-VM hosts (the
-    aggregate v5e-8 target needs ~1 core per 35 MPix/s of planning)."""
+    aggregate v5e-8 target needs ~1 core per 35 MPix/s of planning).
+
+    mesh: optional data-parallel mesh; each dispatched batch is sharded
+    over its "data" axis (batch_size must divide evenly)."""
     import os
     from concurrent.futures import ThreadPoolExecutor
     from yaik_tpu.decoder.api import decode_image_pre
     expanded, expanded2d = _luts_of(lut)
+    if mesh is not None and batch_size % mesh.devices.size:
+        raise ValueError("batch_size must be a multiple of the mesh size")
     results: list = [None] * len(streams)
     n_workers = planner_workers or os.cpu_count() or 1
     pool = ThreadPoolExecutor(n_workers) if n_workers > 1 else None
@@ -294,7 +300,8 @@ def decode_corpus(streams, lut, batch_size: int = 8,
                                 else _strip_alpha_arg(a))
                 fn = _batched_decoder(shifts, len(args[0]), aspec)
                 args += [args[0]] * (batch_size - len(args))
-                out = fn(tab, *jax.device_put(_stack_args(args)))
+                tab_d, b_args = _put_sharded(tab, _stack_args(args), mesh)
+                out = fn(tab_d, *b_args)
                 out.copy_to_host_async()   # before any further enqueue
                 return out, plans          # (older-buffer fetches wedge
                                            # this runtime)
