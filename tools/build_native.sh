@@ -5,10 +5,10 @@
 #                                      (public header: native/include/yaik_tpu.h)
 set -euo pipefail
 HERE=$(cd "$(dirname "$0")/.." && pwd)
-g++ -O2 -fPIC -shared -o "$HERE/yaik_tpu/native/libyaik_host.so" \
+g++ -O3 -march=native -fPIC -shared -o "$HERE/yaik_tpu/native/libyaik_host.so" \
     "$HERE/yaik_tpu/native/yaik_host.cpp"
 echo "built $HERE/yaik_tpu/native/libyaik_host.so"
-g++ -O2 -fPIC -shared -Wall -Wextra -Wno-unused-parameter \
+g++ -O3 -march=native -fPIC -shared -Wall -Wextra -Wno-unused-parameter \
     -o "$HERE/yaik_tpu/native/libyaik_tpu.so" \
     "$HERE/yaik_tpu/native/yaik_capi.cpp" \
     "$HERE/yaik_tpu/native/yaik_host.cpp" \

@@ -586,29 +586,31 @@ def _plan_3d(body, hdr, w, h, claims, luts_expanded):
         accept_all = np.zeros(G, bool)
         claims_u8 = claims.view(np.uint8)
         s4list = [streams[b] for b in (3, 4, 5, 6)]
+        bitmaps = []
+        for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
+            mb = maps[(sx, sy)]
+            if len(mb):
+                expect = swizzle.bitmap_size_bytes(sx, sy, w, h)
+                mb = mb[:expect]
+                if mb.size != expect:
+                    raise ValueError(f"bitmap size {mb.size} != {expect}")
+            bitmaps.append(mb)
+        native.plan_3d_all(bitmaps, w, h, types, colors, claims_u8,
+                           s4list, cursors4, accept_all.view(np.uint8),
+                           type_all, cols_all, packed_all)
         goff = poff = 0
         for pid, (sx, sy) in enumerate(swizzle.TILE3D_PASS_ORDER):
             tw, th, g = sizes[pid]
             ntx, nty = w // tw, h // th
-            accept = accept_all[goff:goff + g].reshape(nty, ntx)
-            cols = cols_all[goff:goff + g]
-            type_arr = type_all[goff:goff + g]
-            packed = packed_all[poff:poff + g * th * tw].reshape(g, th * tw)
+            passes.append(Tile3DPassPlan(
+                shift=(sx, sy),
+                accept=accept_all[goff:goff + g].reshape(nty, ntx),
+                colors=cols_all[goff:goff + g],
+                packed=packed_all[poff:poff + g * th * tw].reshape(
+                    g, th * tw),
+                types=type_all[goff:goff + g]))
             goff += g
             poff += g * th * tw
-            mb = maps[(sx, sy)]
-            if len(mb):
-                expect = swizzle.bitmap_size_bytes(sx, sy, w, h)
-                mbs = mb[:expect]
-                if mbs.size != expect:
-                    raise ValueError(f"bitmap size {mbs.size} != {expect}")
-                tcur += native.plan_3d_pass_full(
-                    mbs, w, h, pid, types, colors, tcur, claims_u8,
-                    s4list, cursors4, accept.view(np.uint8), type_arr,
-                    cols, packed, th * tw)
-            passes.append(Tile3DPassPlan(shift=(sx, sy), accept=accept,
-                                         colors=cols, packed=packed,
-                                         types=type_arr))
         return passes
 
     for pid, (sx, sy) in enumerate(swizzle.TILE3D_PASS_ORDER):
@@ -692,13 +694,10 @@ def _plan_1d(body, hdr, w, h, claims):
     if native.available():
         # consolidated native plane walk: active detection + triplet
         # gather + params + claim-gated pixel scatter in one call per plane
-        cursors2 = np.zeros(2, np.int64)
-        for p in range(3):
-            cl = claims[p] if per_plane else claims
-            native.plan_1d_plane_full(
-                w, h, np.ascontiguousarray(cl).view(np.uint8), types, pix,
-                inv_range, cursors2, params[p], indices[p],
-                wmask[p].view(np.uint8))
+        cl = np.ascontiguousarray(claims).view(np.uint8)
+        stride = cl[0].size if per_plane else 0
+        native.plan_1d_all(w, h, cl, stride, types, pix, inv_range,
+                           params, indices, wmask.view(np.uint8))
         return Plan1D(params=params, indices=indices, wmask=wmask)
 
     # security padding for corrupt streams (reads past the end yield zeros)

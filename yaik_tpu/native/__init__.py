@@ -60,6 +60,21 @@ if os.path.exists(_LIB_PATH):
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int]
+    lib.plan_3d_all.restype = None
+    lib.plan_3d_all.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.plan_1d_all.restype = None
+    lib.plan_1d_all.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
     lib.plan_gtil_full.restype = None
     lib.plan_gtil_full.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -188,6 +203,32 @@ def plan_3d_pass_full(bitmap, w, h, pass_id, types_u16, colors_i32, tcur,
         _vp(s3), s3.size, _vp(s4), s4.size, _vp(s5), s5.size,
         _vp(s6), s6.size, _vp(cursors), _vp(accept), _vp(type_arr),
         _vp(cols), _vp(packed), P)
+
+
+def plan_1d_all(w, h, claims, plane_stride, types_u8, pix, inv_range,
+                params, indices, wmask) -> None:
+    """All three 1D residual planes in one call (see planner._plan_1d).
+    plane_stride: bytes between per-plane claim grids (0 = shared)."""
+    lib.plan_1d_all(w, h, _vp(claims), plane_stride, claims.shape[-1],
+                    _vp(types_u8), types_u8.size, _vp(pix), pix.size,
+                    inv_range, _vp(params), _vp(indices), _vp(wmask))
+
+
+def plan_3d_all(bitmaps, w, h, types_u16, colors_i32, claims, streams,
+                cursors, accept_all, type_all, cols_all, packed_all) -> None:
+    """All six 3D size passes in one native call (see planner._plan_3d):
+    bitmaps is a 6-list of u8 arrays (empty -> pass skipped); outputs land
+    in the contiguous arenas at canonical TILE3D_PASS_ORDER offsets."""
+    ptrs = np.array([_vp(b) if b.size else 0 for b in bitmaps], np.int64)
+    lens = np.array([b.size for b in bitmaps], np.int64)
+    s3, s4, s5, s6 = streams
+    lib.plan_3d_all(
+        _vp(ptrs), _vp(lens), w, h,
+        _vp(types_u16), types_u16.size, _vp(colors_i32),
+        colors_i32.shape[0], _vp(claims), claims.shape[1],
+        _vp(s3), s3.size, _vp(s4), s4.size, _vp(s5), s5.size,
+        _vp(s6), s6.size, _vp(cursors), _vp(accept_all), _vp(type_all),
+        _vp(cols_all), _vp(packed_all))
 
 
 def plan_gtil_full(bitmap, w, h, sx, sy, bx, by, rgb3, map_rgb, has_rgb,

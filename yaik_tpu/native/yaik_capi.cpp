@@ -668,7 +668,9 @@ bool decode_t3dl(Ctx& c, const u8* body, u32 blen, bool wide,
         for (int p = 0; p < 6 && ok; p++) {
             if (!usize[mapIdx[p]]) continue;
             Scan sc;
-            scan_spec(order[p][0], order[p][1], c.w, c.h, &sc);
+            if (!scan_spec(order[p][0], order[p][1], c.w, c.h, &sc)) {
+                ok = false; set_error(YAIK_INVALID_STREAM); break;
+            }
             size_t bm = bitmap_bytes(sc);
             if (usize[mapIdx[p]] < bm) { ok = false; set_error(YAIK_INVALID_STREAM); break; }
             security += popcount_bytes(bufs[mapIdx[p]], bm);
@@ -823,7 +825,9 @@ bool decode_t2dl(Ctx& c, const u8* body, u32 blen, const ExpandedLut& lut) {
         for (int p = 0; p < 2 && ok; p++) {
             if (!usize[mapIdx[p]]) continue;
             Scan sc;
-            scan_spec(order[p][0], order[p][1], c.w, c.h, &sc);
+            if (!scan_spec(order[p][0], order[p][1], c.w, c.h, &sc)) {
+                ok = false; set_error(YAIK_INVALID_STREAM); break;
+            }
             size_t bm = bitmap_bytes(sc);
             if (usize[mapIdx[p]] < bm) { ok = false; set_error(YAIK_INVALID_STREAM); break; }
             security += popcount_bytes(bufs[mapIdx[p]], bm);

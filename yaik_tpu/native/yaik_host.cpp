@@ -339,6 +339,23 @@ static const int kPassTqh[6] = {2, 4, 2, 1, 2, 1};
 static inline void copy_quad(const uint8_t* src, int64_t slen, int64_t& cur,
                              uint8_t* idx, uint8_t* wm, int64_t base, int gx,
                              int gy, int tw, int premult) {
+    if (cur + 16 <= slen) {
+        // fast path: bounds hoisted out of the loop so rows copy/divide
+        // without per-byte branches (planning is the decode host wall)
+        const uint8_t* s = src + cur;
+        for (int y = 0; y < 4; ++y) {
+            uint8_t* d = idx + base + (int64_t)(y + gy * 4) * tw + gx * 4;
+            uint8_t* m = wm + base + (int64_t)(y + gy * 4) * tw + gx * 4;
+            if (premult)
+                for (int x = 0; x < 4; ++x) d[x] = (uint8_t)(s[x] / 3);
+            else
+                memcpy(d, s, 4);
+            memset(m, 1, 4);
+            s += 4;
+        }
+        cur += 16;
+        return;
+    }
     for (int y = 0; y < 4; ++y)
         for (int x = 0; x < 4; ++x) {
             int64_t slot = base + (int64_t)(y + gy * 4) * tw + x + gx * 4;
@@ -481,15 +498,37 @@ static const int kPassBy[6] = {64, 64, 64, 32, 64, 32};
 // 3D index byte -> packed device form: min(v/3, 63) | written<<6 (the
 // device kernels consume idx = packed & 63, wmask = packed >> 6; corrupt
 // streams can carry v/3 up to 85, clamp keeps the index in 6 bits).
+// Table form: one load replaces divide+clamp+or per byte.
+static const struct Pack3Table {
+    uint8_t t[256];
+    Pack3Table() {
+        for (int v = 0; v < 256; ++v) {
+            int q = v / 3;
+            t[v] = (uint8_t)((q > 63 ? 63 : q) | 0x40);
+        }
+    }
+} kPack3;
+
 static inline void pack_quad(const uint8_t* src, int64_t slen, int64_t& cur,
                              uint8_t* packed, int64_t base, int gx, int gy,
                              int tw) {
+    if (cur + 16 <= slen) {
+        const uint8_t* s = src + cur;
+        for (int y = 0; y < 4; ++y) {
+            uint8_t* d = packed + base + (int64_t)(y + gy * 4) * tw + gx * 4;
+            d[0] = kPack3.t[s[0]]; d[1] = kPack3.t[s[1]];
+            d[2] = kPack3.t[s[2]]; d[3] = kPack3.t[s[3]];
+            s += 4;
+        }
+        cur += 16;
+        return;
+    }
     for (int y = 0; y < 4; ++y)
         for (int x = 0; x < 4; ++x) {
             int64_t slot = base + (int64_t)(y + gy * 4) * tw + x + gx * 4;
-            uint8_t v = cur < slen ? (uint8_t)(src[cur] / 3) : 0;
+            uint8_t v = cur < slen ? src[cur] : 0;
             ++cur;
-            packed[slot] = (v > 63 ? 63 : v) | 0x40;
+            packed[slot] = kPack3.t[v];
         }
 }
 
@@ -527,16 +566,20 @@ int64_t plan_3d_pass_full(const uint8_t* bitmap, int64_t bitmap_len,
     const int tqw = kPassTqw[pass_id], tqh = kPassTqh[pass_id];
 
     int64_t n_acc = 0;
-    for (int64_t k = 0; k < total_bits; ++k) {
-        if ((k & 7) == 0) {
-            // fast-skip fully zero bytes (bitmaps are sparse)
-            while (k + 8 <= total_bits && (k >> 3) < bitmap_len &&
-                   bitmap[k >> 3] == 0)
-                k += 8;
-            if (k >= total_bits) break;
-        }
-        if ((k >> 3) >= bitmap_len) break;
-        if (!((bitmap[k >> 3] >> (k & 7)) & 1)) continue;
+    // 64-bit word scan + ctz: dense photo-content bitmaps made the per-bit
+    // walk the planning hot spot (bits are LSB-first within bytes and
+    // byte-ascending, so a little-endian u64 iterates k ascending)
+    const int64_t nbytes_avail =
+        bitmap_len < (total_bits + 7) / 8 ? bitmap_len : (total_bits + 7) / 8;
+    for (int64_t byte = 0; byte < nbytes_avail; ) {
+        uint64_t wd = 0;
+        const int nb = (int)(nbytes_avail - byte < 8 ? nbytes_avail - byte
+                                                     : 8);
+        memcpy(&wd, bitmap + byte, nb);
+        while (wd) {
+        const int64_t k = byte * 8 + __builtin_ctzll(wd);
+        wd &= wd - 1;
+        if (k >= total_bits) break;
         const int64_t big = k / bits_per_word;
         const int within = (int)(k % bits_per_word);
         const int tx = (int)(big % nbx) * colsw + within % colsw;
@@ -572,15 +615,27 @@ int64_t plan_3d_pass_full(const uint8_t* bitmap, int64_t bitmap_len,
             const bool b0 = claims[qa];
             const bool b1 = claims[q0 + (int64_t)gr.gy0 * qw_stride + gr.gx1];
             if (!b0 && !b1) {
-                for (int y = 0; y < 4; ++y)
-                    for (int x = 0; x < 8; ++x) {
-                        int64_t slot = base + (int64_t)(y + gr.gy0 * 4) * tw
-                                       + x + gr.gx0 * 4;
-                        uint8_t v = cur < slen ? (uint8_t)(stream[cur] / 3)
-                                               : 0;
-                        ++cur;
-                        packed[slot] = (v > 63 ? 63 : v) | 0x40;
+                if (cur + 32 <= slen) {
+                    const uint8_t* s = stream + cur;
+                    for (int y = 0; y < 4; ++y) {
+                        uint8_t* d = packed + base
+                                     + (int64_t)(y + gr.gy0 * 4) * tw
+                                     + gr.gx0 * 4;
+                        for (int x = 0; x < 8; ++x) d[x] = kPack3.t[s[x]];
+                        s += 8;
                     }
+                    cur += 32;
+                } else {
+                    for (int y = 0; y < 4; ++y)
+                        for (int x = 0; x < 8; ++x) {
+                            int64_t slot = base
+                                           + (int64_t)(y + gr.gy0 * 4) * tw
+                                           + x + gr.gx0 * 4;
+                            uint8_t v = cur < slen ? stream[cur] : 0;
+                            ++cur;
+                            packed[slot] = kPack3.t[v];
+                        }
+                }
             } else if (!b0) {
                 pack_quad(stream, slen, cur, packed, base,
                           gr.gx0, gr.gy0, tw);
@@ -593,8 +648,42 @@ int64_t plan_3d_pass_full(const uint8_t* bitmap, int64_t bitmap_len,
         for (int qy = 0; qy < tqh; ++qy)
             for (int qx = 0; qx < tqw; ++qx)
                 claims[q0 + (int64_t)qy * qw_stride + qx] = 1;
+        }
+        byte += nb;
     }
     return n_acc;
+}
+
+// All six 3D size passes in ONE call: per-pass bitmap pointers/lengths in
+// [6]-arrays, outputs written into the caller's contiguous arenas at the
+// canonical per-pass offsets (TILE3D_PASS_ORDER). Replaces six ctypes
+// crossings + ~78 pointer resolutions per image in the planning hot path.
+void plan_3d_all(const int64_t* bm_ptrs, const int64_t* bm_lens,
+                 int w, int h,
+                 const uint16_t* types, int64_t types_len,
+                 const int32_t* colors, int64_t colors_len,
+                 uint8_t* claims, int64_t qw_stride,
+                 const uint8_t* s3, int64_t l3,
+                 const uint8_t* s4, int64_t l4,
+                 const uint8_t* s5, int64_t l5,
+                 const uint8_t* s6, int64_t l6,
+                 int64_t* cursors,
+                 uint8_t* accept_all, int32_t* type_all, int32_t* cols_all,
+                 uint8_t* packed_all) {
+    int64_t tcur = 0, goff = 0, poff = 0;
+    for (int p = 0; p < 6; ++p) {
+        const int tw = 1 << kPassSx[p], th = 1 << kPassSy[p];
+        const int64_t g = (int64_t)(w >> kPassSx[p]) * (h >> kPassSy[p]);
+        if (bm_lens[p])
+            tcur += plan_3d_pass_full(
+                (const uint8_t*)(uintptr_t)bm_ptrs[p], bm_lens[p], w, h, p,
+                types, types_len, colors, colors_len, tcur,
+                claims, qw_stride, s3, l3, s4, l4, s5, l5, s6, l6,
+                cursors, accept_all + goff, type_all + goff,
+                cols_all + goff * 6, packed_all + poff, tw * th);
+        goff += g;
+        poff += g * tw * th;
+    }
 }
 
 // One full GTIL pass (plane == 7): scan-order walk of the bitmap, corner
@@ -615,15 +704,17 @@ void plan_gtil_full(const uint8_t* bitmap, int64_t bitmap_len,
     const int tqw = tw / 4, tqh = th / 4;
 
     int64_t rcur = 0;   // rgb3 pixel cursor (units of 3 bytes)
-    for (int64_t k = 0; k < total_bits; ++k) {
-        if ((k & 7) == 0) {
-            while (k + 8 <= total_bits && (k >> 3) < bitmap_len &&
-                   bitmap[k >> 3] == 0)
-                k += 8;
-            if (k >= total_bits) break;
-        }
-        if ((k >> 3) >= bitmap_len) break;
-        if (!((bitmap[k >> 3] >> (k & 7)) & 1)) continue;
+    const int64_t nbytes_avail =
+        bitmap_len < (total_bits + 7) / 8 ? bitmap_len : (total_bits + 7) / 8;
+    for (int64_t byte = 0; byte < nbytes_avail; ) {
+        uint64_t wd = 0;
+        const int nb = (int)(nbytes_avail - byte < 8 ? nbytes_avail - byte
+                                                     : 8);
+        memcpy(&wd, bitmap + byte, nb);
+        while (wd) {
+        const int64_t k = byte * 8 + __builtin_ctzll(wd);
+        wd &= wd - 1;
+        if (k >= total_bits) break;
         const int64_t big = k / bits_per_word;
         const int within = (int)(k % bits_per_word);
         const int tx = (int)(big % nbx) * colsw + within % colsw;
@@ -651,6 +742,8 @@ void plan_gtil_full(const uint8_t* bitmap, int64_t bitmap_len,
                 if (y < qh && x < qw_stride)
                     claims[y * qw_stride + x] = 1;
             }
+        }
+        byte += nb;
     }
 }
 
@@ -688,14 +781,23 @@ void plan_1d_plane_full(int w, int h, const uint8_t* claims,
                 const bool b1 = claims[qa + 1];
                 const int64_t base = gid * 64;
                 if (!b0 && !b1) {
-                    for (int y = 0; y < 4; ++y)
-                        for (int x = 0; x < 8; ++x) {
-                            int64_t slot = base + (int64_t)(y + g * 4) * 8 + x;
-                            uint8_t v = pcur < pix_len ? pix[pcur] : 0;
-                            ++pcur;
-                            indices[slot] = v;
-                            wmask[slot] = 1;
-                        }
+                    // 4x8 rows are contiguous in the 8-wide tile: one
+                    // 32-byte copy + mask fill
+                    if (pcur + 32 <= pix_len) {
+                        memcpy(indices + base + g * 32, pix + pcur, 32);
+                        memset(wmask + base + g * 32, 1, 32);
+                        pcur += 32;
+                    } else {
+                        for (int y = 0; y < 4; ++y)
+                            for (int x = 0; x < 8; ++x) {
+                                int64_t slot = base
+                                               + (int64_t)(y + g * 4) * 8 + x;
+                                uint8_t v = pcur < pix_len ? pix[pcur] : 0;
+                                ++pcur;
+                                indices[slot] = v;
+                                wmask[slot] = 1;
+                            }
+                    }
                 } else if (!b0) {
                     copy_quad(pix, pix_len, pcur, indices, wmask, base,
                               0, g, 8, 0);
@@ -707,6 +809,21 @@ void plan_1d_plane_full(int w, int h, const uint8_t* claims,
         }
     *tcur_io = tcur;
     *pcur_io = pcur;
+}
+
+// All three 1D residual planes in one call (shared type/pixel cursors;
+// claims either shared [QH,QW] or per-plane [3,QH,QW] via plane_stride).
+void plan_1d_all(int w, int h, const uint8_t* claims, int64_t plane_stride,
+                 int64_t qw_stride, const uint8_t* types, int64_t types_len,
+                 const uint8_t* pix, int64_t pix_len, int64_t inv_range,
+                 int32_t* params, uint8_t* indices, uint8_t* wmask) {
+    int64_t tcur = 0, pcur = 0;
+    const int64_t g = (int64_t)(w / 8) * (h / 8);
+    for (int p = 0; p < 3; ++p)
+        plan_1d_plane_full(w, h, claims + p * plane_stride, qw_stride,
+                           types, types_len, pix, pix_len, inv_range,
+                           &tcur, &pcur, params + p * g * 3,
+                           indices + p * g * 64, wmask + p * g * 64);
 }
 
 // Claim the quad footprints of n accepted tiles (GTIL passes).
