@@ -416,21 +416,19 @@ def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
            .astype(jnp.float32) for i in range(3)]                # 3x [T,E,P]
     mf = [sum(pmat[:, :, o, s][:, :, None] * m_s[s] for s in range(3))
           for o in range(3)]                                      # 3x [T,E,P]
-    m2 = mf[0] * mf[0] + mf[1] * mf[1] + mf[2] * mf[2]            # [T,E,P]
 
     # one packed point axis: [64 | 32 | 16 | 8] = 120 lanes for all four
     # bit depths; per-depth windows are static lane slices
     steps = ((1, 64), (2, 32), (4, 16), (8, 8))
     sf = jnp.concatenate([pts_sub[:, ::st][:, :n] for st, n in steps],
                          axis=1).astype(jnp.float32)              # [E,120,3]
-    s2 = (sf * sf).sum(-1)                                        # [E,120]
-    # |m-s|^2 with the cross term as one batched-over-E MXU matmul. Exact:
-    # mf, sf are integers <= 63 (bf16-exact operands, f32 accumulation;
-    # every term < 2^24), so first-min ties match the integer path.
-    mfs = jnp.stack(mf, axis=-1)                                  # [T,E,P,3]
-    dots = jnp.einsum("teps,ens->tepn", mfs, sf,
-                      preferred_element_type=jnp.float32)
-    dist = m2[:, :, :, None] - 2.0 * dots + s2[None, :, None, :]  # T,E,P,120
+    # |m-s|^2 as a fused elementwise broadcast (NOT the K=3 einsum the MXU
+    # can't use): XLA fuses the whole [T,E,P,120] distance tensor into its
+    # min/argmin consumers, so it never materializes in HBM - the einsum
+    # form wrote ~280 MB/chunk of dots and was the encoder's device wall.
+    # Exact: mf, sf are integers <= 63, every term < 2^24 in f32.
+    dist = sum((mf[s][:, :, :, None] - sf[None, :, None, :, s]) ** 2
+               for s in range(3))                                 # T,E,P,120
 
     acc_mode = jnp.full((T, E), SKIP, jnp.int32)
     diff_sel = jnp.zeros((T, E), jnp.int32)
@@ -448,12 +446,14 @@ def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
         iot = jnp.arange(npts, dtype=jnp.int32)
         idx = jnp.min(jnp.where(db <= dmin, iot, npts), axis=-1)  # T,E,P
         idx_by_bit.append(idx)
-        onehot = (iot == idx[..., None]).astype(jnp.float32)      # T,E,P,n
         ff = factors[3 - bi][:, :npts].astype(jnp.float32)        # E,n,3
-        # factor gather as a one-hot contraction per channel (keeps n on
-        # lanes); flip_s(fsel) = flip*FACTOR + sgn*fsel
+        # factor gather as a where+min over the lane axis (exactly one lane
+        # matches idx): fuses like the distance tensor - the one-hot MXU
+        # contraction materialized a second [T,E,P,n] f32 in HBM.
+        BIG = jnp.float32(3.0e38)
         fxs = [base[s][:, :, None] + sgn[s][:, :, None]
-               * jnp.einsum("tepn,en->tep", onehot, ff[:, :, s])
+               * jnp.min(jnp.where(iot == idx[..., None],
+                                   ff[None, :, None, :, s], BIG), axis=-1)
                for s in range(3)]                                 # 3x [T,E,P]
         ld = jnp.zeros((T, E, P), jnp.int32)
         for o in range(3):
