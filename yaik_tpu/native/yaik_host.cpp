@@ -99,6 +99,46 @@ int palette_decompress(const uint8_t* input, int input_size,
 // ---------------------------------------------------------------------------
 struct CodeEntry { int32_t ref; int32_t dr, dg, db; };
 
+// Open-addressing map from an RGB delta triple (each in [-255,255], 27-bit
+// key) to the smallest index that holds it. Replaces the linear scans in
+// palette_compress (the book dedup was O(count*n) and find_code scanned 64
+// slots per pixel - together the encoder's hottest host loops).
+struct DeltaMap {
+    int32_t* keys;
+    int32_t* vals;
+    uint32_t mask;
+    void init(uint32_t cap_pow2) {
+        mask = cap_pow2 - 1;
+        keys = (int32_t*)malloc(sizeof(int32_t) * cap_pow2);
+        vals = (int32_t*)malloc(sizeof(int32_t) * cap_pow2);
+        memset(keys, 0xFF, sizeof(int32_t) * cap_pow2);   // -1 = empty
+    }
+    void fini() { free(keys); free(vals); }
+    static inline int32_t key_of(int dr, int dg, int db) {
+        return (dr + 255) | ((dg + 255) << 9) | ((db + 255) << 18);
+    }
+    // insert idx if the key is absent (first insert wins); returns the
+    // index already stored, or -1 when this call inserted / ins < 0
+    inline int32_t find_or_insert(int32_t key, int32_t ins) {
+        uint32_t hsh = ((uint32_t)key * 2654435761u) & mask;
+        for (;;) {
+            int32_t k = keys[hsh];
+            if (k == key) return vals[hsh];
+            if (k == -1) {
+                if (ins >= 0) { keys[hsh] = key; vals[hsh] = ins; }
+                return -1;
+            }
+            hsh = (hsh + 1) & mask;
+        }
+    }
+};
+
+static inline uint32_t pow2_at_least(uint32_t v) {
+    uint32_t p = 64;
+    while (p < v) p <<= 1;
+    return p;
+}
+
 static int cmp_ref_desc_stable(const void* a, const void* b) {
     const CodeEntry* f = (const CodeEntry*)a;
     const CodeEntry* s = (const CodeEntry*)b;
@@ -113,10 +153,16 @@ int palette_compress(const uint8_t* input, int size,
     int n = size / 3;
     if (n < 1) return -1;
 
-    // phase 1: build codebook
+    DeltaMap smap;   // find_code table, filled after phase 1 (EMIT frees it)
+    smap.init(256);
+    // phase 1: build codebook (book entries are unique by construction, so
+    // a first-insert-wins map IS the "break on first match" linear scan)
     CodeEntry* book = (CodeEntry*)malloc(sizeof(CodeEntry) * (size_t)(n + 1));
+    DeltaMap bmap;
+    bmap.init(pow2_at_least((uint32_t)(2 * n + 64)));
     int count = 0;
     book[count++] = {0, 0, 0, 0};
+    bmap.find_or_insert(DeltaMap::key_of(0, 0, 0), 0);
     for (int i = 1; i < n; i++) {
         int lo = i - 64; if (lo < 0) lo = 0;
         long best = 0x7FFFFFFFFFFFL;
@@ -129,15 +175,11 @@ int palette_compress(const uint8_t* input, int size,
             long dist = (long)dr * dr + (long)dg * dg + (long)db * db;
             if (dist < best) { best = dist; br = dr; bg = dg; bb = db; }
         }
-        int found = -1;
-        for (int k = 0; k < count; k++) {
-            if (book[k].dr == br && book[k].dg == bg && book[k].db == bb) {
-                found = k; break;
-            }
-        }
+        int found = bmap.find_or_insert(DeltaMap::key_of(br, bg, bb), count);
         if (found >= 0) book[found].ref++;
         else book[count++] = {0, br, bg, bb};
     }
+    bmap.fini();
     // stable descending by refcount (entry 0 pinned); glibc qsort is
     // mergesort-based here, but use an explicitly stable comparator path:
     // qsort with ref-desc plus original-index tiebreak
@@ -156,7 +198,8 @@ int palette_compress(const uint8_t* input, int size,
     if (count > *state_len) *state_len = count < 4096 ? count : 4096;
 
     int out = 0;
-    #define EMIT(v) do { if (out >= max_out) { free(book); return -1; } \
+    #define EMIT(v) do { if (out >= max_out) { smap.fini(); free(book); \
+                         return -1; } \
                          output[out++] = (uint8_t)(v); } while (0)
     EMIT(final_count);
     for (int k = 0; k < final_count; k++) {
@@ -164,15 +207,28 @@ int palette_compress(const uint8_t* input, int size,
     }
     EMIT(input[0]); EMIT(input[1]); EMIT(input[2]);
 
-    // search table = persistent slots 0..63 (stale tail included)
-    auto find_code = [&](int dr, int dg, int db) -> int {
-        int lim = *state_len < 64 ? 64 : 64;   // always scan 64 slots
-        for (int k = 0; k < lim; k++) {
-            if (state[k * 3] == dr && state[k * 3 + 1] == dg &&
-                state[k * 3 + 2] == db)
-                return k;
+    // search table = persistent slots 0..63 (stale tail included). state is
+    // fixed for the rest of this call, so one 64-entry map (smallest slot
+    // wins duplicate deltas = the linear scan's first match) makes
+    // find_code O(1); deltas outside [-255,255] can't be in the table.
+    for (int k = 63; k >= 0; k--) {
+        int dr = state[k * 3], dg = state[k * 3 + 1], db = state[k * 3 + 2];
+        if (dr < -255 || dr > 255 || dg < -255 || dg > 255 ||
+            db < -255 || db > 255)
+            continue;
+        // rebuild-insert: later (smaller k) overwrite via fresh probe
+        int32_t key = DeltaMap::key_of(dr, dg, db);
+        uint32_t hsh = ((uint32_t)key * 2654435761u) & smap.mask;
+        for (;;) {
+            if (smap.keys[hsh] == key) { smap.vals[hsh] = k; break; }
+            if (smap.keys[hsh] == -1) {
+                smap.keys[hsh] = key; smap.vals[hsh] = k; break;
+            }
+            hsh = (hsh + 1) & smap.mask;
         }
-        return -1;
+    }
+    auto find_code = [&](int dr, int dg, int db) -> int {
+        return smap.find_or_insert(DeltaMap::key_of(dr, dg, db), -1);
     };
 
     for (int i = 1; i < n; i++) {
@@ -194,6 +250,7 @@ int palette_compress(const uint8_t* input, int size,
                 int distance = (i - p) - 2;
                 if (distance < 64 && kk < best_idx) {
                     best_idx = kk; best_dist = distance;
+                    if (best_idx == 0) break;   // nothing can beat slot 0
                 }
             }
         }
@@ -217,6 +274,7 @@ int palette_compress(const uint8_t* input, int size,
         }
     }
     #undef EMIT
+    smap.fini();
     free(book);
     return out;
 }
