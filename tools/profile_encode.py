@@ -57,24 +57,24 @@ def main():
 
     # warm compile
     t0 = time.perf_counter()
-    pg, p3 = encbatch._dispatch_batch(imgs, None, cfg, tables)
-    pg.block_until_ready(); p3.block_until_ready()
+    pall = encbatch._dispatch_batch(imgs, None, cfg, tables)
+    pall.block_until_ready()
     print(f"compile+first dispatch: {time.perf_counter()-t0:.1f}s", flush=True)
-    _ = encbatch._emit_batch(imgs, pg, p3, bank, cfg)
+    _ = encbatch._emit_batch(imgs, pall, bank, cfg)
 
     for rep in range(3):
         t0 = time.perf_counter()
-        h1, h2 = encbatch._dispatch_batch(imgs, None, cfg, tables)
-        h1.block_until_ready(); h2.block_until_ready()
+        h1 = encbatch._dispatch_batch(imgs, None, cfg, tables)
+        h1.block_until_ready()
         t_disp = time.perf_counter()
-        a = np.asarray(h1); b = np.asarray(h2)
+        a = np.asarray(h1)
         t_down = time.perf_counter()
-        streams = encbatch._emit_batch(imgs, a, b, bank, cfg)
+        streams = encbatch._emit_batch(imgs, a, bank, cfg)
         t_emit = time.perf_counter()
         total = t_emit - t0
         print(f"rep{rep}: up+device {1e3*(t_disp-t0):7.1f}ms  "
               f"download {1e3*(t_down-t_disp):7.1f}ms "
-              f"({(a.nbytes+b.nbytes)/2**20:.2f}MB)  "
+              f"({a.nbytes/2**20:.2f}MB)  "
               f"emit {1e3*(t_emit-t_down):7.1f}ms  "
               f"total {total:6.2f}s = {mpix/total:5.2f} MPix/s", flush=True)
 

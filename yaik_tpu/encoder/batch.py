@@ -72,7 +72,10 @@ def _all_batch_fn(reject_factor):
 def _all_batch_compact_fn(reject_factor, caps):
     """Like _all_batch_fn but with compacted 3D downloads: accept bitmaps
     + only the accepted tiles' rows cross the tunnel (~4x less than the
-    full per-tile download)."""
+    full per-tile download). Gradient accepts and the 3D blob are fused
+    into ONE u8 output array so the host pays a single fetch round trip
+    per batch (the rig tunnel RTT is ~40 ms; per-array fetches dominated
+    dispatch cost before this)."""
     def core(p8_b, qpts, pts, factors, perms):
         B = p8_b.shape[0]
         p_b = p8_b.astype(jnp.int32)
@@ -84,8 +87,24 @@ def _all_batch_compact_fn(reject_factor, caps):
             [a.reshape(B, -1).astype(jnp.uint8) for a in accepts_b], axis=1)
         packed_3d, _ = devp._tile3d_all_compact(
             p_b, claims_b, qpts, pts, factors, perms, caps)
-        return packed_g, packed_3d
+        return jnp.concatenate([packed_g, packed_3d], axis=1)
     return jax.jit(core)
+
+
+def _grad_packed_len(w, h):
+    """Byte length of the fused blob's gradient-accepts prefix."""
+    return sum((h >> sy) * (w >> sx)
+               for (sx, sy) in swizzle.GRADIENT_PASS_ORDER)
+
+
+@lru_cache(maxsize=None)
+def _perms_device(w, h):
+    """Device-resident swizzle-scan tile-id permutations, uploaded once
+    per image shape instead of once per dispatch (6 uploads x ~40 ms RTT
+    per batch on the rig tunnel)."""
+    return tuple(
+        jax.device_put(np.asarray(devp._scan_perm(sx, sy, w, h)[1]))
+        for (sx, sy) in swizzle.TILE3D_PASS_ORDER)
 
 
 class _Precomputed:
@@ -168,33 +187,30 @@ def encode_batch(images, bank: bankmod.Bank,
 
 def _dispatch_batch(imgs, claims_shape, cfg, tables, caps=None):
     """Upload one padded batch and enqueue gradient + 3D scoring (compacted
-    3D downloads); start the device->host copies without blocking (the axon
-    runtime otherwise wedges when an older buffer is fetched after newer
-    enqueues)."""
+    3D downloads, one fused output array); start the device->host copy
+    without blocking (the axon runtime otherwise wedges when an older
+    buffer is fetched after newer enqueues)."""
     h, w = imgs[0].shape[:2]
     caps = caps or devp.pass_caps(w, h)
-    perms = tuple(
-        jnp.asarray(devp._scan_perm(sx, sy, w, h)[1])
-        for (sx, sy) in [(4, 3), (3, 4), (3, 3), (3, 2), (2, 3), (2, 2)])
     planes_b = jax.device_put(np.ascontiguousarray(np.stack(
         [im[:, :, :3].transpose(2, 0, 1) for im in imgs])))
-    packed_g, packed_3d = _all_batch_compact_fn(cfg.reject_factor, caps)(
-        planes_b, *tables, perms)
-    packed_g.copy_to_host_async()
-    packed_3d.copy_to_host_async()
-    return packed_g, packed_3d
+    packed_all = _all_batch_compact_fn(cfg.reject_factor, caps)(
+        planes_b, *tables, _perms_device(w, h))
+    packed_all.copy_to_host_async()
+    return packed_all
 
 
-def _emit_batch(imgs, packed_g, packed_3d, bank, cfg, caps=None):
-    """Unpack one batch's compacted device outputs and run host emission
-    per image. An image whose accepted-tile count overflows a pass cap
-    (pathological content) falls back to the single-image full-download
-    device path - still byte-identical."""
+def _emit_batch(imgs, packed_all, bank, cfg, caps=None):
+    """Unpack one batch's fused compacted device output and run host
+    emission per image. An image whose accepted-tile count overflows a
+    pass cap (pathological content) falls back to the single-image
+    full-download device path - still byte-identical."""
     h, w = imgs[0].shape[:2]
     caps = caps or devp.pass_caps(w, h)
-    packed = np.asarray(packed_g)
-    per_pass = devp.unpack_compact(np.asarray(packed_3d), w, h, caps)
-    return _emit_from_unpacked(imgs, packed, per_pass, caps, bank, cfg)
+    flat = np.asarray(packed_all)
+    G = _grad_packed_len(w, h)
+    per_pass = devp.unpack_compact(flat[:, G:], w, h, caps)
+    return _emit_from_unpacked(imgs, flat[:, :G], per_pass, caps, bank, cfg)
 
 
 def _emit_from_unpacked(imgs, packed, per_pass, caps, bank, cfg):
@@ -232,7 +248,7 @@ def _emit_from_unpacked(imgs, packed, per_pass, caps, bank, cfg):
 _CAP_STATE: dict = {}
 
 
-def _drain_adaptive(p_imgs, pg, p3, caps, bank, cfg, tables):
+def _drain_adaptive(p_imgs, pall, caps, bank, cfg, tables):
     """Unpack one batch; when any image overflows its caps, grow them to
     fit (caps_fit, remembered in _CAP_STATE) and re-dispatch the batch
     with roomier caps - batched, unlike the per-image single-image
@@ -240,17 +256,18 @@ def _drain_adaptive(p_imgs, pg, p3, caps, bank, cfg, tables):
     counts are <= T."""
     h, w = p_imgs[0].shape[:2]
     key = (h, w, cfg.reject_factor)
+    G = _grad_packed_len(w, h)
     while True:
-        packed = np.asarray(pg)
-        per_pass = devp.unpack_compact(np.asarray(p3), w, h, caps)
+        flat = np.asarray(pall)
+        per_pass = devp.unpack_compact(flat[:, G:], w, h, caps)
         fit = devp.caps_fit(per_pass, caps, w, h)
         if fit == caps:
-            return _emit_from_unpacked(p_imgs, packed, per_pass, caps,
+            return _emit_from_unpacked(p_imgs, flat[:, :G], per_pass, caps,
                                        bank, cfg)
         caps = tuple((max(s1, s2), max(d1, d2)) for (s1, d1), (s2, d2)
                      in zip(fit, _CAP_STATE.get(key, fit)))
         _CAP_STATE[key] = caps
-        pg, p3 = _dispatch_batch(p_imgs, None, cfg, tables, caps)
+        pall = _dispatch_batch(p_imgs, None, cfg, tables, caps)
 
 
 def encode_corpus(images, bank: bankmod.Bank,
@@ -301,16 +318,15 @@ def encode_corpus(images, bank: bankmod.Bank,
                                   shape, cfg, tables, caps)
                 if pending is not None:
                     p_chunk, p_imgs, p_fut, p_caps = pending
-                    pg, p3 = p_fut.result()
                     for i, st in zip(p_chunk, _drain_adaptive(
-                            p_imgs, pg, p3, p_caps, bank, cfg, tables)):
+                            p_imgs, p_fut.result(), p_caps, bank, cfg,
+                            tables)):
                         results[i] = st
                 pending = (chunk, batch_imgs + [batch_imgs[0]] * pad, fut,
                            caps)
             p_chunk, p_imgs, p_fut, p_caps = pending
-            pg, p3 = p_fut.result()
             for i, st in zip(p_chunk, _drain_adaptive(
-                    p_imgs, pg, p3, p_caps, bank, cfg, tables)):
+                    p_imgs, p_fut.result(), p_caps, bank, cfg, tables)):
                 results[i] = st
     finally:
         pool.shutdown(wait=True)
