@@ -24,7 +24,41 @@ _CANDIDATES = [
 ]
 
 
+def _try_autobuild() -> None:
+    """Best-effort build of the vendored zstd 1.3.4 shared lib on first
+    import (it lives in the untracked tools/refbuild/, so fresh checkouts
+    lack it and fresh encodes silently lose entropy-layer bit-identity with
+    the reference). Needs the read-only reference mount; failures are
+    swallowed and the system zstd fallback applies. YAIK_NO_AUTOBUILD=1
+    disables."""
+    if os.environ.get("YAIK_NO_AUTOBUILD"):
+        return
+    ref = os.environ.get("YAIK_REFERENCE", "/root/reference")
+    if not os.path.isdir(os.path.join(ref, "external", "zstd")):
+        return
+    out = os.path.join(_HERE, "tools", "refbuild")
+    target = os.path.join(out, "libzstd134.so")
+    if os.path.exists(target):
+        return
+    try:
+        import glob
+        import subprocess
+        os.makedirs(out, exist_ok=True)
+        srcs = sorted(glob.glob(os.path.join(ref, "external", "zstd", "*.c")))
+        if not srcs:
+            return
+        subprocess.run(
+            ["gcc", "-O3", "-march=native", "-fno-strict-aliasing", "-w",
+             "-fPIC", "-shared", "-DZSTD_MULTITHREAD=0",
+             "-o", target] + srcs + ["-lpthread"],
+            timeout=300, check=False,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except Exception:
+        pass
+
+
 def _load():
+    _try_autobuild()
     for p in _CANDIDATES:
         if p and os.path.exists(p):
             return ctypes.CDLL(p), True
