@@ -28,14 +28,24 @@ printf '#include "%s/external/stb_image/stb_image.h"\n' "$REF" > "$OUT/shim/"'..
 printf '#include "%s/external/stb_image/stb_image_write.h"\n' "$REF" > "$OUT/shim/"'..\external\stb_image\stb_image_write.h'
 
 # ---- vendored zstd 1.3.4 as a shared library ----
+# This rule is the SINGLE build recipe for libzstd134.so; the entropy
+# layer's import-time autobuild invokes `build_reference.sh zstd` rather
+# than duplicating the command line (ADVICE r3). Compressed BYTES are
+# unaffected by optimization flags (the algorithm is deterministic), only
+# wall time - verified by the byte-exact golden tests. No -march=native:
+# the .so is cached in the working tree and may be reloaded on a different
+# CPU (container image reuse), where native-arch code could SIGILL.
 if [ ! -f "$OUT/libzstd134.so" ]; then
   echo "building libzstd134.so (vendored zstd 1.3.4)"
-  # -O3 + native arch for the encode hot path: compressed BYTES are
-  # unaffected by optimization level (the algorithm is deterministic),
-  # only wall time - verified by the byte-exact golden tests
-  CFLAGS="-O3 -march=native -fno-strict-aliasing -w"
+  ZCFLAGS="-O3 -fno-strict-aliasing -w"
   ZSRC=$(ls "$REF"/external/zstd/*.c)
-  gcc $CFLAGS -fPIC -shared -DZSTD_MULTITHREAD=0 -o "$OUT/libzstd134.so" $ZSRC -lpthread
+  ZTMP=$(mktemp "$OUT/.libzstd134.XXXXXX.so")
+  gcc $ZCFLAGS -fPIC -shared -DZSTD_MULTITHREAD=0 -o "$ZTMP" $ZSRC -lpthread \
+    && mv -f "$ZTMP" "$OUT/libzstd134.so" || { rm -f "$ZTMP"; exit 1; }
+fi
+if [ "${1:-}" = "zstd" ]; then
+  echo "zstd-only build OK: $OUT/libzstd134.so"
+  exit 0
 fi
 
 # ---- static zstd objects for linking the reference binaries ----

@@ -28,40 +28,50 @@ def _try_autobuild() -> None:
     """Best-effort build of the vendored zstd 1.3.4 shared lib on first
     import (it lives in the untracked tools/refbuild/, so fresh checkouts
     lack it and fresh encodes silently lose entropy-layer bit-identity with
-    the reference). Needs the read-only reference mount; failures are
-    swallowed and the system zstd fallback applies. YAIK_NO_AUTOBUILD=1
-    disables."""
+    the reference). Delegates to `tools/build_reference.sh zstd` — the one
+    canonical recipe, which writes atomically via temp+rename, so a killed
+    build never leaves a half-written .so behind. Needs the read-only
+    reference mount; failures emit one warning line and the system zstd
+    fallback applies. YAIK_NO_AUTOBUILD=1 disables."""
     if os.environ.get("YAIK_NO_AUTOBUILD"):
         return
     ref = os.environ.get("YAIK_REFERENCE", "/root/reference")
     if not os.path.isdir(os.path.join(ref, "external", "zstd")):
         return
-    out = os.path.join(_HERE, "tools", "refbuild")
-    target = os.path.join(out, "libzstd134.so")
-    if os.path.exists(target):
+    target = os.path.join(_HERE, "tools", "refbuild", "libzstd134.so")
+    script = os.path.join(_HERE, "tools", "build_reference.sh")
+    if os.path.exists(target) or not os.path.exists(script):
         return
     try:
-        import glob
         import subprocess
-        os.makedirs(out, exist_ok=True)
-        srcs = sorted(glob.glob(os.path.join(ref, "external", "zstd", "*.c")))
-        if not srcs:
-            return
-        subprocess.run(
-            ["gcc", "-O3", "-march=native", "-fno-strict-aliasing", "-w",
-             "-fPIC", "-shared", "-DZSTD_MULTITHREAD=0",
-             "-o", target] + srcs + ["-lpthread"],
-            timeout=300, check=False,
+        import sys
+        r = subprocess.run(
+            ["bash", script, "zstd"], timeout=300, check=False,
+            env={**os.environ, "REF": ref},
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    except Exception:
-        pass
+        if r.returncode != 0 or not os.path.exists(target):
+            print("yaik_tpu: libzstd134 autobuild failed "
+                  "(rc=%s); falling back to system zstd — fresh encodes "
+                  "lose entropy-layer bit-identity" % r.returncode,
+                  file=sys.stderr)
+    except Exception as e:
+        import sys
+        print(f"yaik_tpu: libzstd134 autobuild errored ({e!r}); "
+              "falling back to system zstd", file=sys.stderr)
 
 
 def _load():
     _try_autobuild()
     for p in _CANDIDATES:
         if p and os.path.exists(p):
-            return ctypes.CDLL(p), True
+            try:
+                return ctypes.CDLL(p), True
+            except OSError:
+                # partial/incompatible .so (e.g. interrupted legacy build):
+                # fall through to the next candidate / system zstd
+                import sys
+                print(f"yaik_tpu: could not load {p}; trying next zstd",
+                      file=sys.stderr)
     name = ctypes.util.find_library("zstd") or "libzstd.so.1"
     return ctypes.CDLL(name), False
 

@@ -34,22 +34,42 @@ def _ensure_built() -> None:
     srcs = [os.path.join(_HERE, f) for f in os.listdir(_HERE)
             if f.endswith(".cpp")]
     try:
-        if os.path.exists(_LIB_PATH) and srcs:
+        if os.path.exists(_LIB_PATH):
+            # all() over an empty srcs list is True, so a stripped tree
+            # (.so present, no sources) returns early instead of re-running
+            # the 600s build on every import (ADVICE r3)
             lib_mtime = os.path.getmtime(_LIB_PATH)
             if all(os.path.getmtime(s) <= lib_mtime for s in srcs):
                 return
         import subprocess
-        subprocess.run(["bash", script], timeout=600, check=False,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-    except Exception:
-        pass
+        r = subprocess.run(["bash", script], timeout=600, check=False,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        if r.returncode != 0:
+            import sys
+            print("yaik_tpu: native autobuild failed (rc=%d); pure-Python "
+                  "fallbacks in effect (~6x slower encode)" % r.returncode,
+                  file=sys.stderr)
+    except Exception as e:
+        import sys
+        print(f"yaik_tpu: native autobuild errored ({e!r}); pure-Python "
+              "fallbacks in effect", file=sys.stderr)
 
 
 _ensure_built()
 
 lib = None
 if os.path.exists(_LIB_PATH):
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as _e:
+        # half-written/incompatible .so: keep the documented pure-Python
+        # fallback instead of raising at import (ADVICE r3)
+        import sys
+        print(f"yaik_tpu: could not load libyaik_host.so ({_e}); "
+              "pure-Python fallbacks in effect", file=sys.stderr)
+        lib = None
+if lib is not None:
     lib.palette_decompress.restype = ctypes.c_int
     lib.palette_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
