@@ -1,0 +1,275 @@
+"""Off-chip validation of the round-3 fast paths (VERDICT r3 weak #3).
+
+The TPU-only Pallas kernels (grad_plane merged gradient, lut3d_vals,
+lut3d_vals_dict, score48) run here in interpret mode against independent
+numpy models / the XLA forms, and the merged-T3 priority-layer re-blocking
+(t3_merge_plan) is exercised on crafted streams whose tiles overlap on 2
+and on 3+ passes — including the >2-layer fallback to the legacy 6-pass
+path and the mixed merged/legacy combine_t3_modes batching, none of which
+any natural art stream reaches.
+
+Reference semantics under test: YAIK_Gradient.cpp:28-201 (bilinear fill),
+YAIK_3DTile.cpp:965-1320 (per-pixel out = min + ((diff*LUT[idx])>>7)),
+EncoderContext.cpp:6421-6423 (48-pattern scoring).
+"""
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yaik_tpu.format import swizzle
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels, interpret mode vs numpy models
+# ---------------------------------------------------------------------------
+
+def test_lut3d_vals_interpret():
+    """lut3d_vals == the YAIK_3DTile per-pixel math + bit-24 write mask."""
+    from yaik_tpu.ops.pallas_kernels import lut3d_vals
+    rng = np.random.default_rng(3)
+    G, P = 90, 16
+    idx = rng.integers(0, 64, (G, P)).astype(np.int32)
+    wm = rng.integers(0, 2, (G, P)).astype(np.int32)
+    raw = idx | (wm << 6)
+    luts = rng.integers(0, 129, (G, 64, 3)).astype(np.int64)
+    pk = (luts[:, :, 0] | (luts[:, :, 1] << 8)
+          | (luts[:, :, 2] << 16)).astype(np.int32)
+    cols = np.zeros((G, 7), np.int64)
+    cols[:, 0:3] = rng.integers(0, 256, (G, 3))         # min RGB
+    cols[:, 3:6] = rng.integers(0, 256, (G, 3))         # max RGB
+    cols[:, 6] = rng.integers(0, 2, G)                  # per-tile accept
+    out = np.asarray(lut3d_vals(
+        jnp.asarray(raw.T), jnp.asarray(pk.T),
+        jnp.asarray(cols.T.astype(np.int32)), interpret=True)).T
+
+    ent = luts[np.arange(G)[:, None], idx]              # [G, P, 3]
+    mn = cols[:, None, 0:3]
+    d = cols[:, None, 3:6] - mn
+    v = (mn + ((d * ent) >> 7)) & 0xFF                  # [G, P, 3]
+    want = (v[:, :, 0] | (v[:, :, 1] << 8) | (v[:, :, 2] << 16)
+            | ((wm & cols[:, None, 6]) << 24))
+    assert np.array_equal(out, want.astype(np.int32))
+
+
+def test_lut3d_vals_dict_interpret():
+    """lut3d_vals_dict == lut3d_vals with the per-tile table resolved
+    through the <=256-row in-kernel dictionary."""
+    from yaik_tpu.ops.pallas_kernels import lut3d_vals, lut3d_vals_dict
+    rng = np.random.default_rng(4)
+    G, P, U = 70, 16, 32
+    dict_tabs = rng.integers(0, 129, (U, 64, 3)).astype(np.int64)
+    loc = rng.integers(0, U, G).astype(np.int32)        # per-tile dict row
+    idx = rng.integers(0, 64, (G, P)).astype(np.int32)
+    wm = rng.integers(0, 2, (G, P)).astype(np.int32)
+    raw = idx | (wm << 6)
+    cols8 = np.zeros((G, 8), np.int32)
+    cols8[:, 0:3] = rng.integers(0, 256, (G, 3))
+    cols8[:, 3:6] = rng.integers(0, 256, (G, 3))
+    cols8[:, 6] = rng.integers(0, 2, G)
+    cols8[:, 7] = loc
+    # tab3 layout: [192, U] bf16 = three 64-entry channel tables stacked
+    tab3 = np.concatenate([dict_tabs[:, :, 0].T, dict_tabs[:, :, 1].T,
+                           dict_tabs[:, :, 2].T], axis=0)
+    got = np.asarray(lut3d_vals_dict(
+        jnp.asarray(raw.T), jnp.asarray(tab3, dtype=jnp.bfloat16),
+        jnp.asarray(cols8.T), interpret=True)).T
+
+    # oracle: the dense per-tile gather + lut3d_vals (itself tested above)
+    gathered = dict_tabs[loc]
+    pk = (gathered[:, :, 0] | (gathered[:, :, 1] << 8)
+          | (gathered[:, :, 2] << 16)).astype(np.int32)
+    want = np.asarray(lut3d_vals(
+        jnp.asarray(raw.T), jnp.asarray(pk.T),
+        jnp.asarray(cols8[:, :7].T), interpret=True)).T
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("P", [16, 128])
+def test_score48_interpret(P):
+    """score48 == sum over alive pixels of min-over-8-points |c - q|^2
+    (EncoderContext.cpp:6421-6423), for 4x4 and 16x8 tile shapes."""
+    from yaik_tpu.ops.pallas_kernels import score48
+    rng = np.random.default_rng(5)
+    T, E = 10, 3
+    c = rng.integers(0, 64, (T, P, 3)).astype(np.int32)
+    alive = rng.integers(0, 2, (T, P)).astype(bool)
+    qpts = rng.integers(0, 64, (E, 48, 8, 3)).astype(np.int32)
+    got = np.asarray(score48(jnp.asarray(c), jnp.asarray(alive),
+                             jnp.asarray(qpts), interpret=True))
+    d = (c[:, :, None, None, None, :].astype(np.int64)
+         - qpts[None, None, :, :, :, :]) ** 2            # [T,P,E,48,8,3]
+    dist = d.sum(-1).min(-1)                             # [T,P,E,48]
+    want = (dist * alive[:, :, None, None]).sum(1)
+    assert np.array_equal(got, want.astype(np.int32))
+
+
+def test_grad_plane_interpret_vs_blend_chain():
+    """The merged-gradient packing (_grad_merged_pass + grad_plane) ==
+    the sequential 7x _blend_pass XLA chain, including overlapping
+    accepts (later passes overwrite) and edge tiles."""
+    from yaik_tpu.decoder import jax_engine as je
+    rng = np.random.default_rng(6)
+    H = W = 64
+    qh, qw = H // 4 + 1, W // 4 + 1
+    accepts, corners = [], []
+    for (sx, sy) in je.GRAD_SHIFTS:
+        tw, th = 1 << sx, 1 << sy
+        nty, ntx = H // th, W // tw
+        a = rng.random((nty, ntx)) < 0.3
+        accepts.append(a)
+        corners.append(rng.integers(0, 256, (qh, qw, 3)).astype(np.uint8))
+    plane0 = jnp.full((H, W), 0x808080, jnp.uint32)
+
+    legacy = plane0
+    for k, (sx, sy) in enumerate(je.GRAD_SHIFTS):
+        legacy = je._blend_pass(legacy, jnp.asarray(accepts[k]),
+                                jnp.asarray(corners[k]), sx, sy)
+    legacy = np.asarray(legacy)
+
+    code4 = np.zeros((H // 4, W // 4), np.uint8)
+    for k, (sx, sy) in enumerate(je.GRAD_SHIFTS):
+        tw, th = 1 << sx, 1 << sy
+        exp = np.repeat(np.repeat(accepts[k], th // 4, 0), tw // 4, 1)
+        region = code4[: exp.shape[0], : exp.shape[1]]
+        region[exp] = k + 1
+    merged = np.asarray(je._grad_merged_pass(
+        plane0, jnp.asarray(np.stack(corners)), jnp.asarray(code4),
+        interpret=True))
+    assert np.array_equal(merged, legacy)
+
+
+# ---------------------------------------------------------------------------
+# Crafted overlapping-T3 streams: priority layers, fallback, mixed batching
+# ---------------------------------------------------------------------------
+
+def _craft_t3_stream(w, h, overlap3: bool):
+    """A valid .yaik whose 3DTL tiles OVERLAP at the 4x4-block level:
+    16x8 at (0,0), 8x16 at (0,0) [2 layers], and with overlap3 also
+    8x8 at (0,0) [3 layers -> t3_merge_plan must return None]. Later
+    passes' claimed quads consume no index bytes, exactly like the
+    reference decoder's tile4x4Mask skip (YAIK_3DTile.cpp:1116-1291)."""
+    from yaik_tpu.encoder.context import EncoderConfig, _tile3d_chunk
+    from yaik_tpu.format.headers import FileHeader, MAGIC
+
+    rng = np.random.default_rng(42 + overlap3)
+    streams = {
+        "color": bytearray(), "type": [],
+        3: bytearray(), 4: bytearray(), 5: bytearray(), 6: bytearray(),
+        "maps": {key: np.zeros(swizzle.bitmap_size_bytes(*key, w, h) * 8,
+                               np.uint8)
+                 for key in swizzle.TILE3D_PASS_ORDER},
+    }
+
+    def add_tile(sx, sy, tx, ty, n_unclaimed_px):
+        key = (sx, sy)
+        txa, tya, valid = swizzle.tile_scan_coords(sx, sy, w, h)
+        bits = np.zeros(txa.shape[0], bool)
+        slot = np.flatnonzero(valid & (txa == tx) & (tya == ty))
+        assert slot.size == 1
+        bits[slot[0]] = True
+        packed = np.frombuffer(swizzle.pack_bitmap(bits), np.uint8)
+        streams["maps"][key][:len(packed)] |= packed
+        mn = rng.integers(0, 100, 3)
+        mx = mn + rng.integers(50, 120, 3)
+        streams["color"] += bytes(np.concatenate([mn, mx]).astype(np.uint8))
+        streams["type"].append(0 | (0 << 6) | (1 << 14))    # lut 0, 4-bit
+        streams[4] += bytes(rng.integers(0, 16, n_unclaimed_px)
+                            .astype(np.uint8))
+
+    add_tile(4, 3, 0, 0, 128)     # 16x8: fully unclaimed
+    add_tile(3, 4, 0, 0, 64)      # 8x16: top 8x8 claimed -> 4 free quads
+    if overlap3:
+        add_tile(3, 3, 0, 0, 0)   # 8x8: fully claimed -> 0 bytes, layer 3
+    # one non-overlapping tile away from the corner keeps the 8x8 pass
+    # non-degenerate in both variants
+    add_tile(3, 3, 3, 3, 64)
+
+    body = bytearray()
+    body += FileHeader(MAGIC, 1, w, h, 0).pack()
+    body += _tile3d_chunk(streams, EncoderConfig(), w, h)
+    body += struct.pack("<I", 0xDEADBEEF)
+    return bytes(body)
+
+
+@pytest.fixture(scope="module")
+def expanded_lut():
+    import pathlib
+
+    from yaik_tpu.format import lut as lutmod
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    return lutmod.expand_lut(
+        lutmod.parse_lut_file((fix / "LutFile.lut").read_bytes()))
+
+
+def _jax_decode_plan(plan, expanded, t3_modes=None):
+    from yaik_tpu.decoder import jax_engine as je
+    shifts, tab, args = je.plan_to_device_args(plan, expanded,
+                                               t3_modes=t3_modes)
+    out = np.asarray(je.decode_pixels(shifts, tab, *args,
+                                      aspec=je.alpha_spec_of(plan)))
+    return out[: plan.height, : plan.width]
+
+
+def test_t3_overlap3_merge_returns_none_and_decodes(expanded_lut):
+    """3 passes overlapping one 4x4 block: the 2-layer merge must refuse
+    and the automatic legacy fallback must still decode bit-exactly vs
+    the host reference engine."""
+    from yaik_tpu.decoder import jax_engine as je
+    from yaik_tpu.decoder import planner as plannermod
+    from yaik_tpu.decoder import reference as refdec
+    stream = _craft_t3_stream(64, 64, overlap3=True)
+    plan = plannermod.build_plan(stream, expanded_lut)
+    assert je.t3_merge_plan(plan, expanded_lut) is None
+    mode = je.t3_pack_mode(plan, expanded_lut)
+    assert mode[0] == "legacy"
+    want = refdec.decode(stream, expanded_lut)
+    got = _jax_decode_plan(plan, expanded_lut)
+    assert np.array_equal(got, want)
+
+
+def test_t3_overlap2_merged_decode_matches(expanded_lut):
+    """2 passes overlapping one block: merges onto 2 priority layers and
+    the merged decode == host reference == forced-legacy decode."""
+    from yaik_tpu.decoder import jax_engine as je
+    from yaik_tpu.decoder import planner as plannermod
+    from yaik_tpu.decoder import reference as refdec
+    stream = _craft_t3_stream(64, 64, overlap3=False)
+    plan = plannermod.build_plan(stream, expanded_lut)
+    m = je.t3_merge_plan(plan, expanded_lut)
+    assert m is not None
+    # the overlapping block really does occupy both layers
+    layers, dict_ok = m
+    assert bool(layers[1][0].any())
+    mode = je.t3_pack_mode(plan, expanded_lut)
+    assert mode[0] == "merged"
+    want = refdec.decode(stream, expanded_lut)
+    got_merged = _jax_decode_plan(plan, expanded_lut, t3_modes=mode)
+    got_legacy = _jax_decode_plan(plan, expanded_lut,
+                                  t3_modes=("legacy",) + (True,) * 6)
+    assert np.array_equal(got_merged, want)
+    assert np.array_equal(got_legacy, want)
+
+
+def test_combine_t3_modes_mixed_batch(expanded_lut):
+    """A batch mixing a merge-capable and a >2-layer plan must AND down to
+    one legacy mode, and every member must decode bit-exactly under it."""
+    from yaik_tpu.decoder import jax_engine as je
+    from yaik_tpu.decoder import planner as plannermod
+    from yaik_tpu.decoder import reference as refdec
+    s2 = _craft_t3_stream(64, 64, overlap3=False)
+    s3 = _craft_t3_stream(64, 64, overlap3=True)
+    plans = [plannermod.build_plan(s, expanded_lut) for s in (s2, s3)]
+    modes = [je.t3_pack_mode(p, expanded_lut) for p in plans]
+    assert modes[0][0] == "merged" and modes[1][0] == "legacy"
+    combined = je.combine_t3_modes(modes, plans)
+    assert combined[0] == "legacy" and len(combined) == 7
+    for stream, plan in zip((s2, s3), plans):
+        want = refdec.decode(stream, expanded_lut)
+        got = _jax_decode_plan(plan, expanded_lut, t3_modes=combined)
+        assert np.array_equal(got, want), "mixed-mode member mismatch"
+    # without plans, mixed modes must be rejected loudly
+    with pytest.raises(ValueError):
+        je.combine_t3_modes(modes)

@@ -195,13 +195,15 @@ def _grad_consts(H, W):
     return out
 
 
-def _grad_merged_pass(plane, corners7, code4):
+def _grad_merged_pass(plane, corners7, code4, interpret=False):
     """All full-plane gradient passes as ONE Pallas dispatch (see
     pallas_kernels.grad_plane). corners7 [7, qh, qw, 3] u8 per-pass corner
     grids, code4 [H/4, W/4] u8 per-4x4-block winner (0 = none). The
     legacy 7x _blend_pass chain wrote a ~200 MB f32 + 64 MB u32 plane per
     pass per 64-image step; this reads 0.4 MB of corners and writes the
-    one [H, W] u32 result (measured 6.7 -> ~1.8 ms/step at 512^2 b64)."""
+    one [H, W] u32 result (measured 6.7 -> ~1.8 ms/step at 512^2 b64).
+    interpret=True runs the kernel in Pallas interpret mode so the CPU
+    test tier can validate this packing (tests/test_round3_fastpaths.py)."""
     from yaik_tpu.ops.pallas_kernels import grad_plane
     H, W = plane.shape
     qh, qw = H // 4 + 1, W // 4 + 1
@@ -222,7 +224,8 @@ def _grad_merged_pass(plane, corners7, code4):
         [jnp.pad(top, ((0, 0), (0, KY - (qh - 1)), (0, 0))), bot], axis=1)
     corn = jnp.pad(corn, ((0, 0), (0, 7), (0, 0)))     # [7, KY+8, KX+128]
     V = grad_plane(corn, code4.astype(jnp.int32), by, bx, r4y, r4x,
-                   shifts=GRAD_SHIFTS).astype(jnp.uint32)
+                   shifts=GRAD_SHIFTS, interpret=interpret
+                   ).astype(jnp.uint32)
     m32 = ((V >> 24) & 1) * 0xFFFFFF
     return plane ^ ((plane ^ V) & m32)
 
