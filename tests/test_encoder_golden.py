@@ -24,13 +24,9 @@ def bank():
 
 
 def normalize(stream: bytes) -> bytes:
-    out = bytearray(stream)
-    for tag, off, _body in refdec.iter_chunks(stream):
-        if tag == b"GTIL":
-            out[off + 25] = 0   # uninitialized 'version'
-        if tag == b"1DTL":
-            out[off + 19] = 0   # uninitialized struct pad
-    return bytes(out)
+    # canonical impl lives in the library (bench + golden tools share it)
+    from yaik_tpu.format.headers import normalize_stream
+    return normalize_stream(stream)
 
 
 def test_lutfile_bit_exact(bank):

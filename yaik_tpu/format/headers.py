@@ -276,3 +276,21 @@ class LUTHeader(_Struct):
     tag: bytes          # 'LUL0' for 3D
     version: int
     entry_count: int    # stored count-1: tables = entry_count + 1
+
+
+def normalize_stream(stream: bytes) -> bytes:
+    """Zero the two header bytes the C++ reference encoder leaves
+    UNINITIALIZED (stack garbage written verbatim into the file):
+      - GTIL 'version' (HeaderGradientTile declared at stack,
+        EncoderContext.cpp:4240; version never assigned before fwrite)
+      - the 1DTL struct pad byte after Header1D.version
+    Byte-parity claims (tests, bench encode goldens) compare normalized
+    streams; decoders ignore both bytes, so this is presentation-only."""
+    from yaik_tpu.decoder.reference import iter_chunks
+    out = bytearray(stream)
+    for tag, off, _body in iter_chunks(stream):
+        if tag == b"GTIL":
+            out[off + 25] = 0
+        if tag == b"1DTL":
+            out[off + 19] = 0
+    return bytes(out)
