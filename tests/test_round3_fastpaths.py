@@ -273,3 +273,72 @@ def test_combine_t3_modes_mixed_batch(expanded_lut):
     # without plans, mixed modes must be rejected loudly
     with pytest.raises(ValueError):
         je.combine_t3_modes(modes)
+
+
+def test_lut3d_vals_dict2_fused_compose():
+    """The fused two-layer kernel == two lut3d_vals_dict resolves + the
+    B-over-A priority compose."""
+    from yaik_tpu.ops.pallas_kernels import lut3d_vals_dict, lut3d_vals_dict2
+    rng = np.random.default_rng(9)
+    G, P, U = 80, 16, 48
+    tabs = rng.integers(0, 129, (U, 64, 3)).astype(np.int64)
+    tab3 = np.concatenate([tabs[:, :, 0].T, tabs[:, :, 1].T,
+                           tabs[:, :, 2].T], axis=0)
+    tab3j = jnp.asarray(tab3, dtype=jnp.bfloat16)
+
+    def layer():
+        idx = rng.integers(0, 64, (G, P)).astype(np.int32)
+        wm = rng.integers(0, 2, (G, P)).astype(np.int32)
+        cols8 = np.zeros((G, 8), np.int32)
+        cols8[:, 0:3] = rng.integers(0, 256, (G, 3))
+        cols8[:, 3:6] = rng.integers(0, 256, (G, 3))
+        cols8[:, 6] = rng.integers(0, 2, G)
+        cols8[:, 7] = rng.integers(0, U, G)
+        return (idx | (wm << 6)), cols8
+
+    rawa, colsa = layer()
+    rawb, colsb = layer()
+    got = np.asarray(lut3d_vals_dict2(
+        jnp.asarray(rawa.T), jnp.asarray(rawb.T), tab3j,
+        jnp.asarray(colsa.T), jnp.asarray(colsb.T), interpret=True)).T
+
+    va = np.asarray(lut3d_vals_dict(jnp.asarray(rawa.T), tab3j,
+                                    jnp.asarray(colsa.T), interpret=True)).T
+    vb = np.asarray(lut3d_vals_dict(jnp.asarray(rawb.T), tab3j,
+                                    jnp.asarray(colsb.T), interpret=True)).T
+    wa, wb = va >> 24, vb >> 24
+    want = np.where(wb != 0, vb & 0xFFFFFF, va & 0xFFFFFF) | ((wa | wb) << 24)
+    assert np.array_equal(got, want)
+
+
+def test_tile3d_merged2_pass_interpret(expanded_lut):
+    """_tile3d_merged2_pass (fused dispatch, interpret mode) == the two
+    sequential _tile3d_pass layers on a real 2-layer-overlap plan."""
+    import jax
+
+    from yaik_tpu.decoder import jax_engine as je
+    from yaik_tpu.decoder import planner as plannermod
+    stream = _craft_t3_stream(64, 64, overlap3=False)
+    plan = plannermod.build_plan(stream, expanded_lut)
+    mode = je.t3_pack_mode(plan, expanded_lut)
+    assert mode == ("merged", True)
+    shifts, tab, args = je.plan_to_device_args(plan, expanded_lut,
+                                               t3_modes=mode)
+    (grad_accepts, grad_corners, t3a, t3r, t3c, t3p, t3d,
+     *rest) = args
+    plane0 = jnp.full((64, 64), 0x808080, jnp.uint32)
+    tabj = jnp.asarray(np.asarray(tab))
+    legacy = plane0
+    for k, (sx, sy) in enumerate(je.MERGED_T3_SHIFTS):
+        legacy = je._tile3d_pass(legacy, tabj, jnp.asarray(t3a[k]),
+                                 jnp.asarray(t3r[k]),
+                                 jnp.asarray(t3c[k].astype(np.int32)),
+                                 jnp.asarray(t3p[k].astype(np.int32)),
+                                 sx, sy, dict_rows=jnp.asarray(t3d[k]))
+    fused = je._tile3d_merged2_pass(
+        plane0, tabj, [jnp.asarray(a) for a in t3a],
+        [jnp.asarray(r) for r in t3r],
+        [jnp.asarray(c.astype(np.int32)) for c in t3c],
+        [jnp.asarray(pk.astype(np.int32)) for pk in t3p],
+        jnp.asarray(t3d[0]), interpret=True)
+    assert np.array_equal(np.asarray(fused), np.asarray(legacy))

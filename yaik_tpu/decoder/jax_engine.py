@@ -308,6 +308,39 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy,
     return _mask_blend(plane, V, m32, nty * th, ntx * tw)
 
 
+USE_T3_FUSED = os.environ.get("YAIK_T3_FUSED", "1") == "1"
+
+
+def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
+                         dict_rows, interpret=False):
+    """Both merged-T3 priority layers in ONE Pallas dispatch + ONE
+    tile->image relayout + ONE plane blend (pallas_kernels.lut3d_vals_dict2;
+    the per-layer relayout copy and blend RMW were the decode roofline's
+    #2/#3 terms). Requires the shared union dictionary both layers carry
+    (dict mode); callers fall back to two _tile3d_pass calls otherwise."""
+    nty, ntx = accepts[0].shape
+    g = nty * ntx
+    from yaik_tpu.ops.pallas_kernels import lut3d_vals_dict2
+    ls = lut_tab[dict_rows]                              # [U, 64] i32
+    tab3 = jnp.concatenate(
+        [(ls & 0xFF).T, ((ls >> 8) & 0xFF).T, (ls >> 16).T],
+        axis=0).astype(jnp.bfloat16)                     # [192, U]
+
+    def layer_args(accept, rws, cols, packed):
+        acc = accept.reshape(g, 1).astype(jnp.int32)
+        cols8 = jnp.concatenate(
+            [cols.astype(jnp.int32), acc, rws.reshape(g, 1)], axis=1)
+        return packed.T.astype(jnp.int32), cols8.T
+
+    idxa, cola = layer_args(accepts[0], rows[0], colors[0], packeds[0])
+    idxb, colb = layer_args(accepts[1], rows[1], colors[1], packeds[1])
+    Vp = lut3d_vals_dict2(idxa, idxb, tab3, cola, colb,
+                          interpret=interpret).T         # [g, 16]
+    V = _tile_to_image(Vp, nty, ntx, 4, 4).astype(jnp.uint32)
+    m32 = (V >> 24) * 0xFFFFFF
+    return _mask_blend(plane, V, m32, nty * 4, ntx * 4)
+
+
 _T2_ORDER = tuple((mode, shift) for mode in (0, 1, 2)
                   for shift in ((3, 3), (2, 2)))
 _T2_PLANES = {0: (0, 1), 1: (1, 2), 2: (0, 2)}
@@ -472,10 +505,18 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         for k, (sx, sy) in enumerate(shifts):
             plane = _blend_pass(plane, grad_accepts[k], grad_corners[k],
                                 sx, sy)
-    for k, (sx, sy) in enumerate(t3_shift_list):
-        plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], t3_rows[k],
-                             t3_colors[k], t3_packed[k], sx, sy,
-                             dict_rows=t3_dicts[k])
+    if (len(t3_accepts) == 2 and t3_dicts[0] is not None
+            and t3_dicts[1] is not None and USE_T3_FUSED and USE_PALLAS
+            and jax.devices()[0].platform == "tpu"):
+        # both merged layers share one union dictionary (plan_to_device_args
+        # builds t3_dicts[0] is t3_dicts[1]) -> fused single-dispatch path
+        plane = _tile3d_merged2_pass(plane, lut_tab, t3_accepts, t3_rows,
+                                     t3_colors, t3_packed, t3_dicts[0])
+    else:
+        for k, (sx, sy) in enumerate(t3_shift_list):
+            plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], t3_rows[k],
+                                 t3_colors[k], t3_packed[k], sx, sy,
+                                 dict_rows=t3_dicts[k])
     if pgrad_pairs is not None:     # GTIL plane in (5, 3, 6), before 2DTL
         for k, mask in enumerate(_PGRAD_PAIRS):
             plane = _blend_pass_masked(plane, *pgrad_pairs[k], mask, 2, 2)

@@ -363,3 +363,78 @@ def score48(c, alive, qpts, interpret=False):
     )(x, mask, qmat, q2)
     out = out.reshape(ngrid * tb, n48p)
     return out[:T, :n48].reshape(T, E, 48).astype(jnp.int32)
+
+
+def _vals_dict2_kernel(P, U, idxa_ref, idxb_ref, tab_ref, cola_ref,
+                       colb_ref, out_ref):
+    """Both merged-T3 priority layers resolved AND composed in one kernel
+    (layer B wins where it writes - the priority-layer contract)."""
+    T = tab_ref[:]                                   # [192, U] bf16
+
+    def resolve(idx_ref, col_ref):
+        C = col_ref[:]                               # [8, LB] i32
+        loc = C[7, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (U, loc.shape[0]), 0)
+              == loc[None, :]).astype(jnp.bfloat16)
+        L = jnp.dot(T, oh,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+        V0 = (L[0:64] | (L[64:128] << 8) | (L[128:192] << 16))
+        rows = []
+        for p in range(P):
+            b = idx_ref[p, :] & 63
+            v = V0
+            for lev in (5, 4, 3, 2, 1, 0):
+                half = v.shape[0] // 2
+                bit = ((b >> lev) & 1)[None, :] != 0
+                v = jnp.where(bit, v[half:, :], v[:half, :])
+            rows.append(v[0])
+        E = jnp.concatenate([r[None] for r in rows], axis=0)   # [P, LB]
+        mn0, mn1, mn2 = C[0:1, :], C[1:2, :], C[2:3, :]
+        d0, d1, d2 = C[3:4, :] - mn0, C[4:5, :] - mn1, C[5:6, :] - mn2
+        v0 = (mn0 + ((d0 * (E & 0xFF)) >> 7)) & 0xFF
+        v1 = (mn1 + ((d1 * ((E >> 8) & 0xFF)) >> 7)) & 0xFF
+        v2 = (mn2 + ((d2 * (E >> 16)) >> 7)) & 0xFF
+        wr = ((idx_ref[:] >> 6) & 1) * C[6:7, :]
+        return v0 | (v1 << 8) | (v2 << 16), wr
+
+    va, wa = resolve(idxa_ref, cola_ref)
+    vb, wb = resolve(idxb_ref, colb_ref)
+    out_ref[:] = jnp.where(wb != 0, vb, va) | ((wa | wb) << 24)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lut3d_vals_dict2(idxaT, idxbT, tab3, colsaT, colsbT, interpret=False):
+    """Fused two-layer merged-T3 resolve: lut3d_vals_dict on layer A and
+    layer B plus the priority compose (B-over-A) in ONE dispatch, so the
+    whole post-gradient T3 stage pays ONE [P, G] output, ONE tile->image
+    relayout and ONE plane blend instead of two of each (the relayout +
+    blend RMW were the roofline's #2/#3 terms - BASELINE.md round 4).
+    Layer tensors exactly as lut3d_vals_dict; both layers share tab3 (the
+    union dictionary t3_merge_plan builds). Returns [P, G] i32 packed
+    RGB + (wA|wB)<<24."""
+    P, G = idxaT.shape
+    U = tab3.shape[1]
+    LB = 512
+    pad = (-G) % LB
+    idxap = jnp.pad(idxaT, ((0, 0), (0, pad)))
+    idxbp = jnp.pad(idxbT, ((0, 0), (0, pad)))
+    colap = jnp.pad(colsaT, ((0, 0), (0, pad)))
+    colbp = jnp.pad(colsbT, ((0, 0), (0, pad)))
+    grid = ((G + pad) // LB,)
+    out = pl.pallas_call(
+        partial(_vals_dict2_kernel, P, U),
+        out_shape=jax.ShapeDtypeStruct((P, G + pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((192, U), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, LB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(idxap, idxbp, tab3, colap, colbp)
+    return out[:, :G]
