@@ -103,3 +103,20 @@ def test_caps_sane():
         _, gids = devp._scan_perm(sx, sy, 512, 512)
         total += -(-gids.shape[0] // 8) + 8 + dcap * (P + 9)
     assert total < 300_000      # ~0.28 MB/image vs 1.9 MB full download
+
+
+@pytest.mark.slow
+def test_banded_device_scoring_byte_identical(monkeypatch):
+    """encode_image_banded (the past-the-gate path, VERDICT r3 #2) must
+    produce the exact host-engine bytes; forced tiny per-dispatch ceiling
+    exercises 3 bands incl. a short remainder."""
+    from yaik_tpu.encoder import batch as encbatch
+    bank = bankmod.load_bank(str(FIXTURES / "Bank3D"))
+    img = np.asarray(Image.open(FIXTURES / "img128.png"))
+    monkeypatch.setattr(encbatch, "DEVICE_SCORE_MAX_PIX", 128 * 48)
+    banded = encbatch.encode_image_banded(img, bank)
+    host = encode_image(img, bank, engine="host")
+    assert banded == host
+    # the corpus path routes oversized images through the banded encoder
+    via_corpus = encbatch.encode_corpus([img], bank, batch_size=2)
+    assert via_corpus[0] == host

@@ -118,13 +118,19 @@ class _ZstdBatch:
 def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                  config: EncoderConfig | None = None,
                  engine: str = "host", precomputed=None,
-                 bank2d=None) -> bytes:
+                 bank2d=None, _defer: "_ZstdBatch | None" = None):
     """Encode an RGB(A) image ([h, w, 3|4] u8, dims multiple of 8) to .yaik.
 
     engine="host": numpy scoring; engine="device": all tile scoring on the
     accelerator (encoder.jax_scoring); engine="precomputed": scoring results
-    supplied by encoder.batch. All byte-identical."""
+    supplied by encoder.batch. All byte-identical.
+
+    _defer: a shared _ZstdBatch - the image's streams queue on it and a
+    zero-arg assembler is returned instead of bytes; the caller runs the
+    batch once for MANY images so the level-18 workspace stays cache-warm
+    across the whole set (encoder.batch._emit_from_unpacked)."""
     cfg = config or EncoderConfig()
+    deferred = _defer is not None
     h, w = rgb.shape[:2]
     if (w & 7) or (h & 7):
         raise ValueError("image dimensions must be multiples of 8")
@@ -139,7 +145,7 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
     # chunk order = parts order; bytes are final, callables resolve after
     # the deferred zstd batch runs (see _ZstdBatch)
     parts: list = [FileHeader(MAGIC, 1, w, h, 1 if has_alpha else 0).pack()]
-    zb = _ZstdBatch()
+    zb = _defer if deferred else _ZstdBatch()
     # the reference's global CodeRGB persists across chunks; native runtime
     # when built, Python fallback otherwise (identical streams, tested)
     from yaik_tpu import native
@@ -365,9 +371,14 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
         parts.append(plntmod.encode_plnt(planes, mip_mask, mip_bound))
 
     parts.append(struct.pack("<I", 0xDEADBEEF))
+
+    def assemble():
+        return b"".join(p if isinstance(p, bytes) else p() for p in parts)
+    if deferred:
+        return assemble
     with profiler.stage("encode:zstd-flush"):
         zb.run()
-        return b"".join(p if isinstance(p, bytes) else p() for p in parts)
+        return assemble()
 
 
 def _gtil_deferred(zb, bitmap, cust, raw_len, color_compression, sx, sy,

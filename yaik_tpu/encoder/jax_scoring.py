@@ -61,8 +61,12 @@ def gradient_pass_device(planes, claims, sx, sy, reject_factor):
     _, h, w = planes.shape
     ntx, nty = w // tw, h // th
 
-    xs = jnp.minimum(jnp.arange(0, w + tw, tw), w - 1)
-    ys = jnp.minimum(jnp.arange(0, h + th, th), h - 1)
+    # exactly nty+1 / ntx+1 corner positions: for exact-multiple shapes
+    # this equals arange(0, w + tw, tw); for a banded slice carrying a
+    # +1-row halo (encode_image_banded) it keeps the corner grid sized to
+    # the tile grid while the last row's bottom corners read the halo row
+    xs = jnp.minimum(jnp.arange(0, (ntx + 1) * tw, tw), w - 1)
+    ys = jnp.minimum(jnp.arange(0, (nty + 1) * th, th), h - 1)
     # int32 is sufficient: blends peak at 255*1024*1024 + 2^19 < 2^31
     corners = planes[:, ys[:, None], xs[None, :]].astype(jnp.int32)
 
