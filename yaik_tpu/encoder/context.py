@@ -209,8 +209,24 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                if engine in ("device", "precomputed") else None)
     corners4 = (gradient._corner_grids(planes, 4, 4).astype(np.int64)
                 if engine in ("device", "precomputed") else None)
+    # native one-call per-pass emission; the 4x4-grid mapped set replaces
+    # mapped_rgb, which only the (host-scored) plane-gradient passes read
+    use_fast_emit = (claims4 is not None and use_native
+                     and not cfg.enable_plane_gradients)
+    if use_fast_emit:
+        # claims4 stays bool (numpy bool is byte-backed; the native pass
+        # writes 1-bytes which read back as True)
+        corner_bytes = np.ascontiguousarray(gradient.compress_f(
+            gradient.round6(corners4),
+            cfg.color_compression_quad).astype(np.uint8))
+        mapped4 = np.zeros((3, h // 4 + 1, w // 4 + 1), np.uint8)
     for k, (sx, sy) in enumerate(swizzle.GRADIENT_PASS_ORDER):
-        if engine in ("device", "precomputed"):
+        bbox = None
+        if use_fast_emit:
+            bitmap, rgb_stream, count, bbox = gradient.emit_pass_fast(
+                dev_grad_accepts[k], sx, sy, w, h, corner_bytes, mapped4,
+                claims4)
+        elif engine in ("device", "precomputed"):
             bitmap, rgb_stream, count = gradient.emit_pass(
                 planes, claims, mapped_rgb, dev_grad_accepts[k], sx, sy,
                 cfg.color_compression_quad, corners4=corners4,
@@ -226,7 +242,7 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
             raise RuntimeError("palette compression failed")
         parts.append(_gtil_deferred(zb, bitmap, cust, len(rgb_stream),
                                     cfg.color_compression_quad, sx, sy, 7,
-                                    w, h))
+                                    w, h, bbox=bbox))
     _grad_stage.__exit__(None, None, None)
 
     # ---- 3D-LUT passes ----
@@ -382,12 +398,14 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
 
 
 def _gtil_deferred(zb, bitmap, cust, raw_len, color_compression, sx, sy,
-                   plane, w, h):
+                   plane, w, h, bbox=None):
     """Queue one GTIL chunk's two zstd streams on the batch; returns the
-    assembly closure (exact bytes of the old inline path)."""
+    assembly closure (exact bytes of the old inline path). bbox: already
+    computed by the native emission pass, else derived from the bitmap."""
     hb = zb.add(bitmap)
     hr = zb.add(cust)
-    bbox = _gradient_bbox(bitmap, sx, sy, w, h)
+    if bbox is None:
+        bbox = _gradient_bbox(bitmap, sx, sy, w, h)
     cust_len = len(cust)
 
     def mk():

@@ -203,3 +203,29 @@ def claim_tiles(claims, up, th, tw, present):
         claims[:, :rep.shape[0], :rep.shape[1]] |= rep[None]
     else:
         claims[list(present), :rep.shape[0], :rep.shape[1]] |= rep[None]
+
+
+def emit_pass_fast(accept, sx, sy, w, h, corner_bytes, mapped4, claims4):
+    """Native one-call emission for a full-plane pass in the device/
+    precomputed engines (native.emit_gtil_pass): swizzle-scan bitmap,
+    corner dedup against the shared 4x4-grid mapped set, posterized byte
+    stream, claims4 footprint. Byte-identical to emit_pass (the corner
+    coordinates of every pass are multiples of 4, so the 4x4-grid mapped
+    set is a bijection of mapped_rgb at those positions)."""
+    from yaik_tpu import native
+    bx, by, _ = swizzle.swizzle_spec(sx, sy)
+    bitmap = np.zeros(swizzle.bitmap_size_bytes(sx, sy, w, h), np.uint8)
+    acc = np.ascontiguousarray(accept, np.uint8)
+    rgb_out = np.empty(int(accept.size) * 12 + 16, np.uint8)
+    cnt, rlen, bb = native.emit_gtil_pass(acc, w, h, sx, sy, bx, by,
+                                          corner_bytes, mapped4, claims4,
+                                          bitmap, rgb_out)
+    if cnt == 0:
+        return None, None, 0, None
+    tw, th = 1 << sx, 1 << sy
+    # header bbox incl. the reference's h = maxY - minX bug (see
+    # context._gradient_bbox)
+    mnx, mny = int(bb[0]) * tw, int(bb[1]) * th
+    mxx, mxy = (int(bb[2]) + 1) * tw, (int(bb[3]) + 1) * th
+    bbox = (mnx, mny, mxx - mnx, mxy - mnx)
+    return bitmap.tobytes(), rgb_out[:rlen].tobytes(), cnt, bbox

@@ -100,6 +100,12 @@ if lib is not None:
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.emit_gtil_pass.restype = ctypes.c_int64
+    lib.emit_gtil_pass.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.claim_tiles.restype = None
     lib.claim_tiles.argtypes = [
         ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
@@ -235,6 +241,21 @@ def plan_pass_scatter4(gid, qx0, qy0, bits, pass_id, claims, streams,
         _vp(claims), claims.shape[1], _vp(s3), s3.size, _vp(s4), s4.size,
         _vp(s5), s5.size, _vp(s6), s6.size, _vp(cursors), _vp(indices),
         _vp(wmask), P)
+
+
+def emit_gtil_pass(accept_u8, w, h, sx, sy, bx, by, corner_bytes,
+                   mapped4, claims4, bitmap_out, rgb_out):
+    """One full-plane gradient pass emission (see gradient.emit_pass):
+    swizzle-scan bitmap + corner-dedup byte stream + claims4 footprint,
+    all in one native call. Returns (tile_count, rgb_byte_count,
+    (min_tx, min_ty, max_tx, max_ty))."""
+    n = np.zeros(1, np.int64)
+    bb = np.zeros(4, np.int32)
+    cnt = lib.emit_gtil_pass(
+        _vp(accept_u8), w, h, sx, sy, bx, by, _vp(corner_bytes),
+        _vp(mapped4), _vp(claims4) if claims4 is not None else None,
+        _vp(bitmap_out), _vp(rgb_out), n.ctypes.data, bb.ctypes.data)
+    return int(cnt), int(n[0]), bb
 
 
 def claim_tiles(qx0, qy0, tqw, tqh, claims) -> None:

@@ -884,6 +884,72 @@ void plan_1d_all(int w, int h, const uint8_t* claims, int64_t plane_stride,
                            indices + p * g * 64, wmask + p * g * 64);
 }
 
+// Encoder GTIL emission for one full-plane gradient pass (the twin of
+// plan_gtil_full's decode-side walk): swizzle-scan the accept GRID, set
+// stream-order bitmap bits (little bit order == swizzle.pack_bitmap),
+// first-touch-dedup the 4 tile corners against the 4x4-grid mapped set
+// and append their precomputed posterized bytes corner-major/plane-minor
+// (EncoderContext.cpp:4001-4133 semantics), and OR the tile footprint
+// into the 4x4-block claim accumulator. corner_bytes/mapped4:
+// [3, qh4, qw4] u8 (qh4 = h/4+1); claims4: [h/4, w/4] u8 or null.
+// Returns the accepted-tile count; *rgb_len_out = bytes appended.
+int64_t emit_gtil_pass(const uint8_t* accept, int w, int h, int sx, int sy,
+                       int bx, int by, const uint8_t* corner_bytes,
+                       uint8_t* mapped4, uint8_t* claims4,
+                       uint8_t* bitmap_out, uint8_t* rgb_out,
+                       int64_t* rgb_len_out, int32_t* tile_bbox) {
+    const int tw = 1 << sx, th = 1 << sy;
+    const int ntx = (w + tw - 1) / tw;
+    const int nbx = (w + bx - 1) / bx, nby = (h + by - 1) / by;
+    const int colsw = bx >> sx, rowsw = by >> sy;
+    const int bits_per_word = colsw * rowsw;
+    const int64_t total_bits = (int64_t)nbx * nby * bits_per_word;
+    const int64_t qw4 = w / 4 + 1, qh4 = h / 4 + 1;
+    const int64_t cplane = qh4 * qw4;
+    const int cqw = tw / 4, cqh = th / 4;   // corner stride on the 4-grid
+    const int64_t w4 = w / 4;
+
+    int64_t count = 0, rcur = 0;
+    int32_t mnx = 1 << 30, mny = 1 << 30, mxx = -1, mxy = -1;
+    for (int64_t k = 0; k < total_bits; ++k) {
+        const int64_t big = k / bits_per_word;
+        const int within = (int)(k % bits_per_word);
+        const int tx = (int)(big % nbx) * colsw + within % colsw;
+        const int ty = (int)(big / nbx) * rowsw + within / colsw;
+        if ((int64_t)(tx + 1) * tw > w || (int64_t)(ty + 1) * th > h)
+            continue;
+        if (!accept[(int64_t)ty * ntx + tx]) continue;
+        bitmap_out[k >> 3] |= (uint8_t)(1u << (k & 7));
+        ++count;
+        if (tx < mnx) mnx = tx;
+        if (tx > mxx) mxx = tx;
+        if (ty < mny) mny = ty;
+        if (ty > mxy) mxy = ty;
+        const int64_t cx = (int64_t)tx * cqw, cy = (int64_t)ty * cqh;
+        const int64_t ids[4] = {cy * qw4 + cx, cy * qw4 + cx + cqw,
+                                (cy + cqh) * qw4 + cx,
+                                (cy + cqh) * qw4 + cx + cqw};
+        for (int c = 0; c < 4; ++c) {
+            const int64_t id = ids[c];
+            for (int pl = 0; pl < 3; ++pl) {
+                uint8_t* mp = mapped4 + pl * cplane;
+                if (!mp[id]) {
+                    mp[id] = 1;
+                    rgb_out[rcur++] = corner_bytes[pl * cplane + id];
+                }
+            }
+        }
+        if (claims4) {
+            for (int qy = 0; qy < cqh; ++qy)
+                memset(claims4 + (cy + qy) * w4 + cx, 1, cqw);
+        }
+    }
+    *rgb_len_out = rcur;
+    tile_bbox[0] = mnx; tile_bbox[1] = mny;
+    tile_bbox[2] = mxx; tile_bbox[3] = mxy;
+    return count;
+}
+
 // Claim the quad footprints of n accepted tiles (GTIL passes).
 void claim_tiles(int64_t n, const int32_t* qx0, const int32_t* qy0,
                  int tqw, int tqh, uint8_t* claims, int64_t qh,
