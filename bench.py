@@ -145,10 +145,115 @@ def run_encode_lane(names, wgt, w, h, gen_golden=False):
     return encode_mpix_s, ok, bytes_checked, anchor
 
 
-def _checksum_weights(h, w):
-    flat = np.arange(h * w * 3, dtype=np.uint64)
+def _checksum_weights(h, w, c=3):
+    flat = np.arange(h * w * c, dtype=np.uint64)
     return ((flat * 2654435761) % (1 << 32)).astype(np.uint32).reshape(
-        h, w, 3)
+        h, w, c)
+
+
+FAMILY_BATCH = int(os.environ.get("YAIK_BENCH_FAMILY_BATCH", "16"))
+FAMILY_STEPS = int(os.environ.get("YAIK_BENCH_FAMILY_STEPS", "6"))
+
+
+def _salted_checksums(plan, golden, wgt, nsalt):
+    """Expected position-weighted checksums when the 1D color0 params are
+    salted by s (bench salt-perturbation; YAIK_3DTile.cpp:86 semantics).
+    golden/wgt [h, w, C] (alpha channel, if any, is unaffected)."""
+    aff = plan.d1.wmask & (plan.d1.indices == 0)
+    nty, ntx = plan.height // 8, plan.width // 8
+    aff_img = aff.reshape(3, nty, ntx, 8, 8).transpose(
+        0, 1, 3, 2, 4).reshape(3, plan.height, plan.width)
+    base = int((golden.astype(np.uint64) * wgt).sum() % (1 << 32))
+    gold_pl = golden[..., :3].transpose(2, 0, 1).astype(np.uint64)
+    wgt_pl = wgt[..., :3].transpose(2, 0, 1).astype(np.uint64)
+    gv, wv = gold_pl[aff_img], wgt_pl[aff_img]
+    return [int((base + (wv * (((gv + s) & 0xFF) - gv)).sum()) % (1 << 32))
+            for s in range(nsalt)]
+
+
+def run_family_lanes(expanded):
+    """VERDICT r3 #5: checksummed on-chip decode lanes for the non-RGB
+    chunk families. Each committed fixture stream (produced by our encoder,
+    whose byte parity is certified separately by the encode lane) decodes
+    as a device-resident batch with per-dispatch salted inputs; a 4-byte
+    position-weighted checksum validates every timed dispatch against the
+    host decoder's golden. Returns {family: {mpix_s, ok}}."""
+    from yaik_tpu.decoder import reference as refdec
+    from yaik_tpu.format import lut as l2mod
+
+    fams = [("rgba", "bench_rgba512.yaik", False),
+            ("ucol_smap", "bench_ucol512.yaik", False),
+            ("t2dl", "bench_2d512.yaik", True)]
+    out = {}
+    for fam, fname, needs2d in fams:
+        path = FIX / fname
+        if not path.exists():
+            continue
+        stream = path.read_bytes()
+        exp2d = None
+        if needs2d:
+            exp2d = l2mod.expand_lut2d(l2mod.parse_lut2d_file(
+                (FIX / "LutFile2D.lut").read_bytes()))
+        golden = refdec.decode(stream, expanded, exp2d)
+        fh, fw, fc = golden.shape
+        fwgt = _checksum_weights(fh, fw, fc)
+        plan = planner.build_plan(stream, expanded, exp2d)
+        shifts, tab, args = jax_engine.plan_to_device_args(plan, expanded,
+                                                           exp2d)
+        nsalt = 4
+        chk_s = _salted_checksums(plan, golden, fwgt, nsalt)
+
+        def rep(x):
+            x = np.asarray(x)
+            return np.broadcast_to(x[None],
+                                   (FAMILY_BATCH,) + x.shape).copy()
+
+        b_args = jax.device_put(jax.tree.map(rep, args))
+        wgt_dev = jax.device_put(fwgt)
+        tab_dev = jax.device_put(np.asarray(tab))
+        nargs = len(b_args)
+        aspec = jax_engine.alpha_spec_of(plan)
+        vdec = jax.vmap(
+            lambda t, *a: jax_engine.decode_core(shifts, t, *a, aspec=aspec),
+            in_axes=(None,) + (0,) * nargs)
+
+        @jax.jit
+        def fam_chk(t, s, *a):
+            a = list(a)
+            a[7] = a[7].at[..., 0].add(s)
+            o = vdec(t, *a)
+            return jnp.sum(o.astype(jnp.uint32) * wgt_dev[None],
+                           dtype=jnp.uint32)
+
+        ok = True
+        got = int(fam_chk(tab_dev, jnp.int32(0), *b_args))     # warm
+        ok &= got == (FAMILY_BATCH * chk_s[0]) % (1 << 32)
+        times = []
+        for k in range(FAMILY_STEPS):
+            s = (k + 1) % nsalt
+            t0 = time.perf_counter()
+            got = int(fam_chk(tab_dev, jnp.int32(s), *b_args))
+            times.append(time.perf_counter() - t0)
+            ok &= got == (FAMILY_BATCH * chk_s[s]) % (1 << 32)
+        mpix = FAMILY_BATCH * fh * fw / float(np.median(times)) / 1e6
+        out[fam] = {"mpix_s": round(mpix, 2), "ok": bool(ok)}
+
+    # 4K 3DTX banded decode (end-to-end wall: plan + banded device decode
+    # + pixel download), validated against the host decoder
+    path = FIX / "bench_4k.yaik"
+    if path.exists():
+        from yaik_tpu.parallel.batch import decode_spatial
+        stream = path.read_bytes()
+        want = refdec.decode(stream, expanded)
+        decode_spatial(stream, expanded, n_bands=4)           # warm compile
+        t0 = time.perf_counter()
+        got = decode_spatial(stream, expanded, n_bands=4)
+        dt = time.perf_counter() - t0
+        ok4 = np.array_equal(got, want)
+        out["t3dx_4k_e2e"] = {
+            "mpix_s": round(want.shape[0] * want.shape[1] / dt / 1e6, 2),
+            "ok": bool(ok4)}
+    return out
 
 
 def main():
@@ -351,6 +456,10 @@ def main():
         names, wgt, w, h, gen_golden="--gen-encode-golden" in sys.argv)
     checksum_ok = checksum_ok and enc_ok
 
+    # --- non-RGB chunk-family lanes (VERDICT r3 #5) ---------------------
+    families = run_family_lanes(expanded)
+    checksum_ok = checksum_ok and all(f["ok"] for f in families.values())
+
     value = device_mpix_s if plausible else e2e_mpix_s
     info = {
         "metric": "decode_throughput",
@@ -366,6 +475,7 @@ def main():
         # "reference": CRCs anchored to C++ ref_encoder output (byte
         # PARITY); "self": stability since our own golden generation
         "encode_anchor": enc_anchor,
+        "families": families,
         "host_plan_ms_per_img": round(host_plan_ms, 2),
         "checksum_ok": checksum_ok,
         "plausible": plausible,
