@@ -342,3 +342,48 @@ def test_tile3d_merged2_pass_interpret(expanded_lut):
         [jnp.asarray(pk.astype(np.int32)) for pk in t3p],
         jnp.asarray(t3d[0]), interpret=True)
     assert np.array_equal(np.asarray(fused), np.asarray(legacy))
+
+
+def test_fused_t3_d1_compose_interpret(expanded_lut):
+    """The composed one-blend T3+1D tail (compose_d1 path) == the
+    sequential merged-T3 blend + _d1_pass on a real fixture plan."""
+    import pathlib
+
+    import jax
+
+    from yaik_tpu.decoder import jax_engine as je
+    from yaik_tpu.decoder import planner as plannermod
+    fix = pathlib.Path(__file__).parent / "fixtures"
+    stream = (fix / "img64.yaik").read_bytes()
+    plan = plannermod.build_plan(stream, expanded_lut)
+    mode = je.t3_pack_mode(plan, expanded_lut)
+    assert mode[0] == "merged" and mode[1], "fixture no longer merges"
+    shifts, tab, args = je.plan_to_device_args(plan, expanded_lut,
+                                               t3_modes=mode)
+    (grad_accepts, grad_corners, t3a, t3r, t3c, t3p, t3d,
+     d1p, d1i, d1w, *rest) = args
+    h8, w8 = plan.height, plan.width
+    tabj = jnp.asarray(np.asarray(tab))
+    # a non-trivial starting plane: the gradient stage via the XLA chain
+    plane = jnp.full((h8, w8), 0x808080, jnp.uint32)
+    for k, (sx, sy) in enumerate(je.GRAD_SHIFTS):
+        plane = je._blend_pass(plane, jnp.asarray(grad_accepts[k]),
+                               jnp.asarray(grad_corners[k]), sx, sy)
+
+    t3aj = [jnp.asarray(a) for a in t3a]
+    t3rj = [jnp.asarray(r) for r in t3r]
+    t3cj = [jnp.asarray(c.astype(np.int32)) for c in t3c]
+    t3pj = [jnp.asarray(p.astype(np.int32)) for p in t3p]
+    dj = jnp.asarray(t3d[0])
+    seq = je._tile3d_merged2_pass(plane, tabj, t3aj, t3rj, t3cj, t3pj, dj,
+                                  interpret=True)
+    seq = je._d1_pass(seq, jnp.asarray(d1p), jnp.asarray(d1i),
+                      jnp.asarray(d1w), h8, w8)
+
+    V3, m3 = je._tile3d_merged2_pass(None, tabj, t3aj, t3rj, t3cj, t3pj,
+                                     dj, interpret=True)
+    V1, m1 = je._d1_vals(jnp.asarray(d1p), jnp.asarray(d1i),
+                         jnp.asarray(d1w), h8, w8)
+    V = V3 ^ ((V3 ^ V1) & m1)
+    composed = plane ^ ((plane ^ V) & (m3 | m1))
+    assert np.array_equal(np.asarray(composed), np.asarray(seq))

@@ -338,6 +338,8 @@ def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
                           interpret=interpret).T         # [g, 16]
     V = _tile_to_image(Vp, nty, ntx, 4, 4).astype(jnp.uint32)
     m32 = (V >> 24) * 0xFFFFFF
+    if plane is None:
+        return V, m32        # fused-compose caller blends once with d1
     return _mask_blend(plane, V, m32, nty * 4, ntx * 4)
 
 
@@ -383,16 +385,10 @@ def _blend_pass_masked(plane, accept, corners, mask, sx, sy):
     return _blend_pass(plane, accept, corners, sx, sy, chmask=ch)
 
 
-def _d1_pass(plane, params, indices, wbits_img, h8, w8):
-    """1D residual for all 3 planes. Values are computed in TILE space
-    [3, 64, g] (pixel-major, tiles on lanes - the kernels' native
-    layout), where the per-tile params broadcast along the pixel axis
-    for free (no relayout), channel-packed there, then ONE fused
-    relayout+blend (or i32 relayout on the XLA fallback) applies them. delta2 needs up to 21
-    bits ((delta*inv_range)>>8, inv_range=2^24/range) so the PARAMS can't
-    pack into one i32 - but the resulting 8-bit values can. The write
-    mask is per-CHANNEL (bit-packed image-space at plan time): each
-    channel's bit expands to a 0xFF byte of the blend mask."""
+def _d1_vals(params, indices, wbits_img, h8, w8):
+    """The 1D residual pass's image-space packed values + write mask
+    (see _d1_pass). Split out so the fused merged-T3 path can compose the
+    two stages into ONE plane read-modify-write."""
     nty, ntx = h8 // 8, w8 // 8
     b = ((wbits_img[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
          ).reshape(3, h8, w8).astype(jnp.uint32)
@@ -403,10 +399,22 @@ def _d1_pass(plane, params, indices, wbits_img, h8, w8):
     delta2 = params[:, :, 2][:, None, :]
     v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
     vpT = v[0] | (v[1] << 8) | (v[2] << 16)                   # [64, g]
-    # relayout straight from the pixel-major form - vpT.T + _tile_to_image
-    # was TWO copies (~1.7 ms/step at 512^2 b32)
     v4 = vpT.reshape(8, 8, nty, ntx).transpose(2, 0, 3, 1)
     v_img = v4.reshape(nty * 8, ntx * 8).astype(jnp.uint32)
+    return v_img, m32
+
+
+def _d1_pass(plane, params, indices, wbits_img, h8, w8):
+    """1D residual for all 3 planes. Values are computed in TILE space
+    [3, 64, g] (pixel-major, tiles on lanes - the kernels' native
+    layout), where the per-tile params broadcast along the pixel axis
+    for free (no relayout), channel-packed there, then ONE fused
+    relayout+blend (or i32 relayout on the XLA fallback) applies them. delta2 needs up to 21
+    bits ((delta*inv_range)>>8, inv_range=2^24/range) so the PARAMS can't
+    pack into one i32 - but the resulting 8-bit values can. The write
+    mask is per-CHANNEL (bit-packed image-space at plan time): each
+    channel's bit expands to a 0xFF byte of the blend mask."""
+    v_img, m32 = _d1_vals(params, indices, wbits_img, h8, w8)
     return plane ^ ((plane ^ v_img) & m32)
 
 
@@ -505,9 +513,21 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         for k, (sx, sy) in enumerate(shifts):
             plane = _blend_pass(plane, grad_accepts[k], grad_corners[k],
                                 sx, sy)
-    if (len(t3_accepts) == 2 and t3_dicts[0] is not None
-            and t3_dicts[1] is not None and USE_T3_FUSED and USE_PALLAS
-            and jax.devices()[0].platform == "tpu"):
+    fused_t3 = (len(t3_accepts) == 2 and t3_dicts[0] is not None
+                and t3_dicts[1] is not None and USE_T3_FUSED and USE_PALLAS
+                and jax.devices()[0].platform == "tpu")
+    # standard streams (no pgrad/t2 between T3 and 1D): compose the fused
+    # T3 output with the 1D residual values into ONE plane RMW blend
+    compose_d1 = (fused_t3 and pgrad_pairs is None and t2 is None
+                  and pgrad_singles is None)
+    if compose_d1:
+        V3, m3 = _tile3d_merged2_pass(None, lut_tab, t3_accepts, t3_rows,
+                                      t3_colors, t3_packed, t3_dicts[0])
+        V1, m1 = _d1_vals(d1_params, d1_indices, d1_wmask, h8, w8)
+        V = V3 ^ ((V3 ^ V1) & m1)         # d1 wins where it writes
+        m = m3 | m1
+        plane = plane ^ ((plane ^ V) & m)
+    elif fused_t3:
         # both merged layers share one union dictionary (plan_to_device_args
         # builds t3_dicts[0] is t3_dicts[1]) -> fused single-dispatch path
         plane = _tile3d_merged2_pass(plane, lut_tab, t3_accepts, t3_rows,
@@ -527,7 +547,8 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
     if pgrad_singles is not None:   # GTIL plane in (1, 2, 4), after 2DTL
         for k, mask in enumerate(_PGRAD_SINGLES):
             plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
-    plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
+    if not compose_d1:
+        plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
     # The plane IS the channel-packed u32 word (r | g<<8 | b<<16); the
     # final interleave is just the bitcast to [H, W, 4] u8 - byte-exact
     # little-endian on both TPU and CPU backends. Alpha rides bits 24-31.
