@@ -65,16 +65,18 @@ def main():
     if "--skip-4k" in sys.argv:
         return
 
-    # --- real 4K, banded decode ------------------------------------------
-    # 8.3 MPix is past DEVICE_SCORE_MAX_PIX (the scorer's [T,P,3] temps OOM
-    # HBM at this size), so encode_batch transparently host-scores here;
-    # mostly-gradient content keeps that cheap. The DECODE is the device
-    # demo: the banded mesh path handles any size.
+    # --- real 4K: banded DEVICE-SCORED encode + banded decode -----------
+    # 8.3 MPix is past the per-dispatch ceiling (the scorer's [T,P,3] temps
+    # OOM HBM at this size), so encode_batch routes through
+    # encode_image_banded: every band scores ON DEVICE and the grids
+    # reassemble for emission - BASELINE config 4, byte-identical to host
+    # scoring (tests/test_encoder_compact.py proves it on a banded split).
     img = synth(2160, 3840, 3, noise=128)
     t0 = time.perf_counter()
     stream = encbatch.encode_batch([img], bank)[0]
-    print(f"4K encode (host fallback, gate at "
-          f"{encbatch.DEVICE_SCORE_MAX_PIX} px): "
+    print(f"4K encode (BANDED device scoring, "
+          f"{encbatch._band_rows(3840, 2160)}-row bands, per-dispatch "
+          f"ceiling {encbatch.DEVICE_SCORE_MAX_PIX} px): "
           f"{time.perf_counter()-t0:.1f}s -> {len(stream)} bytes", flush=True)
     t0 = time.perf_counter()
     host = api.decode_image(stream, lut, engine="host")
