@@ -45,8 +45,12 @@ def lut_bytes():
 
 def fixture_names():
     # plain-stem streams only: dotted stems (img64.ucol, corr2d128.2d) are
-    # special-pass goldens with their own test files
-    return sorted(p.stem for p in FIXTURES.glob("*.yaik") if "." not in p.stem)
+    # special-pass goldens with their own test files. bench_* streams come
+    # from OUR encoder (bench-lane inputs, tools/gen_bench_family_fixtures.py)
+    # and are covered by tests/test_bench_family_golden.py, not the
+    # reference-encoder golden set.
+    return sorted(p.stem for p in FIXTURES.glob("*.yaik")
+                  if "." not in p.stem and not p.stem.startswith("bench_"))
 
 
 def fixture_params(slow_when=lambda name: "512" in name):
