@@ -48,6 +48,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# Persist TPU compilations across bench runs: the scoring-bundle and
+# chained-decode executables take minutes to build and are identical run
+# to run (same jaxpr, same chip). First run pays the compiles; driver and
+# repeat runs load from the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).parent / ".jax_bench_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 from yaik_tpu.decoder import jax_engine, planner  # noqa: E402
 from yaik_tpu.format import lut as lutmod  # noqa: E402
 
@@ -60,6 +68,8 @@ SYNC_STEPS = int(os.environ.get("YAIK_BENCH_SYNC_STEPS", "6"))
 E2E_IMAGES = int(os.environ.get("YAIK_BENCH_E2E_IMAGES", "32"))
 ENC_IMAGES = int(os.environ.get("YAIK_BENCH_ENC_IMAGES", "96"))
 ENC_BATCH = int(os.environ.get("YAIK_BENCH_ENC_BATCH", "8"))
+ESC_BATCH = int(os.environ.get("YAIK_BENCH_ESC_BATCH", "8"))
+ESC_STEPS = int(os.environ.get("YAIK_BENCH_ESC_STEPS", "12"))
 MAX_WRITE_BYTES_S = 1.0e12     # v5e HBM ceiling: harder than any real rate
 
 
@@ -143,6 +153,92 @@ def run_encode_lane(names, wgt, w, h, gen_golden=False):
             crc = zlib.crc32(normalize_stream(st)) & 0xFFFFFFFF
             ok &= crc == gold["bytes"][i]
     return encode_mpix_s, ok, bytes_checked, anchor
+
+
+def run_encode_scoring_lane(names):
+    """Device-resident encode SCORING rate (the production figure the e2e
+    encode lane cannot show on this rig: its 96 x 786 KB image uploads ride
+    a ~45 MB/s tunnel that does not exist on a real deployment). B art
+    images stay resident in HBM; K chained steps each run the full device
+    scoring bundle (7 gradient passes + all six 3D passes, compacted
+    outputs) on planes salted by the PREVIOUS step's output checksum - a
+    data dependence no compiler can hoist - and one 4-byte checksum
+    returns. Validated against per-salt checksums fetched individually.
+    Returns {"mpix_s", "ok"}."""
+    from PIL import Image
+
+    from yaik_tpu.encoder import bank as bankmod
+    from yaik_tpu.encoder import batch as encbatch
+    from yaik_tpu.encoder import device_pipeline as devp
+    from yaik_tpu.encoder.context import EncoderConfig
+
+    B, K, NSALT = ESC_BATCH, ESC_STEPS, 4
+    bank = bankmod.load_bank(str(FIX / "Bank3D"))
+    cfg = EncoderConfig()
+    qpts, pts, factors = devp.bank_device_tables(bank)
+    base = [np.asarray(Image.open(FIX / f"{n}.png").convert("RGB"))
+            for n in names]
+    imgs = [_enc_variant(base[i % 2], i) for i in range(B)]
+    h, w = imgs[0].shape[:2]
+    caps = devp.pass_caps(w, h)
+    core = encbatch._all_batch_compact_fn(cfg.reject_factor, caps).__wrapped__
+    perms = encbatch._perms_device(w, h)
+
+    fn = encbatch._all_batch_compact_fn(cfg.reject_factor, caps)
+    p8_h = np.ascontiguousarray(np.stack(
+        [im.transpose(2, 0, 1) for im in imgs]))
+    p8 = jax.device_put(p8_h)
+    L = int(fn(p8, qpts, pts, factors, perms).shape[1])
+    w8_h = ((np.arange(L, dtype=np.uint64) * 2654435761)
+            % (1 << 32)).astype(np.uint32)
+    w8 = jnp.asarray(w8_h)
+    SALTS = [0, 7, 19, 83]
+    salts = jnp.asarray(SALTS, jnp.uint8)
+
+    def step_chk(p, s):
+        out = core((p + salts[s]).astype(jnp.uint8), qpts, pts, factors,
+                   perms)
+        return jnp.sum(out.astype(jnp.uint32) * w8[None], dtype=jnp.uint32)
+
+    # expected per-salt checksums: the plain (already-jitted) bundle runs
+    # once per salt and the weighted sum is taken on host - one compile
+    # total instead of three
+    chk_s = []
+    for s in SALTS:
+        outs = np.asarray(fn(jax.device_put((p8_h + np.uint8(s))
+                                            .astype(np.uint8)),
+                             qpts, pts, factors, perms))
+        chk_s.append(int((outs.astype(np.uint64)
+                          * w8_h[None].astype(np.uint64)).sum() % (1 << 32)))
+
+    @jax.jit
+    def chain(carry0, p, nsteps):
+        # dynamic step count (lowers to while_loop): ONE compile covers the
+        # full run and the half-length elision guard - the scoring bundle
+        # takes ~2.5 min to compile and three static variants would
+        # dominate bench wall time
+        def body(i, carry):
+            s = (carry & (NSALT - 1)).astype(jnp.int32)
+            return carry + step_chk(p, s)
+        return jax.lax.fori_loop(0, nsteps, body, carry0)
+
+    def run(seed, nsteps):
+        got = int(chain(jnp.uint32(seed), p8, jnp.int32(nsteps)))
+        carry = seed
+        for _ in range(nsteps):
+            carry = (carry + chk_s[carry & (NSALT - 1)]) % (1 << 32)
+        return got == carry
+
+    ok = run(1, K)                                   # compile + correctness
+    t0 = time.perf_counter()
+    ok &= run(2, K // 2)
+    dt_half = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok &= run(3, K)
+    dt = time.perf_counter() - t0
+    scales = dt >= 1.6 * dt_half
+    mpix = K * B * w * h / dt / 1e6
+    return {"mpix_s": round(mpix, 2), "ok": bool(ok and scales)}
 
 
 def _checksum_weights(h, w, c=3):
@@ -456,6 +552,10 @@ def main():
         names, wgt, w, h, gen_golden="--gen-encode-golden" in sys.argv)
     checksum_ok = checksum_ok and enc_ok
 
+    # --- device-resident encode scoring lane ----------------------------
+    enc_scoring = run_encode_scoring_lane(names)
+    checksum_ok = checksum_ok and enc_scoring["ok"]
+
     # --- non-RGB chunk-family lanes (VERDICT r3 #5) ---------------------
     families = run_family_lanes(expanded)
     checksum_ok = checksum_ok and all(f["ok"] for f in families.values())
@@ -475,6 +575,10 @@ def main():
         # "reference": CRCs anchored to C++ ref_encoder output (byte
         # PARITY); "self": stability since our own golden generation
         "encode_anchor": enc_anchor,
+        # device scoring rate with resident inputs (tunnel-free: the
+        # production-relevant device half of the encode pipeline)
+        "encode_scoring_mpix_s": enc_scoring["mpix_s"],
+        "encode_scoring_ok": enc_scoring["ok"],
         "families": families,
         "host_plan_ms_per_img": round(host_plan_ms, 2),
         "checksum_ok": checksum_ok,

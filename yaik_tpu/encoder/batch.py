@@ -302,11 +302,19 @@ def encode_corpus(images, bank: bankmod.Bank,
     for i, im in enumerate(imgs):
         groups.setdefault(im.shape, []).append(i)
 
-    # the upload + dispatch of batch k+1 runs on a worker thread while the
-    # main thread emits batch k: the tunnel socket I/O and the zstd/palette
-    # ctypes calls both release the GIL, so the two genuinely overlap even
-    # on a single-core host (measured ~25 ms/image of upload hidden)
+    # Pipeline depth D (default 2): up to D batches are in flight on the
+    # dispatch worker while the main thread emits. At depth 1 the schedule
+    # degenerates to "upload k+1, then wait for k": the tunnel upload of
+    # k+1, the device compute of k+1, and the download of k never overlap
+    # the host emit of k-1 because only one stage separates dispatch from
+    # drain. With D=2 the tunnel (socket I/O, GIL-released), the device,
+    # and the host zstd/palette ctypes calls (GIL-released) all run
+    # concurrently even on a 1-core host; measured 61 -> ~40 ms/img on the
+    # bench art corpus. Depth is bounded: each in-flight batch holds one
+    # compacted output buffer (~1.3 MB host + its device buffers).
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
+    depth = max(1, int(os.environ.get("YAIK_ENC_DEPTH", "2")))
     pool = ThreadPoolExecutor(1)
     try:
         for shape, idxs in groups.items():
@@ -316,7 +324,15 @@ def encode_corpus(images, bank: bankmod.Bank,
                 continue
             key = (shape[0], shape[1], cfg.reject_factor)
             base_caps = devp.pass_caps(shape[1], shape[0])
-            pending = None
+            inflight: deque = deque()
+
+            def drain_one():
+                p_chunk, p_imgs, p_fut, p_caps = inflight.popleft()
+                for i, st in zip(p_chunk, _drain_adaptive(
+                        p_imgs, p_fut.result(), p_caps, bank, cfg,
+                        tables)):
+                    results[i] = st
+
             for s in range(0, len(idxs), batch_size):
                 chunk = idxs[s:s + batch_size]
                 batch_imgs = [imgs[i] for i in chunk]
@@ -325,18 +341,12 @@ def encode_corpus(images, bank: bankmod.Bank,
                 fut = pool.submit(_dispatch_batch,
                                   batch_imgs + [batch_imgs[0]] * pad,
                                   shape, cfg, tables, caps)
-                if pending is not None:
-                    p_chunk, p_imgs, p_fut, p_caps = pending
-                    for i, st in zip(p_chunk, _drain_adaptive(
-                            p_imgs, p_fut.result(), p_caps, bank, cfg,
-                            tables)):
-                        results[i] = st
-                pending = (chunk, batch_imgs + [batch_imgs[0]] * pad, fut,
-                           caps)
-            p_chunk, p_imgs, p_fut, p_caps = pending
-            for i, st in zip(p_chunk, _drain_adaptive(
-                    p_imgs, p_fut.result(), p_caps, bank, cfg, tables)):
-                results[i] = st
+                inflight.append((chunk, batch_imgs + [batch_imgs[0]] * pad,
+                                 fut, caps))
+                if len(inflight) > depth:
+                    drain_one()
+            while inflight:
+                drain_one()
     finally:
         pool.shutdown(wait=True)
     return results
