@@ -60,9 +60,13 @@ from yaik_tpu.decoder import jax_engine, planner  # noqa: E402
 from yaik_tpu.format import lut as lutmod  # noqa: E402
 
 FIX = pathlib.Path(__file__).parent / "tests" / "fixtures"
-BATCH = int(os.environ.get("YAIK_BENCH_BATCH", "64"))   # 64 > 32/128 (608
-# vs 585/592 MPix/s same-session): amortizes per-pass fixed costs without
-# outgrowing VMEM-friendly working sets
+BATCH = int(os.environ.get("YAIK_BENCH_BATCH", "128"))
+# Round 2 measured 64 > 32/128 (608 vs 585/592 MPix/s) and pinned 64; the
+# round-3/4 fusions (T3 layer merge, merged gradient kernel, composed
+# T3+1D blend) changed the per-pass fixed-cost/working-set balance and the
+# re-measured chained sweep now scales monotonically: 1192/1449/1537
+# MPix/s at B=32/64/128 (same session, salted chain). The old b128
+# regression no longer reproduces.
 STEPS = int(os.environ.get("YAIK_BENCH_STEPS", "64"))
 SYNC_STEPS = int(os.environ.get("YAIK_BENCH_SYNC_STEPS", "6"))
 E2E_IMAGES = int(os.environ.get("YAIK_BENCH_E2E_IMAGES", "32"))

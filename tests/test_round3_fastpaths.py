@@ -387,3 +387,32 @@ def test_fused_t3_d1_compose_interpret(expanded_lut):
     V = V3 ^ ((V3 ^ V1) & m1)
     composed = plane ^ ((plane ^ V) & (m3 | m1))
     assert np.array_equal(np.asarray(composed), np.asarray(seq))
+
+
+def test_grad_plane_final_interpret_vs_split():
+    """The round-4 fused epilogue (_grad_merged_final: gradient blend over
+    the 0x808080 background + composed T3+1D apply with a per-CHANNEL
+    mask, one dispatch) == the split form (_grad_merged_pass then the XLA
+    RMW blend), including pixels where only one channel writes."""
+    from yaik_tpu.decoder import jax_engine as je
+    rng = np.random.default_rng(11)
+    H = W = 64
+    qh, qw = H // 4 + 1, W // 4 + 1
+    corners = np.stack([rng.integers(0, 256, (qh, qw, 3)).astype(np.uint8)
+                        for _ in je.GRAD_SHIFTS])
+    code4 = rng.integers(0, 8, (H // 4, W // 4)).astype(np.uint8)
+    vc = jnp.asarray(rng.integers(0, 1 << 24, (H, W)).astype(np.uint32))
+    # per-channel mask: each byte independently 0x00 or 0xFF
+    mbits = rng.random((H, W, 3)) < 0.4
+    mc = jnp.asarray((mbits[..., 0] * 0xFF
+                      + mbits[..., 1] * 0xFF00
+                      + mbits[..., 2] * 0xFF0000).astype(np.uint32))
+
+    plane0 = jnp.full((H, W), 0x808080, jnp.uint32)
+    split = je._grad_merged_pass(plane0, jnp.asarray(corners),
+                                 jnp.asarray(code4), interpret=True)
+    split = split ^ ((split ^ vc) & mc)
+
+    fused = je._grad_merged_final(jnp.asarray(corners), jnp.asarray(code4),
+                                  vc, mc, interpret=True)
+    assert np.array_equal(np.asarray(fused), np.asarray(split))

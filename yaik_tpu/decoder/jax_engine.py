@@ -195,21 +195,13 @@ def _grad_consts(H, W):
     return out
 
 
-def _grad_merged_pass(plane, corners7, code4, interpret=False):
-    """All full-plane gradient passes as ONE Pallas dispatch (see
-    pallas_kernels.grad_plane). corners7 [7, qh, qw, 3] u8 per-pass corner
-    grids, code4 [H/4, W/4] u8 per-4x4-block winner (0 = none). The
-    legacy 7x _blend_pass chain wrote a ~200 MB f32 + 64 MB u32 plane per
-    pass per 64-image step; this reads 0.4 MB of corners and writes the
-    one [H, W] u32 result (measured 6.7 -> ~1.8 ms/step at 512^2 b64).
-    interpret=True runs the kernel in Pallas interpret mode so the CPU
-    test tier can validate this packing (tests/test_round3_fastpaths.py)."""
-    from yaik_tpu.ops.pallas_kernels import grad_plane
-    H, W = plane.shape
+def _grad_pack_corners(corners7, H, W):
+    """Pack the [7, qh, qw, 3] u8 corner grids into the merged kernel's
+    [7, KY+8, KX+128] i32 layout (edge row/col relocated to KY/KX; see
+    pallas_kernels.grad_plane)."""
     qh, qw = H // 4 + 1, W // 4 + 1
     KX = -(-(qw - 1) // 128) * 128
     KY = -(-(qh - 1) // 128) * 128
-    by, bx, r4y, r4x = _grad_consts(H, W)
     c = corners7.astype(jnp.int32)
     pk = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)   # [7, qh, qw]
     main = jnp.pad(pk[:, : qh - 1, : qw - 1],
@@ -222,12 +214,45 @@ def _grad_merged_pass(plane, corners7, code4, interpret=False):
                   ((0, 0), (0, 0), (0, 127)))
     corn = jnp.concatenate(
         [jnp.pad(top, ((0, 0), (0, KY - (qh - 1)), (0, 0))), bot], axis=1)
-    corn = jnp.pad(corn, ((0, 0), (0, 7), (0, 0)))     # [7, KY+8, KX+128]
+    return jnp.pad(corn, ((0, 0), (0, 7), (0, 0)))     # [7, KY+8, KX+128]
+
+
+def _grad_merged_pass(plane, corners7, code4, interpret=False):
+    """All full-plane gradient passes as ONE Pallas dispatch (see
+    pallas_kernels.grad_plane). corners7 [7, qh, qw, 3] u8 per-pass corner
+    grids, code4 [H/4, W/4] u8 per-4x4-block winner (0 = none). The
+    legacy 7x _blend_pass chain wrote a ~200 MB f32 + 64 MB u32 plane per
+    pass per 64-image step; this reads 0.4 MB of corners and writes the
+    one [H, W] u32 result (measured 6.7 -> ~1.8 ms/step at 512^2 b64).
+    interpret=True runs the kernel in Pallas interpret mode so the CPU
+    test tier can validate this packing (tests/test_round3_fastpaths.py)."""
+    from yaik_tpu.ops.pallas_kernels import grad_plane
+    H, W = plane.shape
+    by, bx, r4y, r4x = _grad_consts(H, W)
+    corn = _grad_pack_corners(corners7, H, W)
     V = grad_plane(corn, code4.astype(jnp.int32), by, bx, r4y, r4x,
                    shifts=GRAD_SHIFTS, interpret=interpret
                    ).astype(jnp.uint32)
     m32 = ((V >> 24) & 1) * 0xFFFFFF
     return plane ^ ((plane ^ V) & m32)
+
+
+def _grad_merged_final(corners7, code4, vc, mc, interpret=False):
+    """Merged gradient pass + final composition in ONE dispatch: the
+    gradient result blends over the constant 0x808080 background in the
+    kernel epilogue and the composed T3+1D values (vc) apply under their
+    per-channel mask (mc). Returns the FINAL u32 plane; replaces the
+    gradient blend AND the last full-plane RMW of the compose path
+    (decode_core). Standard streams only (no UCOL/SMAP overlay - the
+    overlay pre-initializes the background, which this kernel hardcodes)."""
+    from yaik_tpu.ops.pallas_kernels import grad_plane_final
+    H, W = vc.shape
+    by, bx, r4y, r4x = _grad_consts(H, W)
+    corn = _grad_pack_corners(corners7, H, W)
+    return grad_plane_final(corn, code4.astype(jnp.int32), by, bx, r4y,
+                            r4x, vc.astype(jnp.int32), mc.astype(jnp.int32),
+                            shifts=GRAD_SHIFTS,
+                            interpret=interpret).astype(jnp.uint32)
 
 
 def _tile_to_image(vals, nty, ntx, th, tw):
@@ -309,6 +334,14 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy,
 
 
 USE_T3_FUSED = os.environ.get("YAIK_T3_FUSED", "1") == "1"
+# Fold the final composition (gradient blend over background + composed
+# T3+1D apply) into the merged gradient kernel's epilogue. MEASURED
+# NEGATIVE (round 4, default off): 1479 vs 1515 MPix/s at b128 - XLA
+# already fuses the compose+blend chain into one fusion WITHOUT
+# materializing V/m, while the kernel epilogue forces both to materialize
+# in HBM as pallas_call inputs (+2.1 MB/img). Kept for A/B and because
+# the interpret test pins the per-channel blend semantics.
+USE_GRAD_FINAL = os.environ.get("YAIK_GRAD_FINAL", "0") == "1"
 
 
 def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
@@ -505,14 +538,6 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
               | (ov_vals[1].astype(jnp.uint32) << 8)
               | (ov_vals[2].astype(jnp.uint32) << 16))
         plane = plane ^ ((plane ^ vp) & (m * 0xFFFFFF))
-    if grad_accepts is None:
-        # merged: (corners7 [7, qh, qw, 3] u8, code4 [h/4, w/4] u8) - one
-        # Pallas dispatch for all 7 full-plane passes (TPU packing only)
-        plane = _grad_merged_pass(plane, *grad_corners)
-    else:
-        for k, (sx, sy) in enumerate(shifts):
-            plane = _blend_pass(plane, grad_accepts[k], grad_corners[k],
-                                sx, sy)
     fused_t3 = (len(t3_accepts) == 2 and t3_dicts[0] is not None
                 and t3_dicts[1] is not None and USE_T3_FUSED and USE_PALLAS
                 and jax.devices()[0].platform == "tpu")
@@ -520,13 +545,32 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
     # T3 output with the 1D residual values into ONE plane RMW blend
     compose_d1 = (fused_t3 and pgrad_pairs is None and t2 is None
                   and pgrad_singles is None)
+    # ... and when the merged gradient kernel is in play with no overlay,
+    # the whole post-plan pipeline is ONE kernel epilogue: gradient blend
+    # over the constant background + composed T3+1D apply, no
+    # intermediate plane ever touches HBM (round 4; USE_GRAD_FINAL=0
+    # forces the split form for A/B)
+    fuse_final = (compose_d1 and ucol is None and grad_accepts is None
+                  and USE_GRAD_FINAL)
+    if grad_accepts is None:
+        # merged: (corners7 [7, qh, qw, 3] u8, code4 [h/4, w/4] u8) - one
+        # Pallas dispatch for all 7 full-plane passes (TPU packing only)
+        if not fuse_final:
+            plane = _grad_merged_pass(plane, *grad_corners)
+    else:
+        for k, (sx, sy) in enumerate(shifts):
+            plane = _blend_pass(plane, grad_accepts[k], grad_corners[k],
+                                sx, sy)
     if compose_d1:
         V3, m3 = _tile3d_merged2_pass(None, lut_tab, t3_accepts, t3_rows,
                                       t3_colors, t3_packed, t3_dicts[0])
         V1, m1 = _d1_vals(d1_params, d1_indices, d1_wmask, h8, w8)
         V = V3 ^ ((V3 ^ V1) & m1)         # d1 wins where it writes
         m = m3 | m1
-        plane = plane ^ ((plane ^ V) & m)
+        if fuse_final:
+            plane = _grad_merged_final(*grad_corners, V, m)
+        else:
+            plane = plane ^ ((plane ^ V) & m)
     elif fused_t3:
         # both merged layers share one union dictionary (plan_to_device_args
         # builds t3_dicts[0] is t3_dicts[1]) -> fused single-dispatch path

@@ -211,7 +211,7 @@ def lut3d_vals_dict(idxT, tab3, colsT, interpret=False):
 # ---------------------------------------------------------------------------
 
 def _grad_kernel(shifts, KX, KY, W, corn_ref, code_ref, by_ref, bx_ref,
-                 r4y_ref, r4x_ref, out_ref):
+                 r4y_ref, r4x_ref, *rest):
     """All 7 gradient size passes for one row block, in VMEM.
 
     Per pass k: u = cg_k @ Bx_k (x-interp, exact f32 <= 4080), then
@@ -257,7 +257,22 @@ def _grad_kernel(shifts, KX, KY, W, corn_ref, code_ref, by_ref, bx_ref,
             vc = t.astype(jnp.int32) >> (sy + sx)
             vk = vc if c == 0 else vk | (vc << c)
         out = jnp.where(C == k + 1, vk, out)
-    out_ref[:] = out | jnp.where(C > 0, 1 << 24, 0)
+    if len(rest) == 1:                                   # (out_ref,)
+        rest[0][:] = out | jnp.where(C > 0, 1 << 24, 0)
+        return
+    # fused final composition (vc_ref, mc_ref, out_ref): blend the
+    # gradient result over the 0x808080 background, then apply the
+    # composed T3+1D values with their per-CHANNEL mask - the whole
+    # post-overlay pipeline's last two full-plane RMW chains collapse
+    # into this block's epilogue (decode_core compose path)
+    vc_ref, mc_ref, out_ref = rest
+    bg = jnp.int32(0x808080)
+    # & 0xFFFFFF replicates the legacy masked blend exactly (the packed
+    # OR could carry bits >= 24 only on out-of-range channel values, but
+    # the legacy path discarded them and so must this one)
+    p1 = jnp.where(C > 0, out & 0xFFFFFF, bg)
+    vc, mc = vc_ref[:], mc_ref[:]
+    out_ref[:] = p1 ^ ((p1 ^ vc) & mc)
 
 
 @partial(jax.jit, static_argnames=("shifts", "interpret"))
@@ -295,6 +310,49 @@ def grad_plane(corn, code4, by, bx, r4y, r4x, shifts, interpret=False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(corn, code4, by, bx, r4y, r4x)
+
+
+@partial(jax.jit, static_argnames=("shifts", "interpret"))
+def grad_plane_final(corn, code4, by, bx, r4y, r4x, vc, mc, shifts,
+                     interpret=False):
+    """grad_plane + the final composition in one dispatch: the gradient
+    result blends over the 0x808080 background and the composed T3+1D
+    values vc apply under the per-channel mask mc (both [H, W] i32) in
+    the kernel epilogue. Returns the FINAL [H, W] i32 packed plane -
+    replaces two full-plane XLA RMW chains on the standard decode path
+    (decode_core compose branch; ucol streams keep the split form)."""
+    BR = r4y.shape[0]
+    H = by.shape[1]
+    W = bx.shape[2]
+    KY = by.shape[2] - 128
+    KX = bx.shape[1] - 8
+    grid = (H // BR,)
+    return pl.pallas_call(
+        partial(_grad_kernel, shifts, KX, KY, W),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((7, KY + 8, KX + 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR // 4, W // 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, BR, KY + 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, KX + 8, W), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, BR // 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W // 4, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BR, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BR, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(corn, code4, by, bx, r4y, r4x, vc, mc)
 
 
 # ---------------------------------------------------------------------------
