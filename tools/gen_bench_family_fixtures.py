@@ -81,7 +81,8 @@ def main():
             for bx in range(0, 3840, 512):
                 v = np.roll(np.roll(img, bx // 64, 1), by // 64, 0)
                 big[by:by + 512, bx:bx + 512] = v[: 2160 - by, : 3840 - bx]
-        st = encode_image(big, bank)
+        from yaik_tpu.encoder.batch import encode_image_banded
+        st = encode_image_banded(big, bank)   # device-banded scoring
         (FIX / "bench_4k.yaik").write_bytes(st)
         print("bench_4k.yaik", len(st), flush=True)
 

@@ -63,12 +63,20 @@ if os.path.exists(_LIB_PATH):
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as _e:
-        # half-written/incompatible .so: keep the documented pure-Python
-        # fallback instead of raising at import (ADVICE r3)
+        # half-written or incompatible .so (-march=native binary carried
+        # to a different CPU): remove it, rebuild once, and retry; only
+        # then settle for the documented pure-Python fallback (ADVICE r3)
         import sys
-        print(f"yaik_tpu: could not load libyaik_host.so ({_e}); "
-              "pure-Python fallbacks in effect", file=sys.stderr)
-        lib = None
+        try:
+            os.remove(_LIB_PATH)
+            _ensure_built()
+            lib = ctypes.CDLL(_LIB_PATH)
+            print("yaik_tpu: libyaik_host.so was unloadable "
+                  f"({_e}); rebuilt for this host", file=sys.stderr)
+        except OSError:
+            print(f"yaik_tpu: could not load libyaik_host.so ({_e}); "
+                  "pure-Python fallbacks in effect", file=sys.stderr)
+            lib = None
 if lib is not None:
     lib.palette_decompress.restype = ctypes.c_int
     lib.palette_decompress.argtypes = [
