@@ -20,6 +20,7 @@ from yaik_tpu.decoder import alpha as alphamod
 from yaik_tpu.entropy import palette, zstd_backend as zstd
 from yaik_tpu.format import lut as lutmod
 from yaik_tpu.format import swizzle
+from yaik_tpu.utils import debug_dump
 from yaik_tpu.format.headers import (END_TAG, Header1D, HeaderBase,
                                      HeaderGradientTile, HeaderTile3D,
                                      HeaderTile3DX, FileHeader, MAGIC,
@@ -771,6 +772,8 @@ def decode(stream: bytes, lut_data: bytes | dict,
                 raise ValueError(f"unknown chunk tag {tag!r}")
         except _struct.error as e:
             raise ValueError(f"malformed {tag!r} chunk: {e}") from e
+        if debug_dump.enabled():           # YAIK_DEVEL Debug_RGBandTILE
+            debug_dump.snapshot_decode(tag, st)
 
     out = st.planes[:, :fh.height, :fh.width].transpose(1, 2, 0)
     if st.has_alpha:

@@ -16,6 +16,7 @@ from yaik_tpu.encoder import corr3d, dyn1d, gradient
 from yaik_tpu.encoder.palette_codec import PaletteState, palette_compress
 from yaik_tpu.entropy import zstd_backend as zstd
 from yaik_tpu.format import swizzle
+from yaik_tpu.utils import debug_dump
 from yaik_tpu.utils import profiler
 from yaik_tpu.format.headers import (FileHeader, Header1D, HeaderBase,
                                      HeaderGradientTile, HeaderTile3D,
@@ -244,6 +245,12 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
                                     cfg.color_compression_quad, sx, sy, 7,
                                     w, h, bbox=bbox))
     _grad_stage.__exit__(None, None, None)
+    if debug_dump.enabled():
+        # debug1BitAsPng analog (claim state after the gradient stage);
+        # the host engine updates per-pixel claims directly
+        debug_dump.snapshot_accepts(
+            "gradient_claims4", claims4 if claims4 is not None
+            else claims.any(0)[::4, ::4])
 
     # ---- 3D-LUT passes ----
     streams = {
@@ -305,6 +312,10 @@ def encode_image(rgb: np.ndarray, bank: bankmod.Bank,
         # 1D leftovers - read the union exactly as the sequential updates
         # left it)
         claims |= np.repeat(np.repeat(claims4, 4, 0), 4, 1)[None]
+    if debug_dump.enabled():
+        debug_dump.snapshot_accepts(
+            "tile3d_claims4", claims4 if claims4 is not None
+            else claims.any(0)[::4, ::4])
 
     def _plane_gradient(mask):
         bitmap, rgb_stream, count = gradient.run_pass(
