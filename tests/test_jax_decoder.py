@@ -28,7 +28,10 @@ def test_jax_engine_smoke():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_jax_engine_subprocess():
-    """Full tier: engine matrix, mesh decode, spatial bands, corpus
-    pipeline, multi-chunk parallel surfaces, dryrun entry points."""
+    """Nightly tier (412 s: the clean-env subprocess deliberately shares
+    no jit cache): engine matrix, mesh decode, spatial bands, corpus
+    pipeline, multi-chunk parallel surfaces, dryrun entry points. The
+    fast-tier smoke above covers the same driver single-path."""
     _run_driver()
