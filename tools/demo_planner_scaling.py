@@ -47,14 +47,14 @@ def planner_worker(names, njobs, out_q):
         [jax_engine.t3_pack_mode(planner.build_plan(streams[n], expanded),
                                  expanded) for n in names],
         [planner.build_plan(streams[n], expanded) for n in names])
-    out_q.put(("ready", None))
+    out_q.put(("ready", None, None))
     for k in range(njobs):
         n = names[k % len(names)]
         p = planner.build_plan(streams[n], expanded)
         _, _, args = jax_engine.plan_to_device_args(p, expanded,
                                                     t3_modes=t3m)
-        out_q.put((n, args))
-    out_q.put(("done", None))
+        out_q.put(("job", n, args))
+    out_q.put(("done", None, None))
 
 
 def main():
@@ -107,20 +107,29 @@ def main():
                  for _ in range(N)]
         for p in procs:
             p.start()
-        ready = 0
-        while ready < N:                     # don't time worker warmup
-            tag, _ = q.get()
-            assert tag == "ready"
-            ready += 1
+        # workers start producing immediately after their "ready"; buffer
+        # any early jobs while waiting so the warmup isn't timed but no
+        # message is lost (a strict ready-first protocol deadlocks when a
+        # fast worker fills the queue before a slow one says ready)
+        ready, early = 0, []
+        while ready < N:
+            tag, n, a = q.get()
+            if tag == "ready":
+                ready += 1
+            elif tag == "job":
+                early.append((n, a))
         t0 = time.perf_counter()
         done, got, batch_names, batch_args, ok = 0, 0, [], [], True
         pending = None
         while done < N or got < total:
-            tag, a = q.get()
-            if tag == "done":
-                done += 1
-                continue
-            batch_names.append(tag)
+            if early:
+                n, a = early.pop(0)
+            else:
+                tag, n, a = q.get()
+                if tag == "done":
+                    done += 1
+                    continue
+            batch_names.append(n)
             batch_args.append(a)
             got += 1
             if len(batch_args) == BATCH:
