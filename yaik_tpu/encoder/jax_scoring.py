@@ -332,17 +332,28 @@ def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
     nch = (Ns + pad) // tc
     if use_pallas:
-        # scoring for the whole batch in ONE fused MXU kernel; only the
-        # values stage stays lax.map-chunked (its transients are [Tc,E,P,n])
-        from yaik_tpu.ops.pallas_kernels import score48
+        # scoring for the whole batch in ONE fused MXU kernel
+        from yaik_tpu.ops.pallas_kernels import score48, values48
         sums = score48(c, alive_s, qpts)                      # [Ns,E,48]
         mode48 = jnp.argmin(sums, axis=-1).astype(jnp.int32)  # [Ns,E]
-        stacked = jax.lax.map(
-            lambda i: tile3d_values_device.__wrapped__(
-                *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
-                  for v in (tiles_s, alive_s, a_c, b_c, mode48, mn_s, d_s)),
-                pts_sub, factors),
-            jnp.arange(nch))
+        if os.environ.get("YAIK_VALUES", "map") == "pallas":
+            # values stage as ONE Pallas dispatch too (bit-identical twin,
+            # tests/test_values48.py; the lax.map chunk loop and its
+            # [Tc,E,P,120] XLA transients disappear - measured 76 -> ?? ms
+            # per 8-image batch, see BASELINE.md round 4)
+            acc, typ_, idx_ = values48.__wrapped__(
+                tiles_s, alive_s, a_c, b_c, mode48, mn_s, d_s, pts_sub,
+                factors)
+            stacked = (acc.reshape(1, -1), typ_.reshape(1, -1),
+                       idx_.reshape(1, -1, P))
+        else:
+            stacked = jax.lax.map(
+                lambda i: tile3d_values_device.__wrapped__(
+                    *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
+                      for v in (tiles_s, alive_s, a_c, b_c, mode48, mn_s,
+                                d_s)),
+                    pts_sub, factors),
+                jnp.arange(nch))
     else:
         stacked = jax.lax.map(
             lambda i: tile3d_pass_hybrid.__wrapped__(

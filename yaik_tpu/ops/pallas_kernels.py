@@ -496,3 +496,226 @@ def lut3d_vals_dict2(idxaT, idxbT, tab3, colsaT, colsbT, interpret=False):
         interpret=interpret,
     )(idxap, idxbp, tab3, colap, colbp)
     return out[:, :G]
+
+
+# ---------------------------------------------------------------------------
+# Encoder values stage (computeValues3D for all (tile, LUT))
+# ---------------------------------------------------------------------------
+
+_V48_WINDOWS = ((0, 64), (64, 32), (96, 16), (112, 8))
+_V48_INIT = 1215752191                 # (int)99999999999, EncoderContext:6459
+_V48_SKIP = 4
+_V48_SWAP = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
+             (2, 1, 0))
+
+
+def _values48_kernel(P, E, factor, ab_ref, tmd_ref, m48_ref, sf_ref,
+                     sf2_ref, ff_ref, idx_ref, meta_ref):
+    """One (tile-block, LUT e) grid step of the values stage.
+
+    Rows = tile*pixel flattened on sublanes (score48's layout); the packed
+    120-lane point axis carries all four bit depths. Per-tile quantities
+    move between [tb, 1] and [Pb, 1] by sublane-split/merge reshapes with
+    the lane dim fixed at 1 (the only reshape class Mosaic supports, same
+    as score48's (Pb, X) -> (tb, P, X)). The LUT axis rides the grid's
+    inner dimension; the selection scan accumulates in the revisited
+    meta/idx output blocks (lanes: 0 best_diff, 1 best_e, 2 best_acc,
+    3 mode_sel, 4 accept, 5 tile_type)."""
+    e = pl.program_id(1)
+    n_e = pl.num_programs(1)
+    AB = ab_ref[:]                                     # [Pb, 8] f32 a|b
+    TMD = tmd_ref[:]                                   # [Pb, 16] i32
+    Pb = AB.shape[0]
+    tb = Pb // P
+
+    def to_tile(x_r, red):                             # [Pb,1] -> [tb,1]
+        return red(x_r.reshape(tb, P, 1), axis=1)
+
+    def to_rows(x_t):                                  # [tb,1] -> [Pb,1]
+        return jnp.broadcast_to(x_t[:, None, :], (tb, P, 1)).reshape(Pb, 1)
+
+    # mode48 column e: one-hot MXU extract from the [tb, 128] block
+    ids = jax.lax.broadcasted_iota(jnp.int32, (m48_ref.shape[1], 1), 0)
+    oh = (ids == e).astype(jnp.float32)
+    m48t = jnp.dot(m48_ref[:], oh,
+                   preferred_element_type=jnp.float32)  # [tb,1] exact (<48)
+    mi = to_rows(m48t).astype(jnp.int32)                # [Pb,1]
+    k = mi >> 3
+    flip = [(mi >> s) & 1 for s in range(3)]
+    m_s = [jnp.where(flip[s] == 1, AB[:, 3 + s:4 + s], AB[:, s:s + 1])
+           for s in range(3)]                           # 3x [Pb,1] f32
+    # perm_o = SWAP3D[k][o] via 6-way selects (k is per-row)
+    perm = []
+    for o in range(3):
+        po = jnp.zeros_like(k)
+        for kk in range(6):
+            po = jnp.where(k == kk, _V48_SWAP[kk][o], po)
+        perm.append(po)
+
+    def permute3(v3, o):
+        return jnp.where(perm[o] == 0, v3[0],
+                         jnp.where(perm[o] == 1, v3[1], v3[2]))
+
+    MF = jnp.concatenate([permute3(m_s, o) for o in range(3)],
+                         axis=1)                        # [Pb,3] f32
+    sfm = sf_ref[0]                                     # [3,128] = -2*sf
+    G = jnp.dot(MF, sfm, preferred_element_type=jnp.float32)
+    dist = G + sf2_ref[0]                               # [Pb,128]
+    ffm = ff_ref[0]                                     # [3,128]
+
+    sgn = [jnp.where(flip[s] == 1, jnp.float32(-1), jnp.float32(1))
+           for s in range(3)]
+    base = [flip[s].astype(jnp.float32) * jnp.float32(factor)
+            for s in range(3)]
+    mnr = [to_rows(to_tile(TMD[:, 4 + o:5 + o], jnp.max))
+           for o in range(3)]    # mn is per-tile constant; max == identity
+    dr = [to_rows(to_tile(TMD[:, 7 + o:8 + o], jnp.max)) for o in range(3)]
+    alive_r = TMD[:, 3:4]
+    tl = [TMD[:, o:o + 1] for o in range(3)]
+
+    acc_e = jnp.full((tb, 1), _V48_SKIP, jnp.int32)
+    diff_e = jnp.zeros((tb, 1), jnp.int32)
+    idx_e = jnp.zeros((Pb, 1), jnp.int32)
+    idx_w0 = None
+    BIG = jnp.float32(3.0e38)
+    for bi, (off, npts) in enumerate(_V48_WINDOWS):
+        db = dist[:, off:off + npts]
+        dmin = jnp.min(db, axis=1, keepdims=True)
+        iot = jax.lax.broadcasted_iota(jnp.int32, (Pb, npts), 1)
+        idx = jnp.min(jnp.where(db <= dmin, iot, npts), axis=1,
+                      keepdims=True)                    # [Pb,1]
+        if bi == 0:
+            idx_w0 = idx
+        hit = iot == idx
+        fx_s = [base[s] + sgn[s] * jnp.min(
+            jnp.where(hit, ffm[s:s + 1, off:off + npts], BIG),
+            axis=1, keepdims=True) for s in range(3)]   # 3x [Pb,1] f32
+        ld = jnp.zeros((Pb, 1), jnp.int32)
+        for o in range(3):
+            fx_o = permute3(fx_s, o).astype(jnp.int32)
+            recon = mnr[o] + ((fx_o * dr[o]) >> 7)
+            ld = jnp.maximum(ld, jnp.abs(recon - tl[o]))
+        ldiff = jnp.where(alive_r != 0, ld, 0)
+        cnt = to_tile((ldiff > 5).astype(jnp.float32), jnp.sum)
+        ok_t = cnt <= 3.0                               # [tb,1] bool
+        dsum = to_tile(ldiff.astype(jnp.float32), jnp.sum)
+        acc_e = jnp.where(ok_t, jnp.int32(3 - bi), acc_e)
+        diff_e = jnp.where(ok_t, dsum.astype(jnp.int32), diff_e)
+        ok_r = to_rows(ok_t.astype(jnp.int32)) != 0
+        idx_e = jnp.where(ok_r, idx, idx_e)
+
+    m48t_i = m48t.astype(jnp.int32)
+
+    @pl.when(e == 0)
+    def _seed():
+        # unaccepted tiles replicate the XLA tail exactly: e_sel=0,
+        # bitmode=min(SKIP,3)=3 -> idx_stack[0] = e0/window-0 idx
+        meta0 = jnp.concatenate(
+            [jnp.full((tb, 1), _V48_INIT, jnp.int32),    # best_diff
+             jnp.full((tb, 1), -1, jnp.int32),           # best_e
+             jnp.full((tb, 1), _V48_SKIP, jnp.int32),    # best_acc
+             m48t_i,                                     # mode_sel
+             jnp.zeros((tb, 4), jnp.int32)], axis=1)
+        meta_ref[0] = meta0
+        idx_ref[0] = idx_w0
+
+    meta = meta_ref[0]                                   # [tb, 8]
+    best_diff = meta[:, 0:1]
+    best_e = meta[:, 1:2]
+    best_acc = meta[:, 2:3]
+    mode_sel = meta[:, 3:4]
+    okE = (acc_e != _V48_SKIP) & (diff_e <= best_diff)
+    best_diff = jnp.where(okE, diff_e, best_diff)
+    best_e = jnp.where(okE, e, best_e)
+    best_acc = jnp.where(okE, acc_e, best_acc)
+    mode_sel = jnp.where(okE, m48t_i, mode_sel)
+    ok_r = to_rows(okE.astype(jnp.int32)) != 0
+    idx_ref[0] = jnp.where(ok_r, idx_e, idx_ref[0])
+
+    accept = (best_e >= 0).astype(jnp.int32)
+    e_sel = jnp.maximum(best_e, 0)
+    bitmode = jnp.minimum(best_acc, 3)
+    tile_type = mode_sel | (e_sel << 6) | (bitmode << 14)
+    meta_ref[0] = jnp.concatenate(
+        [best_diff, best_e, best_acc, mode_sel, accept, tile_type,
+         jnp.zeros((tb, 2), jnp.int32)], axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def values48(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub, factors,
+             interpret=False):
+    """Pallas twin of jax_scoring.tile3d_values_device (same signature,
+    same returns (accept [T] bool, tile_type [T] i32, idx_sel [T,P] i32),
+    bit-identical - tests/test_values48.py). The whole stage - distance
+    argmins over the packed 120-point axis for all 4 bit depths, factor
+    gathers, integer reconstruction/acceptance, and the E-LUT selection
+    scan - runs in one dispatch with the LUT axis on the inner grid
+    dimension and the scan state accumulated in revisited output blocks;
+    the lax.map chunk loop and its [Tc,E,P,120] XLA transients disappear."""
+    from yaik_tpu.encoder.jax_scoring import FACTOR
+    T, P, _ = tiles.shape
+    E = mode48.shape[1]
+    steps = ((1, 64), (2, 32), (4, 16), (8, 8))
+
+    Pb = 2048
+    tb = Pb // P
+    padT = (-T) % tb
+    Tp = T + padT
+
+    def padt(x):
+        return jnp.pad(x, [(0, padT)] + [(0, 0)] * (x.ndim - 1))
+
+    ab = jnp.concatenate(
+        [padt(a_c).astype(jnp.float32).reshape(Tp * P, 3),
+         padt(b_c).astype(jnp.float32).reshape(Tp * P, 3),
+         jnp.zeros((Tp * P, 2), jnp.float32)], axis=1)          # [N,8]
+    mn_r = jnp.repeat(padt(mn).astype(jnp.int32), P, axis=0)    # [N,3]
+    d_r = jnp.repeat(padt(d).astype(jnp.int32), P, axis=0)
+    tmd = jnp.concatenate(
+        [padt(tiles).astype(jnp.int32).reshape(Tp * P, 3),
+         padt(alive).astype(jnp.int32).reshape(Tp * P, 1),
+         mn_r, dr_pad := d_r, jnp.zeros((Tp * P, 6), jnp.int32)],
+        axis=1)                                                 # [N,16]
+    m48p = jnp.pad(padt(mode48).astype(jnp.float32),
+                   ((0, 0), (0, 128 - E)))                      # [Tp,128]
+
+    # packed 120-lane point/factor tables (window order = steps order)
+    sf = jnp.concatenate([pts_sub[:, ::st][:, :n] for st, n in steps],
+                         axis=1).astype(jnp.float32)            # [E,120,3]
+    sfm = jnp.pad(-2.0 * sf.transpose(0, 2, 1), ((0, 0), (0, 0), (0, 8)))
+    sf2 = jnp.pad((sf * sf).sum(-1)[:, None, :],
+                  ((0, 0), (0, 0), (0, 8)))                     # [E,1,128]
+    ff = jnp.concatenate(
+        [factors[3 - bi][:, :n] for bi, (st, n) in enumerate(steps)],
+        axis=1).astype(jnp.float32)                             # [E,120,3]
+    ffm = jnp.pad(ff.transpose(0, 2, 1), ((0, 0), (0, 0), (0, 8)))
+
+    ngrid = Tp // tb
+    idx_out, meta_out = pl.pallas_call(
+        partial(_values48_kernel, P, E, float(FACTOR)),
+        out_shape=(jax.ShapeDtypeStruct((ngrid, Pb, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((ngrid, tb, 8), jnp.int32)),
+        grid=(ngrid, E),
+        in_specs=[
+            pl.BlockSpec((Pb, 8), lambda i, e: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pb, 16), lambda i, e: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), lambda i, e: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 128), lambda i, e: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda i, e: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 128), lambda i, e: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, Pb, 1), lambda i, e: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tb, 8), lambda i, e: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(ab, tmd, m48p, sfm, sf2, ffm)
+    idx_sel = idx_out.reshape(Tp, P)[:T]
+    meta = meta_out.reshape(Tp, 8)[:T]
+    return meta[:, 4] != 0, meta[:, 5], idx_sel
