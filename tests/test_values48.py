@@ -24,6 +24,16 @@ def _rand_inputs(rng, T, P, E):
     a_c = rng.integers(0, 64, (T, P, 3)).astype(np.int32)
     b_c = np.clip(63 - a_c - rng.integers(0, 2, (T, P, 3)), 0,
                   63).astype(np.int32)
+    # dead pixels can carry WILD normalizations upstream (the caller's
+    # magic-multiply wraps i32 when tiles < mn) and their idx bytes are
+    # still emitted for accepted tiles - cover that class
+    wild = rng.random((T, P, 3)) < 0.05
+    a_c = np.where(wild & ~alive[:, :, None],
+                   rng.integers(-(1 << 24), 1 << 24, (T, P, 3)), a_c
+                   ).astype(np.int32)
+    b_c = np.where(wild & ~alive[:, :, None],
+                   rng.integers(-(1 << 24), 1 << 24, (T, P, 3)), b_c
+                   ).astype(np.int32)
     mode48 = rng.integers(0, 48, (T, E)).astype(np.int32)
     mn = rng.integers(0, 200, (T, 3)).astype(np.int32)
     d = rng.integers(1, 128, (T, 3)).astype(np.int32)

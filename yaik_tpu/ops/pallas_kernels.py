@@ -510,7 +510,7 @@ _V48_SWAP = ((0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
 
 
 def _values48_kernel(P, E, factor, ab_ref, tmd_ref, m48_ref, sf_ref,
-                     sf2_ref, ff_ref, idx_ref, meta_ref):
+                     ff_ref, idx_ref, meta_ref):
     """One (tile-block, LUT e) grid step of the values stage.
 
     Rows = tile*pixel flattened on sublanes (score48's layout); the packed
@@ -556,11 +556,18 @@ def _values48_kernel(P, E, factor, ab_ref, tmd_ref, m48_ref, sf_ref,
         return jnp.where(perm[o] == 0, v3[0],
                          jnp.where(perm[o] == 1, v3[1], v3[2]))
 
-    MF = jnp.concatenate([permute3(m_s, o) for o in range(3)],
-                         axis=1)                        # [Pb,3] f32
-    sfm = sf_ref[0]                                     # [3,128] = -2*sf
-    G = jnp.dot(MF, sfm, preferred_element_type=jnp.float32)
-    dist = G + sf2_ref[0]                               # [Pb,128]
+    mf = [permute3(m_s, o) for o in range(3)]           # 3x [Pb,1] f32
+    sfm = sf_ref[0]                                     # [3,128] point vals
+    # elementwise |mf - sf|^2 in the XLA form's exact op order (sum of 3
+    # squares, same association). The MXU form dist' = (-2 mf).sf + |sf|^2
+    # is argmin-equivalent ONLY while products stay f32-exact; dead pixels
+    # can carry huge out-of-range normalizations (the caller's i32
+    # magic-multiply wraps for tiles < mn) whose products exceed 2^24 and
+    # round DIFFERENTLY than the squared form - and accepted tiles emit
+    # dead-pixel idx bytes, so those argmins are part of the byte contract
+    # (found as a 28-byte stream divergence on real content; the random
+    # unit tests never produced out-of-range inputs).
+    dist = sum((mf[s] - sfm[s:s + 1, :]) ** 2 for s in range(3))
     ffm = ff_ref[0]                                     # [3,128]
 
     sgn = [jnp.where(flip[s] == 1, jnp.float32(-1), jnp.float32(1))
@@ -657,7 +664,7 @@ def values48(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub, factors,
     E = mode48.shape[1]
     steps = ((1, 64), (2, 32), (4, 16), (8, 8))
 
-    Pb = 2048
+    Pb = 1024            # 2048 exceeds the 16 MB scoped-vmem stack limit
     tb = Pb // P
     padT = (-T) % tb
     Tp = T + padT
@@ -682,9 +689,7 @@ def values48(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub, factors,
     # packed 120-lane point/factor tables (window order = steps order)
     sf = jnp.concatenate([pts_sub[:, ::st][:, :n] for st, n in steps],
                          axis=1).astype(jnp.float32)            # [E,120,3]
-    sfm = jnp.pad(-2.0 * sf.transpose(0, 2, 1), ((0, 0), (0, 0), (0, 8)))
-    sf2 = jnp.pad((sf * sf).sum(-1)[:, None, :],
-                  ((0, 0), (0, 0), (0, 8)))                     # [E,1,128]
+    sfm = jnp.pad(sf.transpose(0, 2, 1), ((0, 0), (0, 0), (0, 8)))
     ff = jnp.concatenate(
         [factors[3 - bi][:, :n] for bi, (st, n) in enumerate(steps)],
         axis=1).astype(jnp.float32)                             # [E,120,3]
@@ -705,8 +710,6 @@ def values48(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub, factors,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, 128), lambda i, e: (e, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 128), lambda i, e: (e, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, 128), lambda i, e: (e, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -715,7 +718,7 @@ def values48(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub, factors,
                    pl.BlockSpec((1, tb, 8), lambda i, e: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(ab, tmd, m48p, sfm, sf2, ffm)
+    )(ab, tmd, m48p, sfm, ffm)
     idx_sel = idx_out.reshape(Tp, P)[:T]
     meta = meta_out.reshape(Tp, 8)[:T]
     return meta[:, 4] != 0, meta[:, 5], idx_sel
