@@ -147,3 +147,24 @@ def test_analyze_color_count():
     assert counts.shape == (2, 2)
     assert counts[0, 0] == 1 and hist["1 (flat)"] == 3
     assert counts[1, 1] >= 16
+
+
+def test_mining_device_engine_matches_host():
+    """Device-engine mining (claims from the fused gradient bundle,
+    coverage matrix on the accelerator) == the host numpy loop, exactly:
+    same captured clouds, same greedy picks."""
+    from PIL import Image
+
+    from yaik_tpu.encoder import mining
+    import pathlib
+    fixdir = pathlib.Path(__file__).parent / "fixtures"
+    img = np.asarray(Image.open(fixdir / "img128.png").convert("RGB"))
+    ch = mining.capture_clouds(img)
+    cd = mining.capture_clouds(img, engine="device")
+    assert len(ch) == len(cd)
+    assert all(np.array_equal(a, b) for a, b in zip(ch, cd))
+    ph = mining.evaluate_candidates(ch, max_tables=4, max_candidates=32)
+    pd = mining.evaluate_candidates(ch, max_tables=4, max_candidates=32,
+                                    engine="device")
+    assert len(ph) == len(pd)
+    assert all(np.array_equal(a, b) for a, b in zip(ph, pd))

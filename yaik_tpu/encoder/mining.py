@@ -23,15 +23,29 @@ from yaik_tpu.encoder import gradient
 from yaik_tpu.format import swizzle
 
 
-def capture_clouds(rgb: np.ndarray, reject_factor: int = 3):
+def capture_clouds(rgb: np.ndarray, reject_factor: int = 3,
+                   engine: str = "host"):
     """Run the gradient passes, then capture normalized clouds of the
-    leftover full 8x8 tiles (the reference captures pixelsInTile >= 64)."""
+    leftover full 8x8 tiles (the reference captures pixelsInTile >= 64).
+    engine="device": the claim map comes from the fused device gradient
+    bundle (jax_scoring.gradient_all_device - the same scoring whose
+    byte parity with the host passes the encode tests), so corpus-scale
+    capture jobs ride the accelerator instead of the host scorer."""
     h, w = rgb.shape[:2]
     planes = rgb[:, :, :3].transpose(2, 0, 1).astype(np.int32)
     claims = np.zeros((3, h, w), bool)
-    mapped = np.zeros((3, h + 1, w + 1), bool)
-    for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
-        gradient.run_pass(planes, claims, mapped, sx, sy, reject_factor, 250)
+    if engine == "device":
+        import jax.numpy as jnp
+
+        from yaik_tpu.encoder import jax_scoring
+        _, claims_d = jax_scoring.gradient_all_device(
+            jnp.asarray(planes), jnp.asarray(claims), reject_factor)
+        claims = np.asarray(claims_d)
+    else:
+        mapped = np.zeros((3, h + 1, w + 1), bool)
+        for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
+            gradient.run_pass(planes, claims, mapped, sx, sy,
+                              reject_factor, 250)
 
     clouds = []
     for y in range(0, h, 8):
@@ -62,9 +76,39 @@ def _covers(cloud_pts: np.ndarray, tiles: np.ndarray, gate_px: int = 75):
     return (d > gate_px).sum(axis=1) <= 3
 
 
+def _covers_device(cands: np.ndarray, tiles: np.ndarray, gate_px: int):
+    """The full [k, n] coverage matrix on the accelerator: one jit,
+    candidates chunked via lax.map so the [kc, n, 64px, 64pt] distance
+    transient stays bounded. Integer-exact (i32 throughout), so the
+    result equals the numpy _covers matrix bit-for-bit - tested. On a
+    corpus-scale mine (k=256, n~50k) the numpy loop is minutes of host
+    time; the device matrix is one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    k = cands.shape[0]
+    kc = 8
+    pad = (-k) % kc
+    cp = jnp.asarray(np.pad(cands, ((0, pad), (0, 0), (0, 0)))
+                     .astype(np.int32))
+    tl = jnp.asarray(tiles.astype(np.int32))       # [n, 64, 3]
+
+    @jax.jit
+    def matrix(cp, tl):
+        def chunk(i):
+            c = jax.lax.dynamic_slice_in_dim(cp, i * kc, kc)  # [kc,64,3]
+            d = ((tl[None, :, :, None, :] - c[:, None, None, :, :]) ** 2
+                 ).sum(-1).min(-1)                 # [kc, n, 64px]
+            return (d > gate_px).sum(-1) <= 3
+        return jax.lax.map(chunk, jnp.arange((k + pad) // kc))
+
+    return np.asarray(matrix(cp, tl)).reshape(-1, tiles.shape[0])[:k]
+
+
 def evaluate_candidates(clouds, max_tables=12, gate_px=75,
-                        max_candidates=256):
-    """Greedy max-coverage selection of candidate clouds."""
+                        max_candidates=256, engine="host"):
+    """Greedy max-coverage selection of candidate clouds. engine="device"
+    computes the coverage matrix on the accelerator (bit-identical)."""
     if not clouds:
         return []
     tiles = np.stack(clouds)                       # [n, 64, 3]
@@ -73,7 +117,11 @@ def evaluate_candidates(clouds, max_tables=12, gate_px=75,
     cand_idx = list(range(0, len(clouds), step))
     cands = [bankmod.sort_palette_morton(clouds[i]) for i in cand_idx]
 
-    cover = np.stack([_covers(c, tiles, gate_px) for c in cands])  # [k, n]
+    if engine == "device":
+        cover = _covers_device(np.stack(cands), tiles, gate_px)
+    else:
+        cover = np.stack([_covers(c, tiles, gate_px)
+                          for c in cands])         # [k, n]
     covered = np.zeros(len(tiles), bool)
     picked = []
     for _ in range(max_tables):
@@ -86,7 +134,8 @@ def evaluate_candidates(clouds, max_tables=12, gate_px=75,
     return picked
 
 
-def mine_bank(images, out_dir, max_tables=12, checkpoint=None):
+def mine_bank(images, out_dir, max_tables=12, checkpoint=None,
+              engine="host"):
     """images: list of [h,w,3+] u8 arrays. Writes Bank3D-format files named
     like the reference's hardcoded list so both encoders can load them.
 
@@ -101,12 +150,14 @@ def mine_bank(images, out_dir, max_tables=12, checkpoint=None):
         start = int(saved["done"])
         clouds = [saved[f"c{i}"] for i in range(int(saved["count"]))]
     for k in range(start, len(images)):
-        clouds.extend(capture_clouds(np.asarray(images[k])))
+        clouds.extend(capture_clouds(np.asarray(images[k]),
+                                     engine=engine))
         if checkpoint:
             np.savez(checkpoint + ".tmp.npz", done=k + 1, count=len(clouds),
                      **{f"c{i}": c for i, c in enumerate(clouds)})
             os.replace(checkpoint + ".tmp.npz", checkpoint)
-    picked = evaluate_candidates(clouds, max_tables=max_tables)
+    picked = evaluate_candidates(clouds, max_tables=max_tables,
+                                 engine=engine)
     os.makedirs(out_dir, exist_ok=True)
     for name, cloud in zip(bankmod.BANK_FILE_NAMES, picked):
         with open(os.path.join(out_dir, name), "wb") as f:
