@@ -126,7 +126,8 @@ def cmd_mine(args):
     else:
         n, total = mining.mine_bank(imgs, args.out_dir,
                                     max_tables=args.max_tables,
-                                    checkpoint=args.checkpoint)
+                                    checkpoint=args.checkpoint,
+                                    engine=args.engine)
     print(f"{n} bank tables from {total} captured tiles -> {args.out_dir}")
 
 
@@ -203,6 +204,9 @@ def main():
     m.add_argument("--max-tables", type=int, default=12)
     m.add_argument("--checkpoint", default=None,
                    help="capture-phase checkpoint file (resumable)")
+    m.add_argument("--engine", default="host", choices=["host", "device"],
+                   help="device: fused-gradient capture claims + on-device"
+                        " coverage matrix (3d mode; bit-identical)")
     m.set_defaults(fn=cmd_mine)
 
     s = sub.add_parser("stats")
