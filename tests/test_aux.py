@@ -168,3 +168,19 @@ def test_mining_device_engine_matches_host():
                                     engine="device")
     assert len(ph) == len(pd)
     assert all(np.array_equal(a, b) for a, b in zip(ph, pd))
+
+
+def test_mining2d_device_matrix_matches_host():
+    from PIL import Image
+
+    from yaik_tpu.encoder import mining
+    import pathlib
+    fixdir = pathlib.Path(__file__).parent / "fixtures"
+    img = np.asarray(Image.open(fixdir / "img128.png").convert("RGB"))
+    clouds = mining.capture_clouds_2d(img)
+    assert clouds, "fixture produced no 2D captures"
+    step = max(1, len(clouds) // 32)
+    cands = [clouds[i] for i in range(0, len(clouds), step)]
+    host = np.stack([mining._covers_2d(c, clouds) for c in cands])
+    dev = mining._covers2d_device(cands, clouds)
+    assert np.array_equal(host, dev)

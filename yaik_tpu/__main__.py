@@ -122,7 +122,8 @@ def cmd_mine(args):
     imgs = [np.asarray(Image.open(p).convert("RGB")) for p in args.images]
     if args.mode == "2d":
         n, total = mining.mine_bank2d(imgs, args.out_dir,
-                                      max_tables=args.max_tables)
+                                      max_tables=args.max_tables,
+                                      engine=args.engine)
     else:
         n, total = mining.mine_bank(imgs, args.out_dir,
                                     max_tables=args.max_tables,
@@ -205,8 +206,9 @@ def main():
     m.add_argument("--checkpoint", default=None,
                    help="capture-phase checkpoint file (resumable)")
     m.add_argument("--engine", default="host", choices=["host", "device"],
-                   help="device: fused-gradient capture claims + on-device"
-                        " coverage matrix (3d mode; bit-identical)")
+                   help="device: fused-gradient capture claims (3d) and"
+                        " on-device coverage matrices (both modes);"
+                        " bit-identical picks")
     m.set_defaults(fn=cmd_mine)
 
     s = sub.add_parser("stats")

@@ -225,7 +225,45 @@ def _covers_2d(cloud_pts: np.ndarray, tiles, gate: int = 36):
     return out
 
 
-def mine_bank2d(images, out_dir, max_tables=12, max_candidates=256):
+def _covers2d_device(cands, clouds, gate: int = 36):
+    """The 2D [k, n] coverage matrix on the accelerator. 2D clouds are
+    variable-length (deduplicated point sets <= 64), so both axes pad to
+    64 points with masks: pad TILE points are excluded from the violation
+    count; pad CANDIDATE points sit at (4096, 4096) so they are never the
+    nearest. Bit-identical to the _covers_2d loop (tested)."""
+    import jax
+    import jax.numpy as jnp
+
+    def padset(ps):
+        arr = np.full((64, 2), 4096, np.int32)
+        arr[: len(ps)] = ps
+        m = np.zeros(64, bool)
+        m[: len(ps)] = True
+        return arr, m
+
+    cp = np.stack([padset(c)[0] for c in cands])           # [k,64,2]
+    tp_arr, tp_msk = zip(*(padset(t) for t in clouds))
+    tl = jnp.asarray(np.stack(tp_arr))                     # [n,64,2]
+    tm = jnp.asarray(np.stack(tp_msk))                     # [n,64]
+    k = cp.shape[0]
+    kc = 8
+    pad = (-k) % kc
+    cpj = jnp.asarray(np.pad(cp, ((0, pad), (0, 0), (0, 0))))
+
+    @jax.jit
+    def matrix(cpj, tl, tm):
+        def chunk(i):
+            c = jax.lax.dynamic_slice_in_dim(cpj, i * kc, kc)
+            d = ((tl[None, :, :, None, :] - c[:, None, None, :, :]) ** 2
+                 ).sum(-1).min(-1)                         # [kc,n,64px]
+            return ((d > gate) & tm[None]).sum(-1) <= 3
+        return jax.lax.map(chunk, jnp.arange((k + pad) // kc))
+
+    return np.asarray(matrix(cpj, tl, tm)).reshape(-1, len(clouds))[:k]
+
+
+def mine_bank2d(images, out_dir, max_tables=12, max_candidates=256,
+                engine="host"):
     """images -> Bank2D pattern PNGs loadable by encoder.bank2d (and by the
     reference's Load2DPattern). Greedy max-coverage like the 3D miner."""
     from PIL import Image as _Image
@@ -236,7 +274,10 @@ def mine_bank2d(images, out_dir, max_tables=12, max_candidates=256):
         return 0, 0
     step = max(1, len(clouds) // max_candidates)
     cands = [clouds[i] for i in range(0, len(clouds), step)]
-    cover = np.stack([_covers_2d(c, clouds) for c in cands])
+    if engine == "device":
+        cover = _covers2d_device(cands, clouds)
+    else:
+        cover = np.stack([_covers_2d(c, clouds) for c in cands])
     covered = np.zeros(len(clouds), bool)
     picked = []
     for _ in range(max_tables):
