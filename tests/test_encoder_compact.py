@@ -120,3 +120,19 @@ def test_banded_device_scoring_byte_identical(monkeypatch):
     # the corpus path routes oversized images through the banded encoder
     via_corpus = encbatch.encode_corpus([img], bank, batch_size=2)
     assert via_corpus[0] == host
+
+
+def test_encode_corpus_mesh_dp_byte_identical(bank):
+    """encode_corpus(mesh=...) shards the scoring batch over the mesh's
+    data axis (shard_map, no collectives); streams must equal the
+    unsharded encode bit-for-bit."""
+    import jax
+    from jax.sharding import Mesh
+
+    img = np.asarray(Image.open(FIXTURES / "img64.png").convert("RGB"))
+    imgs = [np.ascontiguousarray(np.roll(img, 8 * i, axis=1))
+            for i in range(8)]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    plain = encode_corpus(imgs, bank, batch_size=4)
+    sharded = encode_corpus(imgs, bank, batch_size=4, mesh=mesh)
+    assert all(a == b for a, b in zip(plain, sharded))

@@ -187,17 +187,56 @@ def encode_batch(images, bank: bankmod.Bank,
     return streams
 
 
-def _dispatch_batch(imgs, claims_shape, cfg, tables, caps=None):
+_MESH_FN_CACHE: dict = {}
+
+
+def _all_batch_compact_mesh_fn(reject_factor, caps, mesh):
+    """Mesh-DP variant: the scoring bundle shard_mapped over the mesh's
+    "data" axis (one image-batch shard per device; scoring is per-image-
+    parallel so no collectives are needed and the output is bit-identical
+    to the unsharded dispatch - validated by the multichip dryrun axis 6
+    and tests/test_encoder_compact.py)."""
+    key = (reject_factor, caps, mesh.axis_names,
+           tuple(d.id for d in mesh.devices.flat))
+    hit = _MESH_FN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    core = _all_batch_compact_fn(reject_factor, caps).__wrapped__
+
+    def sharded(p8_b, qpts, pts, factors, perms):
+        return shard_map(
+            core, mesh=mesh,
+            in_specs=(P("data"), P(), P(), P(),
+                      tuple(P() for _ in perms)),
+            out_specs=P("data"))(p8_b, qpts, pts, factors, perms)
+
+    fn = jax.jit(sharded)
+    _MESH_FN_CACHE[key] = fn
+    return fn
+
+
+def _dispatch_batch(imgs, claims_shape, cfg, tables, caps=None, mesh=None):
     """Upload one padded batch and enqueue gradient + 3D scoring (compacted
     3D downloads, one fused output array); start the device->host copy
     without blocking (the axon runtime otherwise wedges when an older
-    buffer is fetched after newer enqueues)."""
+    buffer is fetched after newer enqueues). mesh: shard the image batch
+    over its "data" axis (batch must divide by the mesh size)."""
     h, w = imgs[0].shape[:2]
     caps = caps or devp.pass_caps(w, h)
-    planes_b = jax.device_put(np.ascontiguousarray(np.stack(
-        [im[:, :, :3].transpose(2, 0, 1) for im in imgs])))
-    packed_all = _all_batch_compact_fn(cfg.reject_factor, caps)(
-        planes_b, *tables, _perms_device(w, h))
+    stacked = np.ascontiguousarray(np.stack(
+        [im[:, :, :3].transpose(2, 0, 1) for im in imgs]))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        planes_b = jax.device_put(stacked, NamedSharding(mesh, P("data")))
+        packed_all = _all_batch_compact_mesh_fn(cfg.reject_factor, caps,
+                                                mesh)(
+            planes_b, *tables, _perms_device(w, h))
+    else:
+        planes_b = jax.device_put(stacked)
+        packed_all = _all_batch_compact_fn(cfg.reject_factor, caps)(
+            planes_b, *tables, _perms_device(w, h))
     packed_all.copy_to_host_async()
     return packed_all
 
@@ -257,7 +296,7 @@ def _emit_from_unpacked(imgs, packed, per_pass, caps, bank, cfg):
 _CAP_STATE: dict = {}
 
 
-def _drain_adaptive(p_imgs, pall, caps, bank, cfg, tables):
+def _drain_adaptive(p_imgs, pall, caps, bank, cfg, tables, mesh=None):
     """Unpack one batch; when any image overflows its caps, grow them to
     fit (caps_fit, remembered in _CAP_STATE) and re-dispatch the batch
     with roomier caps - batched, unlike the per-image single-image
@@ -276,12 +315,12 @@ def _drain_adaptive(p_imgs, pall, caps, bank, cfg, tables):
         caps = tuple((max(s1, s2), max(d1, d2)) for (s1, d1), (s2, d2)
                      in zip(fit, _CAP_STATE.get(key, fit)))
         _CAP_STATE[key] = caps
-        pall = _dispatch_batch(p_imgs, None, cfg, tables, caps)
+        pall = _dispatch_batch(p_imgs, None, cfg, tables, caps, mesh=mesh)
 
 
 def encode_corpus(images, bank: bankmod.Bank,
                   config: EncoderConfig | None = None,
-                  batch_size: int = 8) -> list[bytes]:
+                  batch_size: int = 8, mesh=None) -> list[bytes]:
     """Encode a corpus of RGB images with a pipelined device/host schedule:
     while the accelerator scores batch k+1, the host emits batch k's streams
     (emission fully hides under device compute - measured). Images are
@@ -330,7 +369,7 @@ def encode_corpus(images, bank: bankmod.Bank,
                 p_chunk, p_imgs, p_fut, p_caps = inflight.popleft()
                 for i, st in zip(p_chunk, _drain_adaptive(
                         p_imgs, p_fut.result(), p_caps, bank, cfg,
-                        tables)):
+                        tables, mesh)):
                     results[i] = st
 
             for s in range(0, len(idxs), batch_size):
@@ -340,7 +379,7 @@ def encode_corpus(images, bank: bankmod.Bank,
                 caps = _CAP_STATE.get(key, base_caps)
                 fut = pool.submit(_dispatch_batch,
                                   batch_imgs + [batch_imgs[0]] * pad,
-                                  shape, cfg, tables, caps)
+                                  shape, cfg, tables, caps, mesh)
                 inflight.append((chunk, batch_imgs + [batch_imgs[0]] * pad,
                                  fut, caps))
                 if len(inflight) > depth:
