@@ -136,3 +136,23 @@ def test_encode_corpus_mesh_dp_byte_identical(bank):
     plain = encode_corpus(imgs, bank, batch_size=4)
     sharded = encode_corpus(imgs, bank, batch_size=4, mesh=mesh)
     assert all(a == b for a, b in zip(plain, sharded))
+
+
+def test_encode_banded_mesh_byte_identical(bank):
+    """encode_image_banded_mesh: every band scored in one mesh-sharded
+    dispatch; bytes must equal host-engine encode exactly, including the
+    replicated-last-row halo at the image bottom (h not a multiple of
+    n_bands * 16 exercises the pad-band slicing)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from yaik_tpu.encoder import batch as encbatch
+    img = np.asarray(Image.open(FIXTURES / "img128.png").convert("RGB"))
+    # 96 rows over a 4-device mesh: bh rounds to 32, so band 3 is ALL pad
+    # (its grids must be discarded) and band 2's halo is the replicated
+    # bottom row - both edge paths exercised
+    img = img[:96]
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    got = encbatch.encode_image_banded_mesh(img, bank, mesh=mesh)
+    want = encode_image(img, bank, engine="host")
+    assert got == want

@@ -474,3 +474,78 @@ def encode_image_banded(img, bank: bankmod.Bank,
     pre = _Precomputed(grad_accepts, t3_results)
     return encode_image(img, bank, cfg, engine="precomputed",
                         precomputed=pre)
+
+
+def encode_image_banded_mesh(img, bank: bankmod.Bank,
+                             config: EncoderConfig | None = None,
+                             mesh=None) -> bytes:
+    """encode_image_banded with ALL bands scored in ONE mesh-sharded
+    dispatch: the image splits into n_devices equal 16-row-aligned bands
+    (each with its one-row halo, the bottom padded by replicating the
+    last row - exactly the clamp the full-image scorer applies at the
+    image edge, so accepts match bit-for-bit), the band axis shard_maps
+    over the mesh's "data" axis, and the per-band grids concatenate for
+    the standard host emission. Byte-identical to encode_image host
+    scoring (tested on the CPU mesh). This is BASELINE config 4 at mesh
+    scale: a 4K image's full multi-scale tile search across chips."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = config or EncoderConfig()
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError("image dimensions must be multiples of 8")
+    if h % 16:
+        # partial-bottom tile rows use CEIL grid counts in emission
+        # (accept_grid) which the floor-count band grids cannot represent;
+        # %8-only heights take the host or single-chip device path
+        raise ValueError("banded mesh encode requires height % 16 == 0")
+    n = int(mesh.devices.size)
+    bh = (-(-h // n) + 15) & ~15
+    Hp = n * bh
+    src = img[:, :, :3]
+    padded = np.concatenate(
+        [src, np.repeat(src[-1:], Hp + 1 - h, axis=0)], axis=0)
+    bands = np.stack([padded[i * bh:(i + 1) * bh + 1] for i in range(n)])
+    p8 = np.ascontiguousarray(bands.transpose(0, 3, 1, 2))
+
+    core = _all_batch_fn(cfg.reject_factor).__wrapped__
+    tables = devp.bank_device_tables(bank)
+    fn = jax.jit(shard_map(
+        core, mesh=mesh,
+        in_specs=(P("data"), P(), P(), P()),
+        out_specs=(P("data"), P("data"))))
+    pg_b, p3_b = fn(jax.device_put(p8, NamedSharding(mesh, P("data"))),
+                    *tables)
+    pg_b, p3_b = np.asarray(pg_b), np.asarray(p3_b)
+
+    grad_accepts = []
+    off = 0
+    for (sx, sy) in swizzle.GRADIENT_PASS_ORDER:
+        nty, ntx = bh >> sy, w >> sx
+        full = pg_b[:, off:off + nty * ntx].reshape(n * nty, ntx)
+        grad_accepts.append(full[: h >> sy].astype(bool))
+        off += nty * ntx
+    t3_results = []
+    off = 0
+    for (sx, sy) in swizzle.TILE3D_PASS_ORDER:
+        tw, th = 1 << sx, 1 << sy
+        P_ = tw * th
+        T = (bh // th) * (w // tw)
+        nfull = (h // th) * (w // tw)
+        nb = T * (P_ + 9)
+        per = [devp._unpack_pass(p3_b[i, off:off + nb].reshape(T, P_ + 9),
+                                 P_) for i in range(n)]
+        off += nb
+        t3_results.append({
+            "shift": (sx, sy),
+            "idx": np.concatenate([p[0] for p in per])[:nfull],
+            "mask": np.concatenate([p[1] for p in per])[:nfull],
+            "accept": np.concatenate([p[2] for p in per])[:nfull],
+            "type": np.concatenate([p[3] for p in per])[:nfull],
+            "bbox": np.concatenate([p[4] for p in per])[:nfull]})
+    pre = _Precomputed(grad_accepts, t3_results)
+    return encode_image(img, bank, cfg, engine="precomputed",
+                        precomputed=pre)
