@@ -122,10 +122,12 @@ def test_banded_device_scoring_byte_identical(monkeypatch):
     assert via_corpus[0] == host
 
 
+@pytest.mark.nightly
 def test_encode_corpus_mesh_dp_byte_identical(bank):
     """encode_corpus(mesh=...) shards the scoring batch over the mesh's
     data axis (shard_map, no collectives); streams must equal the
-    unsharded encode bit-for-bit."""
+    unsharded encode bit-for-bit. Nightly: ~2.5 min of CPU-mesh compiles;
+    the multichip dryrun's axis 6 covers the same path every round."""
     import jax
     from jax.sharding import Mesh
 
