@@ -681,7 +681,7 @@ def values48(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub, factors,
     tmd = jnp.concatenate(
         [padt(tiles).astype(jnp.int32).reshape(Tp * P, 3),
          padt(alive).astype(jnp.int32).reshape(Tp * P, 1),
-         mn_r, dr_pad := d_r, jnp.zeros((Tp * P, 6), jnp.int32)],
+         mn_r, d_r, jnp.zeros((Tp * P, 6), jnp.int32)],
         axis=1)                                                 # [N,16]
     m48p = jnp.pad(padt(mode48).astype(jnp.float32),
                    ((0, 0), (0, 128 - E)))                      # [Tp,128]
