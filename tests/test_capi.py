@@ -153,6 +153,128 @@ def test_header_byte_flips(clib):
             pass
 
 
+class CountingAllocator:
+    """User allocator that tracks every outstanding allocation — the
+    rebuild's twin of the reference's YAIK_DEVEL 200-slot leak tracker
+    (reference decoder/YAIK_API.cpp:584-626): after every decode, success
+    or failure, allocations must balance and no pointer may be freed
+    twice or unknown."""
+
+    def __init__(self):
+        self.libc = ctypes.CDLL(None)
+        self.libc.malloc.restype = ctypes.c_void_p
+        self.libc.malloc.argtypes = [ctypes.c_size_t]
+        self.libc.free.argtypes = [ctypes.c_void_p]
+        self.live = {}
+        self.n_alloc = 0
+        self.errors = []
+        ALLOC = ctypes.CFUNCTYPE(ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_size_t)
+        FREE = ctypes.CFUNCTYPE(None, ctypes.c_void_p, ctypes.c_void_p)
+        self._alloc_cb = ALLOC(self._alloc)
+        self._free_cb = FREE(self._free)
+
+    def _alloc(self, ctx, size):
+        p = self.libc.malloc(size)
+        if p:
+            self.n_alloc += 1
+            self.live[int(p)] = int(size)
+        return p
+
+    def _free(self, ctx, addr):
+        if addr is None:
+            self.errors.append("free(NULL)")
+            return
+        if int(addr) not in self.live:
+            self.errors.append(f"free of unknown/double ptr {addr:#x}")
+            return
+        del self.live[int(addr)]
+        self.libc.free(addr)
+
+    def install(self, info: capi.SDecodedImage):
+        info.userMemoryAllocator.customAlloc = ctypes.cast(
+            self._alloc_cb, ctypes.c_void_p)
+        info.userMemoryAllocator.customFree = ctypes.cast(
+            self._free_cb, ctypes.c_void_p)
+        info.userMemoryAllocator.customContext = None
+
+    def check(self, what):
+        assert not self.errors, f"{what}: {self.errors[:4]}"
+        assert not self.live, (
+            f"{what}: {len(self.live)} leaked allocations "
+            f"({sum(self.live.values())} bytes)")
+
+
+def _decode_counted(clib, alloc, stream):
+    """One Pre+Decode cycle with the counting allocator installed on the
+    decode path (the reference API contract: Pre installs defaults, the
+    caller overrides userMemoryAllocator before DecodeImage). The output
+    buffer is sized from the Pre-reported dims — a header flip can change
+    them, and the decoder is entitled to fill the whole claimed image."""
+    info = capi.SDecodedImage()
+    if not clib.lib.YAIK_DecodeImagePre(clib.handle, stream, len(stream),
+                                        ctypes.byref(info)):
+        return False
+    alloc.install(info)
+    comps = 4 if info.hasAlpha else 3
+    out = np.empty((max(info.height, 1), max(info.width, 1), comps),
+                   np.uint8)
+    info.outputImage = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    info.outputImageStride = out.shape[1] * comps
+    return clib.lib.YAIK_DecodeImage(stream, len(stream), ctypes.byref(info))
+
+
+def test_counting_allocator_success_paths(clib):
+    """Allocations balance after successful decodes of every fixture
+    family (reference YAIK_API.cpp:584-626 tracker semantics)."""
+    alloc = CountingAllocator()
+    for name in ["img64", "img128", "img512", "img64.ucol",
+                 "gradpair192.gp", "img64.plnt"]:
+        stream = (FIXTURES / f"{name}.yaik").read_bytes()
+        assert _decode_counted(clib, alloc, stream)
+        alloc.check(name)
+    assert alloc.n_alloc > 0      # the allocator was actually exercised
+
+
+def test_counting_allocator_error_paths(clib):
+    """Every goto-error cleanup path frees exactly what it allocated: the
+    byte-flip sweep over the first 256 offsets plus truncations, each
+    followed by a balance check — the exact bug class the reference's
+    YAIK_DEVEL tracking table exists to catch."""
+    alloc = CountingAllocator()
+    stream = bytearray((FIXTURES / "img64.yaik").read_bytes())
+    for off in range(min(256, len(stream))):
+        bad = bytes(stream[:off] + bytes([stream[off] ^ 0xA5])
+                    + stream[off + 1:])
+        _decode_counted(clib, alloc, bad)
+        clib.error()              # drain the sticky code
+        alloc.check(f"byte flip @{off}")
+    for cut in (20, len(stream) // 2, len(stream) - 3):
+        _decode_counted(clib, alloc, bytes(stream[:cut]))
+        clib.error()
+        alloc.check(f"truncate @{cut}")
+    # allocation failure injection: the Nth allocation fails; every prefix
+    # must clean up what preceded it (the reference's "TEST FAILURE POINT")
+    good = bytes(stream)
+    for fail_at in range(1, 12):
+        state = {"left": fail_at}
+        orig = alloc._alloc
+
+        def failing(ctx, size):
+            state["left"] -= 1
+            if state["left"] < 0:
+                return None
+            return orig(ctx, size)
+
+        ALLOC = ctypes.CFUNCTYPE(ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_size_t)
+        alloc._alloc_cb = ALLOC(failing)
+        _decode_counted(clib, alloc, good)
+        clib.error()
+        alloc.check(f"alloc fail @{fail_at}")
+        alloc._alloc_cb = ALLOC(orig)
+
+
 def test_instance_pool():
     lib = capi.CLibrary(max_instances=2)
     try:

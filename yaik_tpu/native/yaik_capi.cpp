@@ -59,7 +59,11 @@ struct Alloc {
         if (p) memset(p, 0, n);
         return p;
     }
-    void rel(void* p) const { a.customFree(a.customContext, p); }
+    // never hand NULL to a user allocator: the C ABI promises customFree
+    // only sees pointers customAlloc returned (free(NULL) is safe for
+    // libc but not required of injected allocators; the counting-
+    // allocator test in tests/test_capi.py pins this contract)
+    void rel(void* p) const { if (p) a.customFree(a.customContext, p); }
 };
 
 Alloc make_alloc(const YAIK_SMemAlloc* user) {
