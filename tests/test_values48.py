@@ -42,8 +42,11 @@ def _rand_inputs(rng, T, P, E):
     return tiles, alive, a_c, b_c, mode48, mn, d, pts, factors
 
 
-@pytest.mark.parametrize("P", [16, 64])
+@pytest.mark.parametrize("P", [16, 32, 64, 128])
 def test_values48_matches_xla(P):
+    # all four production pass sizes: P = tw*th for TILE3D_PASS_ORDER's
+    # 16x8/8x16 (128), 8x8 (64), 8x4/4x8 (32), 4x4 (16) - the tb = Pb//P
+    # reshapes differ per P, so every size the flag could run is pinned
     rng = np.random.default_rng(5 + P)
     T, E = 70, 12                              # pad path: 70 % tb != 0
     args = _rand_inputs(rng, T, P, E)

@@ -704,6 +704,8 @@ def decode(stream: bytes, lut_data: bytes | dict,
     if fh.tag != MAGIC:
         raise ValueError("not a YAIK stream")
     st = DecodeState.create(fh.width, fh.height, fh.has_alpha)
+    if debug_dump.enabled():
+        debug_dump.begin_decode()      # fresh numbering per invocation
     if isinstance(lut_data, dict):
         luts_expanded = lut_data
     else:

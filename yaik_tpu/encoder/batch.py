@@ -229,6 +229,13 @@ def _dispatch_batch(imgs, claims_shape, cfg, tables, caps=None, mesh=None):
         [im[:, :, :3].transpose(2, 0, 1) for im in imgs]))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        if len(imgs) % int(mesh.devices.size):
+            # fail here with a clear message instead of an opaque
+            # shard_map sharding error deep inside jit (ADVICE r4)
+            raise ValueError(
+                f"mesh encode: batch size {len(imgs)} must divide the "
+                f"mesh's {int(mesh.devices.size)} devices - pass a "
+                f"batch_size that is a multiple of the mesh size")
         planes_b = jax.device_put(stacked, NamedSharding(mesh, P("data")))
         packed_all = _all_batch_compact_mesh_fn(cfg.reject_factor, caps,
                                                 mesh)(
@@ -328,6 +335,10 @@ def encode_corpus(images, bank: bankmod.Bank,
     dispatch reuses the same compiled executable. Output order matches the
     input order; streams are byte-identical to encode_image (tested)."""
     cfg = config or EncoderConfig()
+    if mesh is not None and batch_size % int(mesh.devices.size):
+        raise ValueError(
+            f"encode_corpus(mesh=...): batch_size {batch_size} must be a "
+            f"multiple of the mesh's {int(mesh.devices.size)} devices")
     imgs = [np.asarray(im) for im in images]
     for im in imgs:
         if im.ndim != 3 or im.shape[2] not in (3, 4):

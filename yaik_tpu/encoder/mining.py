@@ -87,22 +87,40 @@ def _covers_device(cands: np.ndarray, tiles: np.ndarray, gate_px: int):
     import jax.numpy as jnp
 
     k = cands.shape[0]
+    n = tiles.shape[0]
     kc = 8
-    pad = (-k) % kc
-    cp = jnp.asarray(np.pad(cands, ((0, pad), (0, 0), (0, 0)))
+    # chunk the TILE axis as well so the worst-case transient is bounded
+    # by construction (~kc * nc * 64px * 64pt * 4B ~= 0.5 GB even if the
+    # backend materializes the broadcast instead of fusing it into the
+    # min/sum consumers) rather than by fusion behavior at corpus scale
+    # (n ~ 50k would otherwise imply a tens-of-GB unfused intermediate) -
+    # ADVICE r4
+    nc = 4096
+    padk = (-k) % kc
+    padn = (-n) % nc
+    cp = jnp.asarray(np.pad(cands, ((0, padk), (0, 0), (0, 0)))
                      .astype(np.int32))
-    tl = jnp.asarray(tiles.astype(np.int32))       # [n, 64, 3]
+    tl = jnp.asarray(np.pad(tiles, ((0, padn), (0, 0), (0, 0)))
+                     .astype(np.int32))            # [n+padn, 64, 3]
 
     @jax.jit
     def matrix(cp, tl):
-        def chunk(i):
+        def chunk(ij):
+            i, j = ij[0], ij[1]
             c = jax.lax.dynamic_slice_in_dim(cp, i * kc, kc)  # [kc,64,3]
-            d = ((tl[None, :, :, None, :] - c[:, None, None, :, :]) ** 2
-                 ).sum(-1).min(-1)                 # [kc, n, 64px]
+            t = jax.lax.dynamic_slice_in_dim(tl, j * nc, nc)  # [nc,64,3]
+            d = ((t[None, :, :, None, :] - c[:, None, None, :, :]) ** 2
+                 ).sum(-1).min(-1)                 # [kc, nc, 64px]
             return (d > gate_px).sum(-1) <= 3
-        return jax.lax.map(chunk, jnp.arange((k + pad) // kc))
+        nk, nn = (k + padk) // kc, (n + padn) // nc
+        ids = jnp.stack(
+            [jnp.repeat(jnp.arange(nk), nn),
+             jnp.tile(jnp.arange(nn), nk)], axis=1)
+        return jax.lax.map(chunk, ids)             # [nk*nn, kc, nc]
 
-    return np.asarray(matrix(cp, tl)).reshape(-1, tiles.shape[0])[:k]
+    nk, nn = (k + padk) // kc, (n + padn) // nc
+    m = np.asarray(matrix(cp, tl)).reshape(nk, nn, kc, nc)
+    return m.transpose(0, 2, 1, 3).reshape(nk * kc, nn * nc)[:k, :n]
 
 
 def evaluate_candidates(clouds, max_tables=12, gate_px=75,

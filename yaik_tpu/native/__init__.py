@@ -58,25 +58,61 @@ def _ensure_built() -> None:
 
 _ensure_built()
 
+def _lib_sig():
+    st = os.stat(_LIB_PATH)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+_MARKER = _LIB_PATH + ".rebuild_failed"
+
 lib = None
 if os.path.exists(_LIB_PATH):
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError as _e:
-        # half-written or incompatible .so (-march=native binary carried
-        # to a different CPU): remove it, rebuild once, and retry; only
-        # then settle for the documented pure-Python fallback (ADVICE r3)
+        # Half-written or incompatible .so (-march=native binary carried
+        # to a different CPU) - OR a transient failure (ENOMEM, missing
+        # transitive dep). Keep the existing artifact until a rebuilt one
+        # actually loads, and remember a failed rebuild in a marker file
+        # so the up-to-600s retry happens at most once per artifact
+        # (ADVICE r3/r4).
         import sys
+        _retry = True
         try:
-            os.remove(_LIB_PATH)
-            _ensure_built()
-            lib = ctypes.CDLL(_LIB_PATH)
-            print("yaik_tpu: libyaik_host.so was unloadable "
-                  f"({_e}); rebuilt for this host", file=sys.stderr)
+            if os.path.exists(_MARKER):
+                with open(_MARKER) as _f:
+                    _retry = _f.read().strip() != _lib_sig()
         except OSError:
-            print(f"yaik_tpu: could not load libyaik_host.so ({_e}); "
-                  "pure-Python fallbacks in effect", file=sys.stderr)
-            lib = None
+            pass
+        if _retry:
+            _prev = _LIB_PATH + ".prev"
+            try:
+                os.replace(_LIB_PATH, _prev)     # preserve, don't delete
+                _ensure_built()
+                lib = ctypes.CDLL(_LIB_PATH)
+                print("yaik_tpu: libyaik_host.so was unloadable "
+                      f"({_e}); rebuilt for this host", file=sys.stderr)
+                for _p in (_prev, _MARKER):
+                    try:
+                        os.remove(_p)
+                    except OSError:
+                        pass
+            except OSError:
+                lib = None
+                try:   # restore the original artifact and mark it failed
+                    if not os.path.exists(_LIB_PATH) and os.path.exists(_prev):
+                        os.replace(_prev, _LIB_PATH)
+                    with open(_MARKER, "w") as _f:
+                        _f.write(_lib_sig())
+                except OSError:
+                    pass
+                print(f"yaik_tpu: could not load libyaik_host.so ({_e}); "
+                      "pure-Python fallbacks in effect", file=sys.stderr)
+        else:
+            print(f"yaik_tpu: libyaik_host.so unloadable ({_e}) and a "
+                  "prior rebuild failed; pure-Python fallbacks in effect "
+                  "(delete the .rebuild_failed marker to retry)",
+                  file=sys.stderr)
 if lib is not None:
     lib.palette_decompress.restype = ctypes.c_int
     lib.palette_decompress.argtypes = [

@@ -16,11 +16,20 @@ and the host encoder writes per-pass accept maps
     <dir>/enc_<pass>_accept.png
 Disabled (the default), every hook is a no-op costing one dict lookup.
 """
+import itertools
 import os
+import threading
 
 import numpy as np
 
-_COUNTER = {"n": 0}
+# Per-decode state: each decode invocation gets its own snapshot
+# numbering and (beyond the first in a process) its own subdirectory, so
+# a second decode never continues/overwrites the first's numbering and
+# concurrent decodes on different threads cannot race (ADVICE r4). The
+# state is thread-local; the invocation sequence is a process-global
+# atomic counter.
+_SEQ = itertools.count()
+_TLS = threading.local()
 
 
 def _dir():
@@ -37,13 +46,26 @@ def _save(path: str, arr: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def begin_decode() -> None:
+    """Start a fresh snapshot numbering for this decode invocation (host
+    decoder calls this at decode start when dumps are enabled). The first
+    decode of a process writes into <dir> itself (the common interactive
+    case keeps flat paths); later ones get <dir>/decNNN/."""
+    seq = next(_SEQ)
+    _TLS.sub = "" if seq == 0 else f"dec{seq:03d}"
+    _TLS.n = 0
+
+
 def snapshot_decode(tag: bytes, st) -> None:
     """Dump the decode state after one chunk (host decoder hook)."""
     d = _dir()
     if not d:
         return
-    n = _COUNTER["n"]
-    _COUNTER["n"] = n + 1
+    if not hasattr(_TLS, "n"):
+        begin_decode()
+    d = os.path.join(d, _TLS.sub) if _TLS.sub else d
+    n = _TLS.n
+    _TLS.n = n + 1
     name = tag.decode("ascii", "replace")
     rgb = np.ascontiguousarray(
         st.planes[:, : st.height, : st.width].transpose(1, 2, 0))
@@ -65,4 +87,8 @@ def snapshot_accepts(pass_name: str, accept: np.ndarray) -> None:
 
 
 def reset() -> None:
-    _COUNTER["n"] = 0
+    """Restart numbering AND the invocation sequence (tests)."""
+    global _SEQ
+    _SEQ = itertools.count()
+    _TLS.sub = ""
+    _TLS.n = 0
