@@ -320,7 +320,7 @@ def run_family_lanes(expanded):
         @jax.jit
         def fam_chk(t, s, *a):
             a = list(a)
-            a[7] = a[7].at[..., 0].add(s)
+            a[7] = jax_engine.salt_d1_color0(a[7], s)
             o = vdec(t, *a)
             return jnp.sum(o.astype(jnp.uint32) * wgt_dev[None],
                            dtype=jnp.uint32)
@@ -411,7 +411,7 @@ def main():
         # (plain loop-invariant bodies WERE hoisted by XLA - measured as an
         # impossible 3 GPix/s that the scales_with_steps guard rejected)
         a = list(a)
-        a[7] = a[7].at[..., 0].add(s)    # d1_params (slot 7 since t3_dicts)
+        a[7] = jax_engine.salt_d1_color0(a[7], s)   # d1 prm (slot 7)
         out = vdec(t, *a)
         return jnp.sum(out.astype(jnp.uint32) * wgt_dev[None],
                        dtype=jnp.uint32)

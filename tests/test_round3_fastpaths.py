@@ -135,8 +135,10 @@ def test_grad_plane_interpret_vs_blend_chain():
         exp = np.repeat(np.repeat(accepts[k], th // 4, 0), tw // 4, 1)
         region = code4[: exp.shape[0], : exp.shape[1]]
         region[exp] = k + 1
+    planar = np.ascontiguousarray(
+        np.stack(corners).transpose(0, 3, 1, 2))     # [7, 3, qh, qw]
     merged = np.asarray(je._grad_merged_pass(
-        plane0, jnp.asarray(np.stack(corners)), jnp.asarray(code4),
+        plane0, jnp.asarray(planar), jnp.asarray(code4),
         interpret=True))
     assert np.array_equal(merged, legacy)
 
@@ -311,6 +313,115 @@ def test_lut3d_vals_dict2_fused_compose():
     assert np.array_equal(got, want)
 
 
+def test_lut3d_vals_dict2p_packed_matches_unpacked():
+    """The byte-packed fused kernel (lut3d_vals_dict2p: 4 idx bytes per
+    i32 lane, 8 tile columns in 2 lanes) == lut3d_vals_dict2 on the
+    equivalent unpacked operands — the i32-inflation attack must be
+    bit-invisible."""
+    from yaik_tpu.ops.pallas_kernels import (lut3d_vals_dict2,
+                                             lut3d_vals_dict2p)
+    rng = np.random.default_rng(13)
+    G, P, U = 100, 16, 48
+    tabs = rng.integers(0, 129, (U, 64, 3)).astype(np.int64)
+    tab3 = jnp.asarray(np.concatenate(
+        [tabs[:, :, 0].T, tabs[:, :, 1].T, tabs[:, :, 2].T], axis=0),
+        dtype=jnp.bfloat16)
+
+    def layer():
+        idx = rng.integers(0, 64, (G, P)).astype(np.int32)
+        wm = rng.integers(0, 2, (G, P)).astype(np.int32)
+        raw = idx | (wm << 6)
+        cols8 = np.zeros((G, 8), np.int32)
+        cols8[:, 0:3] = rng.integers(0, 256, (G, 3))
+        cols8[:, 3:6] = rng.integers(0, 256, (G, 3))
+        cols8[:, 6] = rng.integers(0, 2, G)
+        cols8[:, 7] = rng.integers(0, U, G)
+        p4 = raw.reshape(G, 4, 4)
+        idx4 = (p4[:, :, 0] | (p4[:, :, 1] << 8) | (p4[:, :, 2] << 16)
+                | (p4[:, :, 3] << 24)).T
+        c2 = np.stack([
+            cols8[:, 0] | (cols8[:, 1] << 8) | (cols8[:, 2] << 16)
+            | (cols8[:, 6] << 24),
+            cols8[:, 3] | (cols8[:, 4] << 8) | (cols8[:, 5] << 16)
+            | (cols8[:, 7] << 24)], axis=0).astype(np.int32)
+        return raw, cols8, idx4, c2
+
+    rawa, colsa, i4a, c2a = layer()
+    rawb, colsb, i4b, c2b = layer()
+    got = np.asarray(lut3d_vals_dict2p(
+        jnp.asarray(i4a), jnp.asarray(i4b), tab3,
+        jnp.asarray(c2a), jnp.asarray(c2b), interpret=True))
+    want = np.asarray(lut3d_vals_dict2(
+        jnp.asarray(rawa.T), jnp.asarray(rawb.T), tab3,
+        jnp.asarray(colsa.T), jnp.asarray(colsb.T), interpret=True))
+    # contract: write bits identical everywhere; payload identical where
+    # the write bit is set. Unwritten lanes are dead values no consumer
+    # reads (the blend masks on bit 24) and the per-block work elision
+    # legitimately skips computing them.
+    assert np.array_equal(got >> 24, want >> 24)
+    w = (want >> 24) != 0
+    assert np.array_equal((got & 0xFFFFFF)[w], (want & 0xFFFFFF)[w])
+
+
+def test_lut3d_vals_dict2p_elision_tiers():
+    """The per-block elision tiers (empty layer; all-indices-<16 shallow
+    tree) produce masked-identical output to the full tree — crafted
+    blocks pin each tier, including the wmask-bit-6-must-not-force-deep
+    case and a single idx=16 byte forcing the deep tree."""
+    from yaik_tpu.ops.pallas_kernels import (lut3d_vals_dict2,
+                                             lut3d_vals_dict2p)
+    rng = np.random.default_rng(17)
+    G, P, U = 64, 16, 8
+    tabs = rng.integers(0, 129, (U, 64, 3)).astype(np.int64)
+    tab3 = jnp.asarray(np.concatenate(
+        [tabs[:, :, 0].T, tabs[:, :, 1].T, tabs[:, :, 2].T], axis=0),
+        dtype=jnp.bfloat16)
+
+    def build(raw, cols8):
+        p4 = raw.reshape(G, 4, 4)
+        idx4 = (p4[:, :, 0] | (p4[:, :, 1] << 8) | (p4[:, :, 2] << 16)
+                | (p4[:, :, 3] << 24)).T
+        c2 = np.stack([
+            cols8[:, 0] | (cols8[:, 1] << 8) | (cols8[:, 2] << 16)
+            | (cols8[:, 6] << 24),
+            cols8[:, 3] | (cols8[:, 4] << 8) | (cols8[:, 5] << 16)
+            | (cols8[:, 7] << 24)], axis=0).astype(np.int32)
+        return idx4, c2
+
+    def cols(acc):
+        c = np.zeros((G, 8), np.int32)
+        c[:, 0:3] = rng.integers(0, 256, (G, 3))
+        c[:, 3:6] = rng.integers(0, 256, (G, 3))
+        c[:, 6] = acc
+        c[:, 7] = rng.integers(0, U, G)
+        return c
+
+    cases = []
+    # tier: layer fully empty (acc all zero) but wmask bits set
+    cases.append((rng.integers(0, 64, (G, P)) | (1 << 6), cols(0)))
+    # tier: shallow — idx < 16 everywhere, wmask bits on (bit 6 set must
+    # NOT force the deep tree)
+    cases.append((rng.integers(0, 16, (G, P)) | (1 << 6), cols(1)))
+    # tier: deep forced by a single idx=16 byte
+    shallow = rng.integers(0, 16, (G, P))
+    shallow[3, 5] = 16
+    cases.append((shallow | (rng.integers(0, 2, (G, P)) << 6), cols(1)))
+    for rawa, colsa in [(c[0].astype(np.int32), c[1]) for c in cases]:
+        rawb = (rng.integers(0, 16, (G, P)) | (1 << 6)).astype(np.int32)
+        colsb = cols(1)
+        i4a, c2a = build(rawa, colsa)
+        i4b, c2b = build(rawb, colsb)
+        got = np.asarray(lut3d_vals_dict2p(
+            jnp.asarray(i4a), jnp.asarray(i4b), tab3,
+            jnp.asarray(c2a), jnp.asarray(c2b), interpret=True))
+        want = np.asarray(lut3d_vals_dict2(
+            jnp.asarray(rawa.T), jnp.asarray(rawb.T), tab3,
+            jnp.asarray(colsa.T), jnp.asarray(colsb.T), interpret=True))
+        assert np.array_equal(got >> 24, want >> 24)
+        w = (want >> 24) != 0
+        assert np.array_equal((got & 0xFFFFFF)[w], (want & 0xFFFFFF)[w])
+
+
 def test_tile3d_merged2_pass_interpret(expanded_lut):
     """_tile3d_merged2_pass (fused dispatch, interpret mode) == the two
     sequential _tile3d_pass layers on a real 2-layer-overlap plan."""
@@ -330,16 +441,19 @@ def test_tile3d_merged2_pass_interpret(expanded_lut):
     tabj = jnp.asarray(np.asarray(tab))
     legacy = plane0
     for k, (sx, sy) in enumerate(je.MERGED_T3_SHIFTS):
+        # args carry the plan-time packed operands; the legacy oracle
+        # consumes them through the same in-graph unpack decode_core's
+        # fallback uses
+        rws, cols, pk = je._unpack_merged_layer(jnp.asarray(t3p[k]),
+                                                jnp.asarray(t3c[k]))
         legacy = je._tile3d_pass(legacy, tabj, jnp.asarray(t3a[k]),
-                                 jnp.asarray(t3r[k]),
-                                 jnp.asarray(t3c[k].astype(np.int32)),
-                                 jnp.asarray(t3p[k].astype(np.int32)),
+                                 rws, cols, pk,
                                  sx, sy, dict_rows=jnp.asarray(t3d[k]))
     fused = je._tile3d_merged2_pass(
         plane0, tabj, [jnp.asarray(a) for a in t3a],
         [jnp.asarray(r) for r in t3r],
-        [jnp.asarray(c.astype(np.int32)) for c in t3c],
-        [jnp.asarray(pk.astype(np.int32)) for pk in t3p],
+        [jnp.asarray(c) for c in t3c],
+        [jnp.asarray(pk) for pk in t3p],
         jnp.asarray(t3d[0]), interpret=True)
     assert np.array_equal(np.asarray(fused), np.asarray(legacy))
 
@@ -380,12 +494,11 @@ def test_fused_t3_d1_compose_interpret(expanded_lut):
     seq = je._d1_pass(seq, jnp.asarray(d1p), jnp.asarray(d1i),
                       jnp.asarray(d1w), h8, w8)
 
-    V3, m3 = je._tile3d_merged2_pass(None, tabj, t3aj, t3rj, t3cj, t3pj,
-                                     dj, interpret=True)
-    V1, m1 = je._d1_vals(jnp.asarray(d1p), jnp.asarray(d1i),
-                         jnp.asarray(d1w), h8, w8)
-    V = V3 ^ ((V3 ^ V1) & m1)
-    composed = plane ^ ((plane ^ V) & (m3 | m1))
+    # the in-kernel d1 compose (decode_core's compose_d1 path)
+    V, m = je._tile3d_merged2_pass(
+        None, tabj, t3aj, t3rj, t3cj, t3pj, dj, interpret=True,
+        d1=(jnp.asarray(d1i), jnp.asarray(d1p), jnp.asarray(d1w)))
+    composed = plane ^ ((plane ^ V) & m)
     assert np.array_equal(np.asarray(composed), np.asarray(seq))
 
 
@@ -398,8 +511,9 @@ def test_grad_plane_final_interpret_vs_split():
     rng = np.random.default_rng(11)
     H = W = 64
     qh, qw = H // 4 + 1, W // 4 + 1
-    corners = np.stack([rng.integers(0, 256, (qh, qw, 3)).astype(np.uint8)
-                        for _ in je.GRAD_SHIFTS])
+    corners = np.ascontiguousarray(np.stack(
+        [rng.integers(0, 256, (qh, qw, 3)).astype(np.uint8)
+         for _ in je.GRAD_SHIFTS]).transpose(0, 3, 1, 2))
     code4 = rng.integers(0, 8, (H // 4, W // 4)).astype(np.uint8)
     vc = jnp.asarray(rng.integers(0, 1 << 24, (H, W)).astype(np.uint32))
     # per-channel mask: each byte independently 0x00 or 0xFF

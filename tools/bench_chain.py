@@ -66,7 +66,7 @@ def main():
 
     def batch_chk(t, s, a):
         a = list(a)
-        a[7] = a[7].at[..., 0].add(s)
+        a[7] = jax_engine.salt_d1_color0(a[7], s)
         out = vdec(t, *a)
         return jnp.sum(out.astype(jnp.uint32) * wgt_dev[None],
                        dtype=jnp.uint32)

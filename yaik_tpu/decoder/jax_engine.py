@@ -196,14 +196,22 @@ def _grad_consts(H, W):
 
 
 def _grad_pack_corners(corners7, H, W):
-    """Pack the [7, qh, qw, 3] u8 corner grids into the merged kernel's
-    [7, KY+8, KX+128] i32 layout (edge row/col relocated to KY/KX; see
-    pallas_kernels.grad_plane)."""
+    """Pack the PLANAR [7, 3, qh, qw] u8 corner grids into the merged
+    kernel's [7, KY+8, KX+128] i32 layout (edge row/col relocated to
+    KY/KX; see pallas_kernels.grad_plane). Planar channel layout keeps
+    qw on the minor dim - the channel-minor [7, qh, qw, 3] form cost an
+    arg relayout copy per step (HLO-measured round 5)."""
     qh, qw = H // 4 + 1, W // 4 + 1
     KX = -(-(qw - 1) // 128) * 128
     KY = -(-(qh - 1) // 128) * 128
     c = corners7.astype(jnp.int32)
-    pk = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)   # [7, qh, qw]
+    pk = c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16)         # [7, qh, qw]
+    if qh - 1 == KY and qw - 1 == KX:
+        # the edge row/col already sit at sublane/lane KY/KX (every W with
+        # W/4 % 128 == 0, e.g. 512): one fused pad replaces the 4-slice
+        # relocation concat (which materialized pads + a layout copy per
+        # step - HLO-measured round 5)
+        return jnp.pad(pk, ((0, 0), (0, 7), (0, 127)))
     main = jnp.pad(pk[:, : qh - 1, : qw - 1],
                    ((0, 0), (0, 0), (0, KX - (qw - 1))))
     top = jnp.pad(jnp.concatenate([main, pk[:, : qh - 1, qw - 1:]], axis=2),
@@ -334,6 +342,13 @@ def _tile3d_pass(plane, lut_tab, accept, rows, colors, packed, sx, sy,
 
 
 USE_T3_FUSED = os.environ.get("YAIK_T3_FUSED", "1") == "1"
+# 1D-residual compose INSIDE the fused T3 kernel - MEASURED NEGATIVE
+# (round 5, default off): the per-(pixel, channel) epilogue runs as
+# [1, LB] column ops and bloats the kernel 5.2 -> 10.2 ms/step at 512^2
+# b128, more than the ~3.5 ms of XLA relayout/blend it replaces. The
+# XLA-tail form instead rides the d1 write bits in bits 24-26 of the
+# value word (ONE shared relayout - see _d1_vals). Kept for A/B.
+USE_T3_D1_KERNEL = os.environ.get("YAIK_T3_D1", "0") == "1"
 # Fold the final composition (gradient blend over background + composed
 # T3+1D apply) into the merged gradient kernel's epilogue. MEASURED
 # NEGATIVE (round 4, default off): 1479 vs 1515 MPix/s at b128 - XLA
@@ -344,31 +359,124 @@ USE_T3_FUSED = os.environ.get("YAIK_T3_FUSED", "1") == "1"
 USE_GRAD_FINAL = os.environ.get("YAIK_GRAD_FINAL", "0") == "1"
 
 
+def _pack_d1_blocks(plan: "plannermod.DecodePlan"):
+    """Plan-time 4x4-block-space packing of the 1D residual pass
+    (host numpy): returns (prm [5, G4] i32, codes4 [12, G4] i32,
+    wm2 [2, G4] i32) - the fused kernel's operand form (see _d1_vals for
+    the field layout). Block (ty4, tx4) maps to 8x8 tile
+    (ty4>>1, tx4>>1), quadrant (ty4&1, tx4&1)."""
+    h, w = plan.height, plan.width
+    nty8, ntx8 = h // 8, w // 8
+    nty4, ntx4 = h // 4, w // 4
+    G4 = nty4 * ntx4
+
+    def to_blocks(a):             # [3, g8, 64] -> [3, G4, 16]
+        b = a.reshape(3, nty8, ntx8, 2, 4, 2, 4)
+        return np.ascontiguousarray(
+            b.transpose(0, 1, 3, 2, 5, 4, 6)).reshape(3, G4, 16)
+
+    cb = to_blocks(plan.d1.indices).astype(np.int64)       # [3, G4, 16]
+    c4 = cb.reshape(3, G4, 4, 4)
+    codes4 = np.concatenate(
+        [np.stack([(c4[c, :, j, 0] | (c4[c, :, j, 1] << 8)
+                    | (c4[c, :, j, 2] << 16) | (c4[c, :, j, 3] << 24))
+                   for j in range(4)], axis=0)
+         for c in range(3)], axis=0).astype(np.uint32).view(np.int32)
+
+    wmb = to_blocks(plan.d1.wmask.astype(np.uint8)).astype(np.uint64)
+    bits = np.zeros((2, G4), np.uint64)
+    for c in range(3):
+        for p in range(16):
+            bit = c * 16 + p
+            bits[bit >> 5] |= wmb[:, :, p][c] << (bit & 31)
+    wm2 = bits.astype(np.uint32).view(np.int32)
+
+    pr = plan.d1.params.astype(np.int64)                   # [3, g8, 3]
+    pb = pr.reshape(3, nty8, ntx8, 3)
+    pb = np.repeat(np.repeat(pb, 2, axis=1), 2, axis=2).reshape(3, G4, 3)
+    prm = np.stack([
+        pb[0, :, 0] | (pb[1, :, 0] << 8) | (pb[2, :, 0] << 16),
+        pb[0, :, 1] | (pb[1, :, 1] << 8) | (pb[2, :, 1] << 16),
+        pb[0, :, 2], pb[1, :, 2], pb[2, :, 2]],
+        axis=0).astype(np.int32)
+    return prm, codes4, wm2
+
+
+def _pack_merged_layer(accept, rows, colors, packed):
+    """Plan-time byte-pack of one merged-T3 layer into the fused kernel's
+    operand form: idx4 [4, G4] i32 (4 raw idx|wmask<<6 bytes per lane,
+    little-endian) and cols2 [2, G4] i32 (mn0|mn1<<8|mn2<<16|acc<<24,
+    mx0|mx1<<8|mx2<<16|dictrow<<24). numpy, host-side."""
+    g = packed.shape[0]
+    p4 = packed.reshape(g, 4, 4).astype(np.int64)
+    idx4 = np.ascontiguousarray(
+        (p4[:, :, 0] | (p4[:, :, 1] << 8) | (p4[:, :, 2] << 16)
+         | (p4[:, :, 3] << 24)).T.astype(np.int64)).astype(np.int32)
+    c = colors.astype(np.int64)
+    acc = accept.reshape(g).astype(np.int64)
+    r0 = c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16) | (acc << 24)
+    r1 = c[:, 3] | (c[:, 4] << 8) | (c[:, 5] << 16) | (rows.astype(np.int64) << 24)
+    cols2 = np.stack([r0, r1]).astype(np.uint32).astype(np.int32,
+                                                        copy=False)
+    return idx4, cols2
+
+
+def _unpack_merged_layer(packed4, cols2):
+    """In-graph inverse of _pack_merged_layer for the legacy/CPU fallback
+    paths: (rows [g] dict indices, colors [g, 6] i32, packed [g, 16]
+    i32 raw bytes)."""
+    p = packed4.astype(jnp.int32)                        # [4, g]
+    bytes16 = [((p[j] >> (8 * b)) & 0xFF) for j in range(4)
+               for b in range(4)]
+    packed = jnp.stack(bytes16, axis=1)                  # [g, 16]
+    c2 = cols2.astype(jnp.int32)
+    cols = jnp.stack([(c2[0] >> (8 * b)) & 0xFF for b in range(3)]
+                     + [(c2[1] >> (8 * b)) & 0xFF for b in range(3)],
+                     axis=1)                             # [g, 6]
+    rows = (c2[1] >> 24) & 0xFF
+    return rows, cols, packed
+
+
 def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
-                         dict_rows, interpret=False):
+                         dict_rows, interpret=False, d1=None):
     """Both merged-T3 priority layers in ONE Pallas dispatch + ONE
-    tile->image relayout + ONE plane blend (pallas_kernels.lut3d_vals_dict2;
-    the per-layer relayout copy and blend RMW were the decode roofline's
-    #2/#3 terms). Requires the shared union dictionary both layers carry
-    (dict mode); callers fall back to two _tile3d_pass calls otherwise."""
+    tile->image relayout + ONE plane blend (the per-layer relayout copy
+    and blend RMW were the decode roofline's #2/#3 terms). Requires the
+    shared union dictionary both layers carry (dict mode); callers fall
+    back to two _tile3d_pass calls otherwise. colors/packeds are the
+    PLAN-TIME packed operands (cols2/idx4, _pack_merged_layer); `rows`
+    is unused (dict indices ride cols2) and kept for arity."""
     nty, ntx = accepts[0].shape
     g = nty * ntx
-    from yaik_tpu.ops.pallas_kernels import lut3d_vals_dict2
+    from yaik_tpu.ops.pallas_kernels import lut3d_vals_dict2p
     ls = lut_tab[dict_rows]                              # [U, 64] i32
     tab3 = jnp.concatenate(
         [(ls & 0xFF).T, ((ls >> 8) & 0xFF).T, (ls >> 16).T],
         axis=0).astype(jnp.bfloat16)                     # [192, U]
 
-    def layer_args(accept, rws, cols, packed):
-        acc = accept.reshape(g, 1).astype(jnp.int32)
-        cols8 = jnp.concatenate(
-            [cols.astype(jnp.int32), acc, rws.reshape(g, 1)], axis=1)
-        return packed.T.astype(jnp.int32), cols8.T
-
-    idxa, cola = layer_args(accepts[0], rows[0], colors[0], packeds[0])
-    idxb, colb = layer_args(accepts[1], rows[1], colors[1], packeds[1])
-    Vp = lut3d_vals_dict2(idxa, idxb, tab3, cola, colb,
-                          interpret=interpret).T         # [g, 16]
+    # colors/packeds already carry the PLAN-TIME byte-packed kernel
+    # operands (idx4 [4, g] i32: 4 raw bytes per lane; cols2 [2, g] i32:
+    # the 8 per-tile columns in 2 lanes - see _pack_merged_layer). The
+    # kernel's materialized inputs shrink 4x vs the i32-per-byte form
+    # (the decode roofline's #1 term), and packing on the host removes
+    # the per-step transpose/reshape copies a device-side pack measured
+    # (~1.6 ms/step of arg-layout and reshape copies at 512^2 b128).
+    if d1 is not None:
+        # fused 1D-residual compose: the kernel epilogue applies the d1
+        # values per channel and returns per-channel write flags in bits
+        # 24-26, so the d1 stage's separate relayout + mask expansion +
+        # blend chain (~3 ms/step HLO-measured at 512^2 b128) vanishes
+        from yaik_tpu.ops.pallas_kernels import lut3d_vals_dict2p_d1
+        codes4, prm, wm2 = d1
+        Vp = lut3d_vals_dict2p_d1(packeds[0], packeds[1], tab3,
+                                  colors[0], colors[1], codes4, prm, wm2,
+                                  interpret=interpret).T       # [g, 16]
+        V = _tile_to_image(Vp, nty, ntx, 4, 4).astype(jnp.uint32)
+        m32 = (((V >> 24) & 1) * 0xFF | ((V >> 25) & 1) * 0xFF00
+               | ((V >> 26) & 1) * 0xFF0000)
+        return V, m32        # caller blends once over the gradient plane
+    Vp = lut3d_vals_dict2p(packeds[0], packeds[1], tab3, colors[0],
+                           colors[1], interpret=interpret).T   # [g, 16]
     V = _tile_to_image(Vp, nty, ntx, 4, 4).astype(jnp.uint32)
     m32 = (V >> 24) * 0xFFFFFF
     if plane is None:
@@ -418,37 +526,66 @@ def _blend_pass_masked(plane, accept, corners, mask, sx, sy):
     return _blend_pass(plane, accept, corners, sx, sy, chmask=ch)
 
 
-def _d1_vals(params, indices, wbits_img, h8, w8):
-    """The 1D residual pass's image-space packed values + write mask
-    (see _d1_pass). Split out so the fused merged-T3 path can compose the
-    two stages into ONE plane read-modify-write."""
-    nty, ntx = h8 // 8, w8 // 8
-    b = ((wbits_img[:, :, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
-         ).reshape(3, h8, w8).astype(jnp.uint32)
-    m32 = (b[0] | (b[1] << 8) | (b[2] << 16)) * 0xFF
-    L = indices.astype(jnp.int32)                             # [3, 64, g]
-    color0 = params[:, :, 0][:, None, :]                      # [3, 1, g]
-    base = params[:, :, 1][:, None, :]
-    delta2 = params[:, :, 2][:, None, :]
-    v = jnp.where(L != 0, base + (((L - 1) * delta2) >> 16), color0) & 0xFF
-    vpT = v[0] | (v[1] << 8) | (v[2] << 16)                   # [64, g]
-    v4 = vpT.reshape(8, 8, nty, ntx).transpose(2, 0, 3, 1)
-    v_img = v4.reshape(nty * 8, ntx * 8).astype(jnp.uint32)
+def _d1_vals(prm, codes4, wm2, h8, w8):
+    """The 1D residual pass's image-space packed values + per-channel
+    write mask (see _d1_pass). Split out so the fused merged-T3 path can
+    compose the two stages into ONE plane read-modify-write.
+
+    All operands are 4x4-BLOCK-space, byte/bit-packed at plan time
+    (_pack_d1_blocks): prm [5, G4] i32 (color0 packed, base packed,
+    delta2 per channel), codes4 [12, G4] i32 (per-channel index bytes, 4
+    px per lane), wm2 [2, G4] i32 (per-(channel, pixel) write bits).
+    delta2 needs up to 21 bits ((delta*inv_range)>>8, inv_range =
+    2^24/range) so it rides its own lane per channel - but the resulting
+    8-bit values pack. This layout is the fused kernel's operand form
+    (pallas_kernels lut3d_vals_dict2p_d1); the XLA path here serves the
+    non-fused streams (UCOL/2DTL/plane-gradient chains, CPU tests)."""
+    nty4, ntx4 = h8 // 4, w8 // 4
+    c0 = [(prm[0] >> (8 * c)) & 0xFF for c in range(3)]       # [G4]
+    bs = [(prm[1] >> (8 * c)) & 0xFF for c in range(3)]
+    d2 = [prm[2 + c] for c in range(3)]
+    vrows = []
+    for p in range(16):
+        vb, wb = [], []
+        for c in range(3):
+            L = (codes4[4 * c + (p >> 2)] >> (8 * (p & 3))) & 0xFF
+            v = jnp.where(L != 0,
+                          (bs[c] + (((L - 1) * d2[c]) >> 16)) & 0xFF,
+                          c0[c])
+            bitpos = c * 16 + p
+            vb.append(v)
+            wb.append((wm2[bitpos >> 5] >> (bitpos & 31)) & 1)
+        # per-channel write bits ride bits 24-26 of the SAME word, so the
+        # values and the mask share ONE tile->image relayout (a separate
+        # mask relayout / bit-plane expansion each measured ~0.4-1.1
+        # ms/step at 512^2 b128)
+        vrows.append((vb[0] | (vb[1] << 8) | (vb[2] << 16)
+                      | (wb[0] << 24) | (wb[1] << 25)
+                      | (wb[2] << 26))[None])
+    vpT = jnp.concatenate(vrows, axis=0)                      # [16, G4]
+    v_img = _tile_to_image(vpT.T, nty4, ntx4, 4, 4).astype(jnp.uint32)
+    m32 = (((v_img >> 24) & 1) * 0xFF | ((v_img >> 25) & 1) * 0xFF00
+           | ((v_img >> 26) & 1) * 0xFF0000)
     return v_img, m32
 
 
-def _d1_pass(plane, params, indices, wbits_img, h8, w8):
-    """1D residual for all 3 planes. Values are computed in TILE space
-    [3, 64, g] (pixel-major, tiles on lanes - the kernels' native
-    layout), where the per-tile params broadcast along the pixel axis
-    for free (no relayout), channel-packed there, then ONE fused
-    relayout+blend (or i32 relayout on the XLA fallback) applies them. delta2 needs up to 21
-    bits ((delta*inv_range)>>8, inv_range=2^24/range) so the PARAMS can't
-    pack into one i32 - but the resulting 8-bit values can. The write
-    mask is per-CHANNEL (bit-packed image-space at plan time): each
-    channel's bit expands to a 0xFF byte of the blend mask."""
-    v_img, m32 = _d1_vals(params, indices, wbits_img, h8, w8)
+def _d1_pass(plane, prm, codes4, wm2, h8, w8):
+    """1D residual for all 3 planes (XLA path; the standard-stream chain
+    composes this into the fused T3 kernel instead - decode_core)."""
+    v_img, m32 = _d1_vals(prm, codes4, wm2, h8, w8)
     return plane ^ ((plane ^ v_img) & m32)
+
+
+def salt_d1_color0(prm, s):
+    """Bench harness hook: perturb every channel's color0 byte by +s
+    (mod 256) in the packed d1 params - the round-2 salted-chain data
+    dependence, expressed on the block-space operand form. Works on
+    batched stacks [..., 5, G4]."""
+    p0 = prm[..., 0:1, :]
+    nb = ((((p0 >> 0) & 0xFF) + s) & 0xFF) \
+        | (((((p0 >> 8) & 0xFF) + s) & 0xFF) << 8) \
+        | (((((p0 >> 16) & 0xFF) + s) & 0xFF) << 16)
+    return prm.at[..., 0:1, :].set(nb)
 
 
 def _unpack6_device(raw, count, inverse):
@@ -512,7 +649,7 @@ def _alpha_pass(aspec, raw, mip_bits, h8, w8):
 
 def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
                 t3_accepts, t3_rows, t3_colors, t3_packed, t3_dicts,
-                d1_params, d1_indices, d1_wmask,
+                d1_prm, d1_codes4, d1_wm2,
                 ucol=None, t2=None, pgrad_pairs=None, pgrad_singles=None,
                 alpha=None, aspec=None):
     """ucol: None or the pre-pass overlay (vals [3,h8,w8] u8 planar, mask
@@ -562,11 +699,18 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
             plane = _blend_pass(plane, grad_accepts[k], grad_corners[k],
                                 sx, sy)
     if compose_d1:
-        V3, m3 = _tile3d_merged2_pass(None, lut_tab, t3_accepts, t3_rows,
-                                      t3_colors, t3_packed, t3_dicts[0])
-        V1, m1 = _d1_vals(d1_params, d1_indices, d1_wmask, h8, w8)
-        V = V3 ^ ((V3 ^ V1) & m1)         # d1 wins where it writes
-        m = m3 | m1
+        if USE_T3_D1_KERNEL:
+            V, m = _tile3d_merged2_pass(None, lut_tab, t3_accepts,
+                                        t3_rows, t3_colors, t3_packed,
+                                        t3_dicts[0],
+                                        d1=(d1_codes4, d1_prm, d1_wm2))
+        else:
+            V3, m3 = _tile3d_merged2_pass(None, lut_tab, t3_accepts,
+                                          t3_rows, t3_colors, t3_packed,
+                                          t3_dicts[0])
+            V1, m1 = _d1_vals(d1_prm, d1_codes4, d1_wm2, h8, w8)
+            V = V3 ^ ((V3 ^ V1) & m1)     # d1 wins where it writes
+            m = m3 | m1
         if fuse_final:
             plane = _grad_merged_final(*grad_corners, V, m)
         else:
@@ -578,9 +722,20 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
                                      t3_colors, t3_packed, t3_dicts[0])
     else:
         for k, (sx, sy) in enumerate(t3_shift_list):
-            plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], t3_rows[k],
-                                 t3_colors[k], t3_packed[k], sx, sy,
-                                 dict_rows=t3_dicts[k])
+            if len(t3_accepts) == 2 and t3_dicts[k] is not None:
+                # merged+dict layers carry the plan-time packed operands;
+                # the non-fused fallback (CPU tests, YAIK_T3_FUSED=0)
+                # unpacks in-graph and reuses the legacy pass
+                rws, cols, pk = _unpack_merged_layer(t3_packed[k],
+                                                     t3_colors[k])
+                plane = _tile3d_pass(plane, lut_tab, t3_accepts[k], rws,
+                                     cols, pk, sx, sy,
+                                     dict_rows=t3_dicts[k])
+            else:
+                plane = _tile3d_pass(plane, lut_tab, t3_accepts[k],
+                                     t3_rows[k], t3_colors[k],
+                                     t3_packed[k], sx, sy,
+                                     dict_rows=t3_dicts[k])
     if pgrad_pairs is not None:     # GTIL plane in (5, 3, 6), before 2DTL
         for k, mask in enumerate(_PGRAD_PAIRS):
             plane = _blend_pass_masked(plane, *pgrad_pairs[k], mask, 2, 2)
@@ -592,7 +747,7 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
         for k, mask in enumerate(_PGRAD_SINGLES):
             plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
     if not compose_d1:
-        plane = _d1_pass(plane, d1_params, d1_indices, d1_wmask, h8, w8)
+        plane = _d1_pass(plane, d1_prm, d1_codes4, d1_wm2, h8, w8)
     # The plane IS the channel-packed u32 word (r | g<<8 | b<<16); the
     # final interleave is just the bitcast to [H, W, 4] u8 - byte-exact
     # little-endian on both TPU and CPU backends. Alpha rides bits 24-31.
@@ -866,7 +1021,9 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             exp = np.repeat(np.repeat(g.accept, th // 4, 0), tw // 4, 1)
             region = code4[: exp.shape[0], : exp.shape[1]]
             region[exp] = k + 1
-        grad_args = (None, (np.stack(corners), code4))
+        corners_planar = np.ascontiguousarray(
+            np.stack(corners).transpose(0, 3, 1, 2))     # [7, 3, qh, qw]
+        grad_args = (None, (corners_planar, code4))
     else:
         grad_args = (tuple(accepts), tuple(corners))
 
@@ -891,10 +1048,22 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             invs = inv.reshape(len(layers), -1)
         for L, (acc4, rows4, cols4, pk4) in enumerate(layers):
             t3a.append(acc4)
-            t3r.append(invs[L] if use_dict else rows4)
-            t3d.append(d if use_dict else None)
-            t3c.append(cols4)
-            t3p.append(pk4)
+            if use_dict:
+                # plan-time byte-pack for the fused kernel (4 payloads
+                # per i32 lane; device-side packing measured ~1.6 ms/step
+                # of layout/reshape copies at 512^2 b128). rows ride
+                # cols2's top byte; the t3r slot shrinks to a dummy.
+                idx4, cols2 = _pack_merged_layer(acc4, invs[L], cols4,
+                                                 pk4)
+                t3r.append(np.zeros(1, np.int32))
+                t3d.append(d)
+                t3c.append(cols2)
+                t3p.append(idx4)
+            else:
+                t3r.append(rows4)
+                t3d.append(None)
+                t3c.append(cols4)
+                t3p.append(pk4)
     else:
         t3_dicts_on = mode[1:]
         t3_by_shift = {p.shift: p for p in plan.tile3d}
@@ -932,21 +1101,7 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             # 63 (corrupt streams can carry byte//3 <= 85) - zero-copy here
             t3p.append(p.packed)
 
-    # 1D indices travel tile-major [3, g, 64] (values are computed in tile
-    # space, see _d1_pass); only the write mask is relayouted to image
-    # space at plan time (bit-packed for the host->device link)
-    nty8, ntx8 = h // 8, w // 8
-
-    def _d1_img(a):
-        return np.ascontiguousarray(
-            a.reshape(3, nty8, ntx8, 8, 8).transpose(0, 1, 3, 2, 4)
-            .reshape(3, nty8 * 8, ntx8 * 8))
-
-    # pixel-major [3, 64, g]: the device kernels' native layout (tiles on
-    # the 128 lanes); lazily strided - the device transfer copies anyway
-    d1_idx = plan.d1.indices.transpose(0, 2, 1)
-    wbits = np.packbits(_d1_img(plan.d1.wmask.astype(np.uint8)),
-                        axis=-1, bitorder="little")       # [3, h, w/8]
+    d1_prm, d1_codes4, d1_wm2 = _pack_d1_blocks(plan)
 
     ucol_arg = None
     if plan.overlay is not None:
@@ -1006,7 +1161,7 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
 
     args = grad_args + (
             tuple(t3a), tuple(t3r), tuple(t3c), tuple(t3p), tuple(t3d),
-            plan.d1.params, d1_idx, wbits, ucol_arg, t2_arg,
+            d1_prm, d1_codes4, d1_wm2, ucol_arg, t2_arg,
             pg_pairs, pg_singles, alpha_arg)
     return GRAD_SHIFTS, tab, args
 

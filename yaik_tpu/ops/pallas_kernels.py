@@ -22,6 +22,7 @@ integer < 2^24 (f32-exact).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -234,28 +235,40 @@ def _grad_kernel(shifts, KX, KY, W, corn_ref, code_ref, by_ref, bx_ref,
                  preferred_element_type=jnp.float32)
     C = Cf.astype(jnp.int32)                             # [BR, W]
     out = jnp.zeros(C.shape, jnp.int32)
+    KYe = KY + 8
     for k, (sx, sy) in enumerate(shifts):
         cg = corn_ref[k]                                 # [KY+8, KX+128]
         byk = by_ref[k]                                  # [BR, KY+128]
         by_m = byk[:, :KY]
         by_e = byk[:, KY:KY + 1].astype(jnp.float32)
-        vk = None
-        for c in (0, 8, 16):
-            cgc = ((cg >> c) & 0xFF).astype(jnp.bfloat16)
-            u = (jnp.dot(cgc[:, :KX], bx_ref[k, :KX, :],
-                         preferred_element_type=jnp.float32)
-                 + cgc[:, KX:KX + 1].astype(jnp.float32)
-                 * bx_ref[k, KX:KX + 1, :].astype(jnp.float32))
-            ui = u.astype(jnp.int32)
-            uh = (ui >> 8).astype(jnp.bfloat16)
-            ul = (ui & 255).astype(jnp.bfloat16)
-            t = (jnp.dot(by_m, uh[:KY],
-                         preferred_element_type=jnp.float32) * 256.0
-                 + jnp.dot(by_m, ul[:KY],
-                           preferred_element_type=jnp.float32)
-                 + by_e * u[KY:KY + 1, :])
-            vc = t.astype(jnp.int32) >> (sy + sx)
-            vk = vc if c == 0 else vk | (vc << c)
+        # channel-STACKED matmuls: the three channels ride one x-matmul
+        # ([3*(KY+8), KX] rows stacked) and one y-matmul (hi/lo x 3
+        # channels = 6W lanes stacked), so each pass costs 2 MXU
+        # dispatches instead of 9 small ones (round-5; arithmetic is
+        # identical - integer-valued f32 sums are order-exact)
+        cg3 = jnp.concatenate(
+            [((cg >> c) & 0xFF) for c in (0, 8, 16)],
+            axis=0).astype(jnp.bfloat16)                 # [3*KYe, KX+128]
+        u3 = (jnp.dot(cg3[:, :KX], bx_ref[k, :KX, :],
+                      preferred_element_type=jnp.float32)
+              + cg3[:, KX:KX + 1].astype(jnp.float32)
+              * bx_ref[k, KX:KX + 1, :].astype(jnp.float32))  # [3*KYe, W]
+        ui = u3.astype(jnp.int32)
+        uh = (ui >> 8).astype(jnp.bfloat16)
+        ul = (ui & 255).astype(jnp.bfloat16)
+        X = jnp.concatenate(
+            [uh[c * KYe: c * KYe + KY] for c in range(3)]
+            + [ul[c * KYe: c * KYe + KY] for c in range(3)],
+            axis=1)                                      # [KY, 6W]
+        Tm = jnp.dot(by_m, X, preferred_element_type=jnp.float32)
+        ue = jnp.concatenate(
+            [u3[c * KYe + KY: c * KYe + KY + 1] for c in range(3)],
+            axis=1)                                      # [1, 3W]
+        W3 = Tm.shape[1] // 2
+        t3 = Tm[:, :W3] * 256.0 + Tm[:, W3:] + by_e * ue  # [BR, 3W]
+        v3 = t3.astype(jnp.int32) >> (sy + sx)
+        vk = (v3[:, :W] | (v3[:, W:2 * W] << 8)
+              | (v3[:, 2 * W:] << 16))
         out = jnp.where(C == k + 1, vk, out)
     if len(rest) == 1:                                   # (out_ref,)
         rest[0][:] = out | jnp.where(C > 0, 1 << 24, 0)
@@ -421,6 +434,202 @@ def score48(c, alive, qpts, interpret=False):
     )(x, mask, qmat, q2)
     out = out.reshape(ngrid * tb, n48p)
     return out[:T, :n48].reshape(T, E, 48).astype(jnp.int32)
+
+
+def _vals_dict2p_kernel(P, U, idxa_ref, idxb_ref, tab_ref, cola_ref,
+                        colb_ref, *rest):
+    """_vals_dict2_kernel with BYTE-PACKED inputs and PER-BLOCK work
+    elision. Inputs: idx rows carry 4 raw bytes per i32 lane ([P/4, LB]);
+    the 8 per-tile columns pack into 2 lanes ([2, LB]:
+    mn0|mn1<<8|mn2<<16|acc<<24, mx0|mx1<<8|mx2<<16|dict<<24). The
+    kernel's materialized VMEM inputs shrink 4x (the decode roofline's #1
+    term - u8 payloads in i32 lanes).
+
+    Work elision (value-dependent lax.cond per block, round 5): a block
+    with no accepted tiles in a layer skips that layer's whole resolve
+    (~44% of LB=512 blocks for the sparse priority layer 1 on real
+    content), and a block whose indices all fit 4 bits walks a 15-row
+    select tree instead of 63 (layer 1 measures 100% <16, layer 0
+    25-31%). Bit-exact vs the unpacked kernel - the skipped work could
+    only produce lanes that the accept/write masks already zero."""
+    T = tab_ref[:]                                   # [192, U] bf16
+
+    def resolve(idx_ref, col_ref):
+        C = col_ref[:]                               # [2, LB] i32 packed
+        loc = (C[1, :] >> 24) & 0xFF
+        acc = (C[0:1, :] >> 24) & 0xFF
+        raws = [(idx_ref[p >> 2, :] >> (8 * (p & 3))) & 0xFF
+                for p in range(P)]
+        wr = jnp.concatenate([((r >> 6) & 1)[None, :] for r in raws],
+                             axis=0) * acc           # [P, LB]
+        bs = [r & 63 for r in raws]
+        zero = jnp.zeros((P, C.shape[1]), jnp.int32)
+
+        def tree(depth):
+            # dictionary expand only the rows the tree can reach: the
+            # one-hot matmul shrinks [192,U] -> [3*depth,U] with it
+            parts = [T[c * 64: c * 64 + depth] for c in range(3)]
+            Ts = jnp.concatenate(parts, axis=0)      # [3*depth, U]
+            oh = (jax.lax.broadcasted_iota(
+                jnp.int32, (U, loc.shape[0]), 0)
+                == loc[None, :]).astype(jnp.bfloat16)
+            L = jnp.dot(Ts, oh,
+                        preferred_element_type=jnp.float32).astype(jnp.int32)
+            V0 = (L[0:depth] | (L[depth:2 * depth] << 8)
+                  | (L[2 * depth:] << 16))
+            levs = tuple(range(depth.bit_length() - 2, -1, -1))
+            rows = []
+            for p in range(P):
+                v = V0
+                for lev in levs:
+                    half = v.shape[0] // 2
+                    bit = ((bs[p] >> lev) & 1)[None, :] != 0
+                    v = jnp.where(bit, v[half:, :], v[:half, :])
+                rows.append(v[0])
+            return jnp.concatenate([r[None] for r in rows], axis=0)
+
+        # any idx byte >= 16 sets a bit under mask 0x30303030 (bytes are
+        # <= 0x7F: idx|wmask<<6; wmask bit 6 must not force the deep
+        # tree). OR the four byte rows (no inter-byte carries), mask,
+        # then max > 0 == any-lane test (values are non-negative)
+        wbits = ((idx_ref[0, :] | idx_ref[1, :])
+                 | (idx_ref[2, :] | idx_ref[3, :])) & 0x30303030
+        deep = jnp.max(wbits) > 0
+        E = jax.lax.cond(jnp.max(acc) == 0, lambda: zero,
+                         lambda: jax.lax.cond(deep, lambda: tree(64),
+                                              lambda: tree(16)))
+        mn0 = C[0:1, :] & 0xFF
+        mn1 = (C[0:1, :] >> 8) & 0xFF
+        mn2 = (C[0:1, :] >> 16) & 0xFF
+        d0 = (C[1:2, :] & 0xFF) - mn0
+        d1 = ((C[1:2, :] >> 8) & 0xFF) - mn1
+        d2 = ((C[1:2, :] >> 16) & 0xFF) - mn2
+        v0 = (mn0 + ((d0 * (E & 0xFF)) >> 7)) & 0xFF
+        v1 = (mn1 + ((d1 * ((E >> 8) & 0xFF)) >> 7)) & 0xFF
+        v2 = (mn2 + ((d2 * (E >> 16)) >> 7)) & 0xFF
+        return v0 | (v1 << 8) | (v2 << 16), wr
+
+    va, wa = resolve(idxa_ref, cola_ref)
+    vb, wb = resolve(idxb_ref, colb_ref)
+    if len(rest) == 1:
+        out_ref = rest[0]
+        out_ref[:] = jnp.where(wb != 0, vb, va) | ((wa | wb) << 24)
+        return
+    # Fused 1D-residual compose (round 5): the d1 pass applies on top of
+    # the T3 result per CHANNEL byte (YAIK_3DTile.cpp:24-240 semantics,
+    # Decompress1D per plane), so its values never take the separate
+    # tile->image relayout + mask-expansion + blend chain that HLO
+    # profiling measured at ~3 ms/step (512^2 b128). Inputs are
+    # 4x4-block-space, byte/bit-packed at plan time:
+    #   codes_ref [12, LB] i32 - per-channel index bytes, 4 px per lane
+    #     (channel c rows 4c..4c+3)
+    #   prm_ref [5, LB] i32 - color0 c0|c1<<8|c2<<16, base likewise,
+    #     then delta2 per channel (<= 21 bits) in rows 2..4
+    #   wm_ref [2, LB] i32 - per-(channel, pixel) write bits, bit
+    #     index c*16+p in lane (c*16+p)>>5
+    # Output: per-channel composed value bytes + per-channel write flags
+    # in bits 24/25/26 (T3 writes set all three).
+    codes_ref, prm_ref, wm_ref, out_ref = rest
+    t3 = jnp.where(wb != 0, vb, va)
+    wt = (wa | wb)                                    # [P, LB] 0/1
+    PR = prm_ref[:]                                   # [5, LB]
+    WM = wm_ref[:]                                    # [2, LB]
+    c0 = [(PR[0:1, :] >> (8 * c)) & 0xFF for c in range(3)]
+    bs = [(PR[1:2, :] >> (8 * c)) & 0xFF for c in range(3)]
+    d2 = [PR[2 + c: 3 + c, :] for c in range(3)]
+    outs = []
+    for p in range(P):
+        t3p = t3[p: p + 1, :]
+        wtp = wt[p: p + 1, :]
+        acc_v = None
+        acc_w = None
+        for c in range(3):
+            L = (codes_ref[4 * c + (p >> 2), :] >> (8 * (p & 3))) & 0xFF
+            L = L[None, :]
+            v1 = (bs[c] + (((L - 1) * d2[c]) >> 16)) & 0xFF
+            v1 = jnp.where(L != 0, v1, c0[c])
+            bitpos = c * 16 + p
+            w1 = (WM[bitpos >> 5: (bitpos >> 5) + 1, :]
+                  >> (bitpos & 31)) & 1
+            tv = (t3p >> (8 * c)) & 0xFF
+            sel = jnp.where(w1 != 0, v1, tv)
+            wb_c = (wtp | w1) << (24 + c)
+            term = (sel << (8 * c)) | wb_c
+            acc_v = term if c == 0 else acc_v | term
+        outs.append(acc_v)
+    out_ref[:] = jnp.concatenate(outs, axis=0)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lut3d_vals_dict2p_d1(idx4a, idx4b, tab3, cols2a, cols2b, codes4, prm,
+                         wm2, interpret=False):
+    """lut3d_vals_dict2p + the fused 1D-residual compose (see
+    _vals_dict2p_kernel's d1 epilogue). Returns [P, G] i32: per-channel
+    composed value bytes with per-channel write flags in bits 24-26."""
+    P4, G = idx4a.shape
+    P = P4 * 4
+    U = tab3.shape[1]
+    LB = int(os.environ.get("YAIK_T3_LB", "1024"))
+    pad = (-G) % LB
+    args = [jnp.pad(a, ((0, 0), (0, pad)))
+            for a in (idx4a, idx4b, cols2a, cols2b, codes4, prm, wm2)]
+    grid = ((G + pad) // LB,)
+
+    def spec(r):
+        return pl.BlockSpec((r, LB), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_vals_dict2p_kernel, P, U),
+        out_shape=jax.ShapeDtypeStruct((P, G + pad), jnp.int32),
+        grid=grid,
+        in_specs=[spec(P4), spec(P4),
+                  pl.BlockSpec((192, U), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  spec(2), spec(2), spec(12), spec(5), spec(2)],
+        out_specs=pl.BlockSpec((P, LB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(args[0], args[1], tab3, *args[2:])
+    return out[:, :G]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def lut3d_vals_dict2p(idx4a, idx4b, tab3, cols2a, cols2b, interpret=False):
+    """Packed-input fused two-layer merged-T3 resolve (see
+    _vals_dict2p_kernel): idx4* [P/4, G] i32 (4 raw idx|wmask<<6 bytes
+    per lane, little-endian), cols2* [2, G] i32 packed per-tile columns.
+    Returns [P, G] i32 packed RGB + (wA|wB)<<24, bit-identical to
+    lut3d_vals_dict2 on the equivalent unpacked arguments."""
+    P4, G = idx4a.shape
+    P = P4 * 4
+    U = tab3.shape[1]
+    LB = int(os.environ.get("YAIK_T3_LB", "1024"))
+    pad = (-G) % LB
+    idxap = jnp.pad(idx4a, ((0, 0), (0, pad)))
+    idxbp = jnp.pad(idx4b, ((0, 0), (0, pad)))
+    colap = jnp.pad(cols2a, ((0, 0), (0, pad)))
+    colbp = jnp.pad(cols2b, ((0, 0), (0, pad)))
+    grid = ((G + pad) // LB,)
+    out = pl.pallas_call(
+        partial(_vals_dict2p_kernel, P, U),
+        out_shape=jax.ShapeDtypeStruct((P, G + pad), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P4, LB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P4, LB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((192, U), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, LB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(idxap, idxbp, tab3, colap, colbp)
+    return out[:, :G]
 
 
 def _vals_dict2_kernel(P, U, idxa_ref, idxb_ref, tab_ref, cola_ref,
