@@ -438,7 +438,8 @@ def _unpack_merged_layer(packed4, cols2):
 
 
 def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
-                         dict_rows, interpret=False, d1=None):
+                         dict_rows, interpret=False, d1=None,
+                         tile_out=False):
     """Both merged-T3 priority layers in ONE Pallas dispatch + ONE
     tile->image relayout + ONE plane blend (the per-layer relayout copy
     and blend RMW were the decode roofline's #2/#3 terms). Requires the
@@ -475,9 +476,11 @@ def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
         m32 = (((V >> 24) & 1) * 0xFF | ((V >> 25) & 1) * 0xFF00
                | ((V >> 26) & 1) * 0xFF0000)
         return V, m32        # caller blends once over the gradient plane
-    Vp = lut3d_vals_dict2p(packeds[0], packeds[1], tab3, colors[0],
-                           colors[1], interpret=interpret).T   # [g, 16]
-    V = _tile_to_image(Vp, nty, ntx, 4, 4).astype(jnp.uint32)
+    VpT = lut3d_vals_dict2p(packeds[0], packeds[1], tab3, colors[0],
+                            colors[1], interpret=interpret)    # [16, g]
+    if tile_out:
+        return VpT           # tile-space compose caller relayouts once
+    V = _tile_to_image(VpT.T, nty, ntx, 4, 4).astype(jnp.uint32)
     m32 = (V >> 24) * 0xFFFFFF
     if plane is None:
         return V, m32        # fused-compose caller blends once with d1
@@ -541,6 +544,19 @@ def _d1_vals(prm, codes4, wm2, h8, w8):
     (pallas_kernels lut3d_vals_dict2p_d1); the XLA path here serves the
     non-fused streams (UCOL/2DTL/plane-gradient chains, CPU tests)."""
     nty4, ntx4 = h8 // 4, w8 // 4
+    vpT = _d1_vals_tile(prm, codes4, wm2)                     # [16, G4]
+    v_img = _tile_to_image(vpT.T, nty4, ntx4, 4, 4).astype(jnp.uint32)
+    m32 = (((v_img >> 24) & 1) * 0xFF | ((v_img >> 25) & 1) * 0xFF00
+           | ((v_img >> 26) & 1) * 0xFF0000)
+    return v_img, m32
+
+
+def _d1_vals_tile(prm, codes4, wm2):
+    """The 1D residual values in 4x4-block TILE space [16, G4] i32:
+    value bytes + per-channel write bits in bits 24-26. Per-channel
+    write bits ride the SAME word as the values, so mask and values
+    share one tile->image relayout (a separate mask relayout or
+    bit-plane expansion each measured ~0.4-1.1 ms/step at 512^2 b128)."""
     c0 = [(prm[0] >> (8 * c)) & 0xFF for c in range(3)]       # [G4]
     bs = [(prm[1] >> (8 * c)) & 0xFF for c in range(3)]
     d2 = [prm[2 + c] for c in range(3)]
@@ -555,18 +571,10 @@ def _d1_vals(prm, codes4, wm2, h8, w8):
             bitpos = c * 16 + p
             vb.append(v)
             wb.append((wm2[bitpos >> 5] >> (bitpos & 31)) & 1)
-        # per-channel write bits ride bits 24-26 of the SAME word, so the
-        # values and the mask share ONE tile->image relayout (a separate
-        # mask relayout / bit-plane expansion each measured ~0.4-1.1
-        # ms/step at 512^2 b128)
         vrows.append((vb[0] | (vb[1] << 8) | (vb[2] << 16)
                       | (wb[0] << 24) | (wb[1] << 25)
                       | (wb[2] << 26))[None])
-    vpT = jnp.concatenate(vrows, axis=0)                      # [16, G4]
-    v_img = _tile_to_image(vpT.T, nty4, ntx4, 4, 4).astype(jnp.uint32)
-    m32 = (((v_img >> 24) & 1) * 0xFF | ((v_img >> 25) & 1) * 0xFF00
-           | ((v_img >> 26) & 1) * 0xFF0000)
-    return v_img, m32
+    return jnp.concatenate(vrows, axis=0)                     # [16, G4]
 
 
 def _d1_pass(plane, prm, codes4, wm2, h8, w8):
@@ -705,6 +713,13 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
                                         t3_dicts[0],
                                         d1=(d1_codes4, d1_prm, d1_wm2))
         else:
+            # image-space compose: TWO tile->image relayouts (T3 and d1)
+            # feeding one fused elementwise pass (mask expansions +
+            # XOR-blend + plane RMW). A single-relayout TILE-space
+            # compose was built and measured NEGATIVE (1746 -> 1504
+            # MPix/s chained, b128): the extra materialized tile-space
+            # word costs more than the saved relayout because XLA fuses
+            # the whole image-space tail into one pass either way.
             V3, m3 = _tile3d_merged2_pass(None, lut_tab, t3_accepts,
                                           t3_rows, t3_colors, t3_packed,
                                           t3_dicts[0])
