@@ -259,20 +259,27 @@ def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
     T, P = nty * ntx, th * tw
     N = B * T
 
-    tiles = planes_b[:, :, :nty * th, :ntx * tw].reshape(
+    # channel-UNROLLED tensors throughout (round 5): the [N, P, 3]
+    # minor-3 layouts tile to (8, 128) with 42/128-lane occupancy when
+    # materialized; per-channel [N, P] twins keep P (or th*tw) minor
+    tb6 = planes_b[:, :, :nty * th, :ntx * tw].reshape(
         B, 3, nty, th, ntx, tw)
-    tiles = tiles.transpose(0, 2, 4, 3, 5, 1).reshape(N, P, 3).astype(
-        jnp.int32)
+    tiles_c = tuple(
+        tb6[:, c].transpose(0, 1, 3, 2, 4).reshape(N, P).astype(jnp.int32)
+        for c in range(3))
     cm = claims_b.all(axis=1)[:, :nty * th, :ntx * tw]
     mask = cm.reshape(B, nty, th, ntx, tw).transpose(0, 1, 3, 2, 4).reshape(
         N, P)
     alive = ~mask
 
     cnt = alive.sum(axis=1)
-    mn = jnp.min(jnp.where(alive[:, :, None], tiles, 999), axis=1)
-    mx = jnp.max(jnp.where(alive[:, :, None], tiles, -999), axis=1)
-    d = mx - mn
-    pre = (cnt > 0) & ((d == 0).sum(axis=1) <= 1)
+    mn_c = tuple(jnp.min(jnp.where(alive, t, 999), axis=1)
+                 for t in tiles_c)                              # 3x [N]
+    mx_c = tuple(jnp.max(jnp.where(alive, t, -999), axis=1)
+                 for t in tiles_c)
+    d_c = tuple(mx - mn for mx, mn in zip(mx_c, mn_c))
+    pre = (cnt > 0) & (sum((dc == 0).astype(jnp.int32)
+                           for dc in d_c) <= 1)
 
     # Optional alive-tile compaction (cap_score static): after the gradient
     # stage claims pixels, only a small fraction of tiles still carry alive
@@ -297,31 +304,37 @@ def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
 
         def take(x):
             return jnp.take(x, flat_src, axis=0)
-        tiles_s = take(tiles)
+        tiles_cs = tuple(take(t) for t in tiles_c)
         alive_s = take(alive) & valid[:, None]
-        mn_s, d_s, pre_s = take(mn), take(d), take(pre) & valid
+        mn_cs = tuple(take(m) for m in mn_c)
+        d_cs = tuple(take(dc) for dc in d_c)
+        pre_s = take(pre) & valid
         Ns = B * C
     else:
-        tiles_s, alive_s, mn_s, d_s, pre_s = tiles, alive, mn, d, pre
+        tiles_cs, alive_s = tiles_c, alive
+        mn_cs, d_cs, pre_s = mn_c, d_c, pre
         Ns = N
 
-    k = tiles_s - mn_s[:, None, :]
-    nvec = jnp.where(d_s > 0, (1 << 20) // jnp.maximum(d_s, 1), 0)
-    r = k * nvec[:, None, :]
-    c = ((r.astype(jnp.float32) / jnp.float32(1 << 20))
-         * jnp.float32(63)).astype(jnp.int32)
-
+    # per-channel normalization chain ([Ns, P] twins; the [Ns, P, 3]
+    # forms materialized at 42/128-lane occupancy)
+    k_c = tuple(t - m[:, None] for t, m in zip(tiles_cs, mn_cs))
     # exact magic-multiply floor division (per-pixel i32 // is expanded to a
     # long scalar sequence on TPU): q=(n*M)>>22 == n//d for n=63k, k<=d<=255
     # since n*e <= 63*d^2 < 2^22 (Granlund-Montgomery; verified exhaustively)
-    k63 = k * 63
-    dd = jnp.maximum(d_s, 1)[:, None, :]
-    magic = (1 << 22) // jnp.maximum(d_s, 1) + 1              # [Ns,3] only
-    q0 = (k63 * magic[:, None, :]) >> 22
-    q = jnp.where(d_s[:, None, :] > 0, q0, k63)
-    rem = jnp.where(d_s[:, None, :] > 0, k63 - q0 * dd, 0)
-    a_c = q
-    b_c = 63 - q - (rem != 0).astype(jnp.int32)
+    cc, ac_c, bc_c = [], [], []
+    for k, dc in zip(k_c, d_cs):
+        nvec = jnp.where(dc > 0, (1 << 20) // jnp.maximum(dc, 1), 0)
+        r = k * nvec[:, None]
+        cc.append(((r.astype(jnp.float32) / jnp.float32(1 << 20))
+                   * jnp.float32(63)).astype(jnp.int32))
+        k63 = k * 63
+        dd = jnp.maximum(dc, 1)[:, None]
+        magic = (1 << 22) // jnp.maximum(dc, 1) + 1           # [Ns] only
+        q0 = (k63 * magic[:, None]) >> 22
+        q = jnp.where(dc[:, None] > 0, q0, k63)
+        rem = jnp.where(dc[:, None] > 0, k63 - q0 * dd, 0)
+        ac_c.append(q)
+        bc_c.append(63 - q - (rem != 0).astype(jnp.int32))
 
     use_pallas = (jax.default_backend() == "tpu"
                   and os.environ.get("YAIK_SCORE48", "pallas") == "pallas")
@@ -332,33 +345,43 @@ def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
     nch = (Ns + pad) // tc
     if use_pallas:
-        # scoring for the whole batch in ONE fused MXU kernel
+        # scoring for the whole batch in ONE fused MXU kernel (its x
+        # operand is the [Ns*P, 3] contraction layout the MXU wants -
+        # the one place the minor-3 stack still materializes, once)
         from yaik_tpu.ops.pallas_kernels import score48, values48
-        sums = score48(c, alive_s, qpts)                      # [Ns,E,48]
+        c3 = jnp.stack(cc, axis=-1)                           # [Ns,P,3]
+        sums = score48(c3, alive_s, qpts)                     # [Ns,E,48]
         mode48 = jnp.argmin(sums, axis=-1).astype(jnp.int32)  # [Ns,E]
         if os.environ.get("YAIK_VALUES", "map") == "pallas":
-            # values stage as ONE Pallas dispatch too (bit-identical twin,
-            # tests/test_values48.py; the lax.map chunk loop and its
-            # [Tc,E,P,120] XLA transients disappear - measured 76 -> ?? ms
-            # per 8-image batch, see BASELINE.md round 4)
+            # values stage as ONE Pallas dispatch (bit-identical twin,
+            # tests/test_values48.py; measured 4x SLOWER than the XLA
+            # map - kept for A/B, BASELINE.md round 4)
             acc, typ_, idx_ = values48.__wrapped__(
-                tiles_s, alive_s, a_c, b_c, mode48, mn_s, d_s, pts_sub,
-                factors)
+                jnp.stack(tiles_cs, -1), alive_s, jnp.stack(ac_c, -1),
+                jnp.stack(bc_c, -1), mode48, jnp.stack(mn_cs, -1),
+                jnp.stack(d_cs, -1), pts_sub, factors)
             stacked = (acc.reshape(1, -1), typ_.reshape(1, -1),
                        idx_.reshape(1, -1, P))
         else:
-            stacked = jax.lax.map(
-                lambda i: tile3d_values_device.__wrapped__(
-                    *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
-                      for v in (tiles_s, alive_s, a_c, b_c, mode48, mn_s,
-                                d_s)),
-                    pts_sub, factors),
-                jnp.arange(nch))
+            def chunk_fn(i):
+                def sl(v):
+                    return jax.lax.dynamic_slice_in_dim(padt(v), i * tc,
+                                                        tc)
+                return _values_core(
+                    tuple(sl(v) for v in tiles_cs), sl(alive_s),
+                    tuple(sl(v) for v in ac_c),
+                    tuple(sl(v) for v in bc_c), sl(mode48),
+                    tuple(sl(v) for v in mn_cs),
+                    tuple(sl(v) for v in d_cs), pts_sub, factors)
+            stacked = jax.lax.map(chunk_fn, jnp.arange(nch))
     else:
         stacked = jax.lax.map(
             lambda i: tile3d_pass_hybrid.__wrapped__(
                 *(jax.lax.dynamic_slice_in_dim(padt(v), i * tc, tc)
-                  for v in (tiles_s, alive_s, c, a_c, b_c, mn_s, d_s)),
+                  for v in (jnp.stack(tiles_cs, -1), alive_s,
+                            jnp.stack(cc, -1), jnp.stack(ac_c, -1),
+                            jnp.stack(bc_c, -1), jnp.stack(mn_cs, -1),
+                            jnp.stack(d_cs, -1))),
                 qpts, pts_sub, factors),
             jnp.arange(nch))
     acc = stacked[0].reshape(-1)[:Ns]
@@ -377,9 +400,11 @@ def tile3d_pass_resident_b(planes_b, claims_b, qpts, pts_sub, factors,
     up = jnp.repeat(jnp.repeat(accept.reshape(B, nty, ntx), th, 1), tw, 2)
     region = claims_b[:, :, :nty * th, :ntx * tw] | up[:, None]
     claims_b = claims_b.at[:, :, :nty * th, :ntx * tw].set(region)
+    mn3 = jnp.stack(mn_c, axis=-1)
+    mx3 = jnp.stack(mx_c, axis=-1)
     return (accept.reshape(B, T), typ.reshape(B, T), idx.reshape(B, T, P),
-            mask.reshape(B, T, P), mn.reshape(B, T, 3), mx.reshape(B, T, 3),
-            claims_b, alive_cnt)
+            mask.reshape(B, T, P), mn3.reshape(B, T, 3),
+            mx3.reshape(B, T, 3), claims_b, alive_cnt)
 
 
 @partial(jax.jit, static_argnames=())
@@ -410,9 +435,24 @@ def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
 
     tiles [T,P,3] i32; alive [T,P]; a_c/b_c [T,P,3] i32 (host-truncated
     normalizations); mode48 [T,E]; mn,d [T,3]; pts_sub [E,64,3];
-    factors [4,E,64,3]. Returns (acc_mode [T,E], diff_sel [T,E],
-    idx_by_bit [4,T,E,P])."""
-    T, P, _ = tiles.shape
+    factors [4,E,64,3]. Returns (accept [T], tile_type [T],
+    idx_sel [T,P]). Thin channel-splitting wrapper over _values_core
+    (the minor-3 [T,P,3] layouts waste 42/128 lanes when materialized;
+    callers that already hold per-channel arrays call the core)."""
+    return _values_core(
+        tuple(tiles[:, :, i] for i in range(3)), alive,
+        tuple(a_c[:, :, i] for i in range(3)),
+        tuple(b_c[:, :, i] for i in range(3)), mode48,
+        tuple(mn[:, i] for i in range(3)),
+        tuple(d[:, i] for i in range(3)), pts_sub, factors)
+
+
+def _values_core(tiles_c, alive, ac_c, bc_c, mode48, mn_c, d_c, pts_sub,
+                 factors):
+    """Channel-unrolled computeValues3D core: every operand is a tuple of
+    3 per-channel [T,P] / [T] arrays so no minor-3 tensor ever
+    materializes (round 5)."""
+    T, P = tiles_c[0].shape
     E = mode48.shape[1]
     # Layout rule driving this whole function: every large tensor keeps the
     # pixel axis P or the point axis n on the 128-lane dimension, NEVER the
@@ -420,6 +460,11 @@ def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
     # measured as the dominant device cost of the encoder). Channels are
     # unrolled in Python into triples of [T,E,P] arrays; the four bit-depth
     # point sets are packed into one 120-lane axis.
+    M = E * P          # flattened (LUT, pixel) axis: every large
+    # intermediate keeps M (192+ for P=16) on the minor dim instead of P
+    # alone - [T, E, P] minor-16 tensors tile to (8, 128) with 8x lane
+    # padding when materialized (reduce outputs are fusion roots), which
+    # HLO profiling showed dominating the six values-stage while loops
     flip = [((mode48 >> i) & 1) for i in range(3)]                # 3x [T,E]
     # permutation as 0/1 coefficients (per-pixel take_along_axis gathers
     # are pathologically slow on TPU): pm[t,e,o,s] = 1 iff perm[o] == s
@@ -427,57 +472,92 @@ def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
         np.asarray([SWAP3D[s] for s in range(6)])])               # 6,3(o),3(s)
     pmat = pm6[mode48 >> 3]                                       # T,E,3,3
     m_s = [jnp.where(flip[i][:, :, None] == 1,
-                     b_c[:, None, :, i], a_c[:, None, :, i])
+                     bc_c[i][:, None, :], ac_c[i][:, None, :])
            .astype(jnp.float32) for i in range(3)]                # 3x [T,E,P]
     mf = [sum(pmat[:, :, o, s][:, :, None] * m_s[s] for s in range(3))
-          for o in range(3)]                                      # 3x [T,E,P]
+          .reshape(T, M) for o in range(3)]                       # 3x [T,M]
 
     # one packed point axis: [64 | 32 | 16 | 8] = 120 lanes for all four
     # bit depths; per-depth windows are static lane slices
     steps = ((1, 64), (2, 32), (4, 16), (8, 8))
     sf = jnp.concatenate([pts_sub[:, ::st][:, :n] for st, n in steps],
                          axis=1).astype(jnp.float32)              # [E,120,3]
-    # |m-s|^2 as a fused elementwise broadcast (NOT the K=3 einsum the MXU
-    # can't use): XLA fuses the whole [T,E,P,120] distance tensor into its
-    # min/argmin consumers, so it never materializes in HBM - the einsum
-    # form wrote ~280 MB/chunk of dots and was the encoder's device wall.
-    # Exact: mf, sf are integers <= 63, every term < 2^24 in f32.
-    dist = sum((mf[s][:, :, :, None] - sf[None, :, None, :, s]) ** 2
-               for s in range(3))                                 # T,E,P,120
+    sfb = [jnp.broadcast_to(sf[:, None, :, s], (E, P, 120))
+           .reshape(M, 120) for s in range(3)]                    # 3x [M,120]
+    # |m-s|^2 is computed PER WINDOW inside the loop below (window = a
+    # static lane slice of the packed 120-point axis): with one variadic
+    # reduce as each window's sole consumer the distance tensor fuses
+    # into the reduce and never materializes - a shared [T,M,120] dist
+    # sliced by four windows materialized 283 MB f32 per chunk
+    # (HLO-profiled as the values while-loops' multiply_add block).
+    # Exact: same per-element op order either way.
+
+    pmat_m = [[jnp.broadcast_to(pmat[:, :, o, s][:, :, None], (T, E, P))
+               .reshape(T, M) for s in range(3)] for o in range(3)]
+    mn_m = [jnp.broadcast_to(mn_c[o][:, None, None], (T, E, P))
+            .reshape(T, M) for o in range(3)]
+    d_m = [jnp.broadcast_to(d_c[o][:, None, None], (T, E, P))
+           .reshape(T, M) for o in range(3)]
+    tl_m = [jnp.broadcast_to(tiles_c[o][:, None, :], (T, E, P))
+            .reshape(T, M) for o in range(3)]
+    alive_m = jnp.broadcast_to(alive[:, None, :], (T, E, P)
+                               ).reshape(T, M)
 
     acc_mode = jnp.full((T, E), SKIP, jnp.int32)
     diff_sel = jnp.zeros((T, E), jnp.int32)
     idx_by_bit = []
-    sgn = [jnp.where(flip[s] == 1, -1.0, 1.0) for s in range(3)]  # 3x [T,E]
-    base = [flip[s].astype(jnp.float32) * jnp.float32(FACTOR)
-            for s in range(3)]
+    sgn = [jnp.where(flip[s] == 1, -1.0, 1.0)[:, :, None] for s in range(3)]
+    base = [(flip[s].astype(jnp.float32)
+             * jnp.float32(FACTOR))[:, :, None] for s in range(3)]
+    sgn_m = [jnp.broadcast_to(sgn[s], (T, E, P)).reshape(T, M)
+             for s in range(3)]
+    base_m = [jnp.broadcast_to(base[s], (T, E, P)).reshape(T, M)
+              for s in range(3)]
     off = 0
     for bi, (step, npts) in enumerate(steps):
-        db = dist[..., off:off + npts]
+        db = sum((mf[s][:, :, None] - sfb[s][None, :, off:off + npts]) ** 2
+                 for s in range(3))                               # T,M,n
         off += npts
-        dmin = db.min(axis=-1, keepdims=True)
-        # first-min == smallest index among ties: min-reduce the iota where
-        # equal (no lane cumsum needed)
         iot = jnp.arange(npts, dtype=jnp.int32)
-        idx = jnp.min(jnp.where(db <= dmin, iot, npts), axis=-1)  # T,E,P
-        idx_by_bit.append(idx)
         ff = factors[3 - bi][:, :npts].astype(jnp.float32)        # E,n,3
-        # factor gather as a where+min over the lane axis (exactly one lane
-        # matches idx): fuses like the distance tensor - the one-hot MXU
-        # contraction materialized a second [T,E,P,n] f32 in HBM.
-        BIG = jnp.float32(3.0e38)
-        fxs = [base[s][:, :, None] + sgn[s][:, :, None]
-               * jnp.min(jnp.where(iot == idx[..., None],
-                                   ff[None, :, None, :, s], BIG), axis=-1)
-               for s in range(3)]                                 # 3x [T,E,P]
-        ld = jnp.zeros((T, E, P), jnp.int32)
+        # the three factor channels pack into a single f32
+        # (f0*65536 + f1*256 + f2 <= 128*65536 + 32k + 128 < 2^24, exact)
+        ffp = (ff[..., 0] * 65536.0 + ff[..., 1] * 256.0 + ff[..., 2])
+        ffp_m = jnp.broadcast_to(ffp[:, None, :], (E, P, npts)
+                                 ).reshape(M, npts)
+        # ONE variadic argmin-with-payload reduce replaces the
+        # dmin-reduce + tie-min-iota reduce + masked-min factor gather
+        # (three full passes over the materialized distance tensor,
+        # HLO-profiled as the while loops' select_reduce block). The
+        # combiner's (value, then smaller index) order reproduces the
+        # first-min tie rule exactly; the winner's packed factor rides
+        # along.
+
+        def red(a, b):
+            av, ai, af = a
+            bv, bi_, bf = b
+            tb = (bv < av) | ((bv == av) & (bi_ < ai))
+            return (jnp.where(tb, bv, av), jnp.where(tb, bi_, ai),
+                    jnp.where(tb, bf, af))
+
+        _, idx, f3f = jax.lax.reduce(
+            (db, jnp.broadcast_to(iot[None, None, :], db.shape),
+             jnp.broadcast_to(ffp_m[None], db.shape)),
+            (jnp.float32(np.inf), jnp.int32(npts), jnp.float32(0)),
+            red, (2,))                                            # [T,M]
+        idx_by_bit.append(idx)
+        f3 = f3f.astype(jnp.int32)
+        fsel = [(f3 >> 16).astype(jnp.float32),
+                ((f3 >> 8) & 0xFF).astype(jnp.float32),
+                (f3 & 0xFF).astype(jnp.float32)]
+        fxs = [base_m[s] + sgn_m[s] * fsel[s] for s in range(3)]  # [T,M]
+        ld = jnp.zeros((T, M), jnp.int32)
         for o in range(3):
-            fx_o = sum(pmat[:, :, o, s][:, :, None] * fxs[s]
+            fx_o = sum(pmat_m[o][s] * fxs[s]
                        for s in range(3)).astype(jnp.int32)
-            recon = (mn[:, o][:, None, None]
-                     + ((fx_o * d[:, o][:, None, None]) >> 7))
-            ld = jnp.maximum(ld, jnp.abs(recon - tiles[:, None, :, o]))
-        ldiff = jnp.where(alive[:, None, :], ld, 0)
+            recon = mn_m[o] + ((fx_o * d_m[o]) >> 7)
+            ld = jnp.maximum(ld, jnp.abs(recon - tl_m[o]))
+        ldiff = jnp.where(alive_m, ld, 0).reshape(T, E, P)
         ok = (ldiff > 5).sum(-1) <= 3
         acc_mode = jnp.where(ok, jnp.int32(3 - bi), acc_mode)
         diff_sel = jnp.where(ok, ldiff.sum(-1), diff_sel)
@@ -493,13 +573,22 @@ def tile3d_values_device(tiles, alive, a_c, b_c, mode48, mn, d, pts_sub,
         best_e = jnp.where(okE, e, best_e)
     accept = best_e >= 0
     e_sel = jnp.maximum(best_e, 0)
-    rows = jnp.arange(T)
-    mode_sel = mode48[rows, e_sel]
-    bitmode = jnp.minimum(acc_mode[rows, e_sel], 3)
+    # one-hot selects instead of fancy-index gathers: the gather form
+    # lowered to a kCustom SMEM gather HLO-profiled at ~3.7 ms per pass
+    # (22 ms of the 8-image batch); the masked sums are plain vector ops
+    # and exact (integers, exactly one term per row)
+    onehot_e = (jnp.arange(E, dtype=jnp.int32)[None, :]
+                == e_sel[:, None]).astype(jnp.int32)       # [T,E]
+    mode_sel = (mode48 * onehot_e).sum(axis=1)
+    acc_sel = (acc_mode * onehot_e).sum(axis=1)
+    bitmode = jnp.minimum(acc_sel, 3)
     tile_type = mode_sel | (e_sel << 6) | (bitmode << 14)
-    idx_stack = jnp.stack(idx_by_bit, axis=0)              # [4,T,E,P]
-    idx_sel = idx_stack[(3 - bitmode)[:, None], rows[:, None],
-                        e_sel[:, None], jnp.arange(P)[None, :]]
+    sel_bi = 3 - bitmode                                   # [T] in 0..3
+    idx_m = idx_by_bit[0]
+    for bi in range(1, 4):
+        idx_m = jnp.where((sel_bi == bi)[:, None], idx_by_bit[bi], idx_m)
+    idx_sel = (idx_m.reshape(T, E, P)
+               * onehot_e[:, :, None]).sum(axis=1)         # [T,P]
     return accept, tile_type, idx_sel
 
 
