@@ -139,6 +139,79 @@ def cmd_stats(args):
     print(st.to_json() if args.json else st.summary())
 
 
+def cmd_mine_report(args):
+    """Close the research loop with a RESULT (the reference's
+    capture + evaluateLUT workflow exists to minimize file size,
+    EncoderContext.cpp:6350-6433/:8904-8985 + README.md:108-161): mine a
+    bank from the corpus, then encode the SAME corpus with the baseline
+    bank and with the mined bank at IDENTICAL acceptance gates and report
+    corpus bpp, PSNR, and per-technique pixel shares for both."""
+    import json as _json
+
+    from PIL import Image
+
+    from yaik_tpu.decoder import api
+    from yaik_tpu.encoder import bank as bankmod
+    from yaik_tpu.encoder import mining
+    from yaik_tpu.encoder.batch import encode_corpus
+    from yaik_tpu.utils.stats import analyze
+
+    imgs = [np.asarray(Image.open(p).convert("RGB")) for p in args.images]
+    n, total = mining.mine_bank(imgs, args.out_dir,
+                                max_tables=args.max_tables,
+                                checkpoint=args.checkpoint,
+                                engine=args.engine)
+    print(f"mined {n} tables from {total} captured tiles -> {args.out_dir}")
+    banks = {"baseline": _load_bank(args.bank),
+             "mined": bankmod.load_bank(args.out_dir)}
+    report = {"corpus_images": len(imgs),
+              "captured_tiles": total, "mined_tables": n,
+              "baseline_bank": str(args.bank), "mined_bank": args.out_dir,
+              "gates": "reference defaults (gradient rejectFactor=3; 3D "
+                       "max channel err<=5, <=3 violators/tile)",
+              "banks": {}}
+    for name, bank in banks.items():
+        streams = encode_corpus(imgs, bank, batch_size=args.batch)
+        lut = api.assign_lut(bankmod.write_lut_file(bank))
+        bits = px = 0
+        mse_sum = 0.0
+        tech = {"gradient": 0, "tile3d": 0, "residual_1d": 0}
+        bitpx = {}
+        for img, stream in zip(imgs, streams):
+            h, w = img.shape[:2]
+            bits += len(stream) * 8
+            px += h * w
+            dec = api.decode_image(stream, lut)
+            mse_sum += float(((img[:, :, :3].astype(np.float64)
+                               - dec[:, :, :3].astype(np.float64)) ** 2
+                              ).mean())
+            st = analyze(stream)
+            tech["gradient"] += sum(st.gradient_pixels.values())
+            tech["tile3d"] += sum(st.tile3d_pixels.values())
+            tech["residual_1d"] += st.pixels_1d
+            for b, v in st.tile3d_bit_pixels.items():
+                bitpx[str(b)] = bitpx.get(str(b), 0) + v
+        mse = mse_sum / len(imgs)
+        report["banks"][name] = {
+            "bpp": round(bits / px, 4),
+            "psnr_db": round(10 * np.log10(255 ** 2 / mse), 3)
+            if mse else None,
+            "technique_pixel_share": {
+                k: round(v / px, 4) for k, v in tech.items()},
+            "tile3d_bit_pixels": bitpx,
+        }
+        print(f"{name}: {report['banks'][name]['bpp']} bpp, "
+              f"PSNR {report['banks'][name]['psnr_db']} dB")
+    base_bpp = report["banks"]["baseline"]["bpp"]
+    mined_bpp = report["banks"]["mined"]["bpp"]
+    report["bpp_delta_pct"] = round(100 * (mined_bpp - base_bpp)
+                                    / base_bpp, 2)
+    out = pathlib.Path(args.report)
+    out.write_text(_json.dumps(report, indent=1))
+    print(f"bpp delta (mined vs baseline): {report['bpp_delta_pct']:+.2f}%"
+          f"  -> {out}")
+
+
 def cmd_roundtrip(args):
     from yaik_tpu.decoder import api
     from yaik_tpu.encoder import bank as bankmod
@@ -215,6 +288,22 @@ def main():
     s.add_argument("input")
     s.add_argument("--json", action="store_true")
     s.set_defaults(fn=cmd_stats)
+
+    mr = sub.add_parser(
+        "mine-report",
+        help="mine a bank AND report corpus bpp/PSNR vs a baseline bank "
+             "at identical acceptance gates (one-command research loop)")
+    mr.add_argument("out_dir")
+    mr.add_argument("images", nargs="+")
+    mr.add_argument("--bank", default=DEFAULT_FIX / "Bank3D",
+                    help="baseline bank to beat")
+    mr.add_argument("--report", default="mine_report.json")
+    mr.add_argument("--max-tables", type=int, default=12)
+    mr.add_argument("--batch", type=int, default=8)
+    mr.add_argument("--checkpoint", default=None)
+    mr.add_argument("--engine", default="host",
+                    choices=["host", "device"])
+    mr.set_defaults(fn=cmd_mine_report)
 
     r = sub.add_parser("roundtrip")
     r.add_argument("input")
