@@ -160,7 +160,8 @@ def cmd_mine_report(args):
     n, total = mining.mine_bank(imgs, args.out_dir,
                                 max_tables=args.max_tables,
                                 checkpoint=args.checkpoint,
-                                engine=args.engine)
+                                engine=args.engine,
+                                max_candidates=args.max_candidates)
     print(f"mined {n} tables from {total} captured tiles -> {args.out_dir}")
     banks = {"baseline": _load_bank(args.bank),
              "mined": bankmod.load_bank(args.out_dir)}
@@ -299,6 +300,7 @@ def main():
                     help="baseline bank to beat")
     mr.add_argument("--report", default="mine_report.json")
     mr.add_argument("--max-tables", type=int, default=12)
+    mr.add_argument("--max-candidates", type=int, default=256)
     mr.add_argument("--batch", type=int, default=8)
     mr.add_argument("--checkpoint", default=None)
     mr.add_argument("--engine", default="host",

@@ -153,7 +153,7 @@ def evaluate_candidates(clouds, max_tables=12, gate_px=75,
 
 
 def mine_bank(images, out_dir, max_tables=12, checkpoint=None,
-              engine="host"):
+              engine="host", max_candidates=256):
     """images: list of [h,w,3+] u8 arrays. Writes Bank3D-format files named
     like the reference's hardcoded list so both encoders can load them.
 
@@ -175,6 +175,7 @@ def mine_bank(images, out_dir, max_tables=12, checkpoint=None,
                      **{f"c{i}": c for i, c in enumerate(clouds)})
             os.replace(checkpoint + ".tmp.npz", checkpoint)
     picked = evaluate_candidates(clouds, max_tables=max_tables,
+                                 max_candidates=max_candidates,
                                  engine=engine)
     os.makedirs(out_dir, exist_ok=True)
     for name, cloud in zip(bankmod.BANK_FILE_NAMES, picked):
