@@ -292,8 +292,11 @@ def _emit_from_unpacked(imgs, packed, per_pass, caps, bank, cfg):
                         for res in per_pass])
         streams.append(encode_image(imgs[i], bank, cfg, engine="precomputed",
                                     precomputed=pre, _defer=zb))
-    zb.run()
-    return [s() if callable(s) else s for s in streams]
+    from yaik_tpu.utils import profiler
+    with profiler.stage("emit:zstd-flush"):
+        zb.run()
+    with profiler.stage("emit:assemble"):
+        return [s() if callable(s) else s for s in streams]
 
 
 # Learned per-shape caps (see pass_caps/caps_fit): photo-like corpora
