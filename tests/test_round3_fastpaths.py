@@ -135,10 +135,9 @@ def test_grad_plane_interpret_vs_blend_chain():
         exp = np.repeat(np.repeat(accepts[k], th // 4, 0), tw // 4, 1)
         region = code4[: exp.shape[0], : exp.shape[1]]
         region[exp] = k + 1
-    planar = np.ascontiguousarray(
-        np.stack(corners).transpose(0, 3, 1, 2))     # [7, 3, qh, qw]
+    corn = je._pack_grad_corners_host(np.stack(corners), H, W)
     merged = np.asarray(je._grad_merged_pass(
-        plane0, jnp.asarray(planar), jnp.asarray(code4),
+        plane0, jnp.asarray(corn), jnp.asarray(code4),
         interpret=True))
     assert np.array_equal(merged, legacy)
 
@@ -511,9 +510,9 @@ def test_grad_plane_final_interpret_vs_split():
     rng = np.random.default_rng(11)
     H = W = 64
     qh, qw = H // 4 + 1, W // 4 + 1
-    corners = np.ascontiguousarray(np.stack(
+    corners = je._pack_grad_corners_host(np.stack(
         [rng.integers(0, 256, (qh, qw, 3)).astype(np.uint8)
-         for _ in je.GRAD_SHIFTS]).transpose(0, 3, 1, 2))
+         for _ in je.GRAD_SHIFTS]), H, W)
     code4 = rng.integers(0, 8, (H // 4, W // 4)).astype(np.uint8)
     vc = jnp.asarray(rng.integers(0, 1 << 24, (H, W)).astype(np.uint32))
     # per-channel mask: each byte independently 0x00 or 0xFF

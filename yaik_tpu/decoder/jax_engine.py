@@ -56,11 +56,14 @@ USE_PALLAS = os.environ.get("YAIK_USE_PALLAS", "1") == "1"
 USE_GRAD_MERGED = os.environ.get("YAIK_GRAD_MERGED", "1") == "1"
 
 
-def _grad_merge_available(w):
+def _grad_merge_available(w, h=None):
     """Merged-gradient Pallas packing: TPU only (CPU tests keep the XLA
-    blends) and w <= 1024 (wider images put the [KX+8, W] Bx constant
-    past a comfortable VMEM budget; 4K decodes band H, not W)."""
+    blends), w <= 1024 (wider images put the [7, 256, W] bxc constant
+    past a comfortable VMEM budget; 4K decodes band H, not W), and
+    h % 16 == 0 when given (the per-pass y-repeat needs a row block
+    >= the largest tile height)."""
     return (USE_PALLAS and USE_GRAD_MERGED and w <= 1024
+            and (h is None or h % 16 == 0)
             and jax.devices()[0].platform == "tpu")
 
 
@@ -152,100 +155,95 @@ _GRAD_CONST_CACHE: dict = {}
 
 
 def _grad_consts(H, W):
-    """Constant blend matrices for the merged gradient kernel, cached per
-    image size and embedded as jit constants: by [7, H, KY+128] bf16 /
-    bx [7, KX+8, W] bf16 carry the _blend_mats weights for every pass with
-    the LAST corner row/col relocated to sublane/lane KY/KX (so each
-    matmul contraction is whole 128-lane K tiles and the edge rides a
-    rank-1 update); r4y/r4x expand the [H/4, W/4] winner-code grid to
-    pixels. BR = the largest row block in (128..8) dividing H."""
+    """Constants for the merged gradient kernel, cached per image size
+    and embedded as jit constants: bxc [7, 256, W] bf16 COMPACT x-interp
+    matrices (row t = tile column t: weight tw-rx at t, rx at t+1),
+    wy [7, BR, 2] f32 per-row y-weights (th-ry, ry), and r4y/r4x to
+    expand the [H/4, W/4] winner-code grid to pixels. BR = the largest
+    row block in (128..16) dividing H (the per-pass y-repeat needs
+    BR >= th; _grad_merge_available gates on H % 16 == 0)."""
     key = (H, W)
     hit = _GRAD_CONST_CACHE.get(key)
     if hit is not None:
         return hit
-    qh, qw = H // 4 + 1, W // 4 + 1
-    KX = -(-(qw - 1) // 128) * 128
-    KY = -(-(qh - 1) // 128) * 128
-    BR = next(b for b in (128, 64, 32, 16, 8) if H % b == 0)
-    by = np.zeros((7, H, KY + 128), np.float32)
-    bx = np.zeros((7, KX + 8, W), np.float32)
+    BR = next(b for b in (128, 64, 32, 16) if H % b == 0)
+    bxc = np.zeros((7, 256, W), np.float32)
+    wy = np.zeros((7, BR, 2), np.float32)
     for k, (sx, sy) in enumerate(GRAD_SHIFTS):
         tw, th = 1 << sx, 1 << sy
         nty, ntx = H // th, W // tw
         if nty == 0 or ntx == 0:
             continue
-        qsy, qsx = th // 4, tw // 4
-        ys = np.arange(nty * th)
-        ty, ry = ys // th, ys % th
-        for col, wgt in ((ty * qsy, th - ry), (ty * qsy + qsy, ry)):
-            col = np.where(col == qh - 1, KY, col)
-            np.add.at(by[k], (ys, col), wgt)
         xs = np.arange(ntx * tw)
         tx, rx = xs // tw, xs % tw
-        for row, wgt in ((tx * qsx, tw - rx), (tx * qsx + qsx, rx)):
-            row = np.where(row == qw - 1, KX, row)
-            np.add.at(bx[k], (row, xs), wgt)
+        np.add.at(bxc[k], (tx, xs), tw - rx)
+        np.add.at(bxc[k], (tx + 1, xs), rx)
+        ys = np.arange(BR)
+        wy[k, :, 0] = th - (ys % th)
+        wy[k, :, 1] = ys % th
     r4y = np.zeros((BR, BR // 4), np.float32)
     r4y[np.arange(BR), np.arange(BR) // 4] = 1
     r4x = np.zeros((W // 4, W), np.float32)
     r4x[np.arange(W) // 4, np.arange(W)] = 1
-    out = (by.astype(jnp.bfloat16), bx.astype(jnp.bfloat16),
+    out = (jnp.asarray(wy), jnp.asarray(bxc, dtype=jnp.bfloat16),
            r4y.astype(jnp.bfloat16), r4x.astype(jnp.bfloat16))
     _GRAD_CONST_CACHE[key] = out
     return out
 
 
-def _grad_pack_corners(corners7, H, W):
-    """Pack the PLANAR [7, 3, qh, qw] u8 corner grids into the merged
-    kernel's [7, KY+8, KX+128] i32 layout (edge row/col relocated to
-    KY/KX; see pallas_kernels.grad_plane). Planar channel layout keeps
-    qw on the minor dim - the channel-minor [7, qh, qw, 3] form cost an
-    arg relayout copy per step (HLO-measured round 5)."""
-    qh, qw = H // 4 + 1, W // 4 + 1
-    KX = -(-(qw - 1) // 128) * 128
-    KY = -(-(qh - 1) // 128) * 128
-    c = corners7.astype(jnp.int32)
-    pk = c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16)         # [7, qh, qw]
-    if qh - 1 == KY and qw - 1 == KX:
-        # the edge row/col already sit at sublane/lane KY/KX (every W with
-        # W/4 % 128 == 0, e.g. 512): one fused pad replaces the 4-slice
-        # relocation concat (which materialized pads + a layout copy per
-        # step - HLO-measured round 5)
-        return jnp.pad(pk, ((0, 0), (0, 7), (0, 127)))
-    main = jnp.pad(pk[:, : qh - 1, : qw - 1],
-                   ((0, 0), (0, 0), (0, KX - (qw - 1))))
-    top = jnp.pad(jnp.concatenate([main, pk[:, : qh - 1, qw - 1:]], axis=2),
-                  ((0, 0), (0, 0), (0, 127)))
-    erow = jnp.pad(pk[:, qh - 1:, : qw - 1],
-                   ((0, 0), (0, 0), (0, KX - (qw - 1))))
-    bot = jnp.pad(jnp.concatenate([erow, pk[:, qh - 1:, qw - 1:]], axis=2),
-                  ((0, 0), (0, 0), (0, 127)))
-    corn = jnp.concatenate(
-        [jnp.pad(top, ((0, 0), (0, KY - (qh - 1)), (0, 0))), bot], axis=1)
-    return jnp.pad(corn, ((0, 0), (0, 7), (0, 0)))     # [7, KY+8, KX+128]
+def _pack_grad_corners_host(corners7, H, W):
+    """PLAN-TIME pack of the [7, qh, qw, 3] u8 per-pass corner grids into
+    the merged kernel's COMPACT [7, 136, 256] i32 layout: pass k's plane
+    holds its own (nty+1, ntx+1) corner grid with NO stride (row t =
+    tile row t) - the kernel then x-interps only the <= BR/th + 1 rows
+    each block needs instead of the whole shared 4-px-granular grid (see
+    pallas_kernels._grad_kernel). The strided extraction is exact: the
+    shared grid's row t*qsy / col t*qsx IS pass k's corner, and the edge
+    row/col are reachable since qsy | H/4. Packing on the host removes
+    the per-step concat + u8->i32 convert (~1 ms/step HLO-measured at
+    512^2 b128) at the cost of ~0.6 MB/img more upload on the
+    tunnel-bound e2e lanes."""
+    c = corners7.astype(np.uint32)
+    pk = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)   # [7, qh, qw]
+    BR = next(b for b in (128, 64, 32, 16) if H % b == 0)
+    nb = H // BR
+    strides = []
+    for (sx, sy) in GRAD_SHIFTS:
+        nr = BR // (1 << sy)
+        strides.append(-(-(nr + 1) // 8) * 8)    # 8-aligned block stride
+    RT = max(nb * s for s in strides)
+    corn = np.zeros((7, RT, 256), np.uint32)
+    for k, (sx, sy) in enumerate(GRAD_SHIFTS):
+        qsy, qsx = (1 << sy) // 4, (1 << sx) // 4
+        g = pk[k, ::qsy, ::qsx]              # [nty+1, ntx+1] incl. edges
+        nr, nr8 = BR // (1 << sy), strides[k]
+        for i in range(nb):
+            rows = g[i * nr: i * nr + nr + 1]
+            corn[k, i * nr8: i * nr8 + rows.shape[0], : g.shape[1]] = rows
+    return corn.view(np.int32)
 
 
-def _grad_merged_pass(plane, corners7, code4, interpret=False):
+def _grad_merged_pass(plane, corn, code4, interpret=False):
     """All full-plane gradient passes as ONE Pallas dispatch (see
-    pallas_kernels.grad_plane). corners7 [7, qh, qw, 3] u8 per-pass corner
-    grids, code4 [H/4, W/4] u8 per-4x4-block winner (0 = none). The
-    legacy 7x _blend_pass chain wrote a ~200 MB f32 + 64 MB u32 plane per
-    pass per 64-image step; this reads 0.4 MB of corners and writes the
-    one [H, W] u32 result (measured 6.7 -> ~1.8 ms/step at 512^2 b64).
-    interpret=True runs the kernel in Pallas interpret mode so the CPU
-    test tier can validate this packing (tests/test_round3_fastpaths.py)."""
+    pallas_kernels.grad_plane). corn [7, 136, 256] i32 PLAN-TIME compact
+    packed per-pass corner grids (_pack_grad_corners_host), code4
+    [H/4, W/4] u8 per-4x4-block winner (0 = none). The legacy 7x
+    _blend_pass chain wrote a ~200 MB f32 + 64 MB u32 plane per pass per
+    64-image step; this reads the packed corners and writes the one
+    [H, W] u32 result. interpret=True runs the kernel in Pallas
+    interpret mode so the CPU test tier can validate this packing
+    (tests/test_round3_fastpaths.py)."""
     from yaik_tpu.ops.pallas_kernels import grad_plane
     H, W = plane.shape
-    by, bx, r4y, r4x = _grad_consts(H, W)
-    corn = _grad_pack_corners(corners7, H, W)
-    V = grad_plane(corn, code4.astype(jnp.int32), by, bx, r4y, r4x,
-                   shifts=GRAD_SHIFTS, interpret=interpret
+    wy, bxc, r4y, r4x = _grad_consts(H, W)
+    V = grad_plane(corn.astype(jnp.int32), code4.astype(jnp.int32), wy,
+                   bxc, r4y, r4x, shifts=GRAD_SHIFTS, interpret=interpret
                    ).astype(jnp.uint32)
     m32 = ((V >> 24) & 1) * 0xFFFFFF
     return plane ^ ((plane ^ V) & m32)
 
 
-def _grad_merged_final(corners7, code4, vc, mc, interpret=False):
+def _grad_merged_final(corn, code4, vc, mc, interpret=False):
     """Merged gradient pass + final composition in ONE dispatch: the
     gradient result blends over the constant 0x808080 background in the
     kernel epilogue and the composed T3+1D values (vc) apply under their
@@ -255,9 +253,9 @@ def _grad_merged_final(corners7, code4, vc, mc, interpret=False):
     overlay pre-initializes the background, which this kernel hardcodes)."""
     from yaik_tpu.ops.pallas_kernels import grad_plane_final
     H, W = vc.shape
-    by, bx, r4y, r4x = _grad_consts(H, W)
-    corn = _grad_pack_corners(corners7, H, W)
-    return grad_plane_final(corn, code4.astype(jnp.int32), by, bx, r4y,
+    wy, bxc, r4y, r4x = _grad_consts(H, W)
+    return grad_plane_final(corn.astype(jnp.int32),
+                            code4.astype(jnp.int32), wy, bxc, r4y,
                             r4x, vc.astype(jnp.int32), mc.astype(jnp.int32),
                             shifts=GRAD_SHIFTS,
                             interpret=interpret).astype(jnp.uint32)
@@ -1020,7 +1018,7 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
         else:
             accepts.append(g.accept)
             corners.append(g.corners)
-    if _grad_merge_available(w):
+    if _grad_merge_available(w, h):
         # merged gradient packing: stacked corner grids + the per-4x4-block
         # winner code (later passes overwrite - sequential blend order)
         code4 = np.zeros((h // 4, w // 4), np.uint8)
@@ -1032,9 +1030,8 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             exp = np.repeat(np.repeat(g.accept, th // 4, 0), tw // 4, 1)
             region = code4[: exp.shape[0], : exp.shape[1]]
             region[exp] = k + 1
-        corners_planar = np.ascontiguousarray(
-            np.stack(corners).transpose(0, 3, 1, 2))     # [7, 3, qh, qw]
-        grad_args = (None, (corners_planar, code4))
+        corn = _pack_grad_corners_host(np.stack(corners), h, w)
+        grad_args = (None, (corn, code4))
     else:
         grad_args = (tuple(accepts), tuple(corners))
 

@@ -211,22 +211,27 @@ def lut3d_vals_dict(idxT, tab3, colsT, interpret=False):
 # Merged gradient pass (decode)
 # ---------------------------------------------------------------------------
 
-def _grad_kernel(shifts, KX, KY, W, corn_ref, code_ref, by_ref, bx_ref,
+def _grad_kernel(shifts, BR, W, corn_ref, code_ref, wy_ref, bx_ref,
                  r4y_ref, r4x_ref, *rest):
     """All 7 gradient size passes for one row block, in VMEM.
 
-    Per pass k: u = cg_k @ Bx_k (x-interp, exact f32 <= 4080), then
-    v = (By_k @ u_hi) * 256 + By_k @ u_lo (the bf16 hi/lo split of
-    _blend_values, exact < 2^24), >> shift_k. The qh-1/qw-1 corner
-    row/col live at sublane/lane KY/KX so BOTH matmul contractions stay
-    on whole 128-lane K tiles; the edge row/col contributes through a
-    rank-1 f32 VPU update instead (exact: 16 * 4080 < 2^24).
+    Per pass k the block needs only BR/th + 1 rows of the pass's
+    COMPACT corner grid (row t = tile row t, no stride): one small
+    channel-stacked x-interp matmul [3*(nr+1), 256] @ [256, W] over
+    those rows, then the y-interp as a VPU 2-term blend on
+    sublane-REPEATED rows (the previous dense [BR, KY] @ [KY, 6W]
+    y-matmul multiplied a 2-banded matrix - 64x zero work - and the
+    x-matmul processed the whole 136-row grid per block; HLO-profiled
+    ~4.3 ms/step at 512^2 b128, ~10x more MXU work than needed).
+    Exact: corner values <= 255 and weights <= 16 are bf16-exact
+    operands, every f32 intermediate is an integer < 2^24.
 
     The per-pixel winner pass rides `code` (1..7 in GRADIENT_PASS_ORDER,
     0 = no gradient) at 4x4-block granularity - every tile size is a
     multiple of 4x4 and later passes overwrite earlier ones exactly as
     the sequential blends did. Expanded to pixels by constant 0/1
     matmuls, the select chain replaces 7 full-image masked blends."""
+    i = pl.program_id(0)
     code = code_ref[:].astype(jnp.bfloat16)              # [BR/4, W/4]
     Cf = jnp.dot(r4y_ref[:],
                  jnp.dot(code, r4x_ref[:],
@@ -235,40 +240,34 @@ def _grad_kernel(shifts, KX, KY, W, corn_ref, code_ref, by_ref, bx_ref,
                  preferred_element_type=jnp.float32)
     C = Cf.astype(jnp.int32)                             # [BR, W]
     out = jnp.zeros(C.shape, jnp.int32)
-    KYe = KY + 8
     for k, (sx, sy) in enumerate(shifts):
-        cg = corn_ref[k]                                 # [KY+8, KX+128]
-        byk = by_ref[k]                                  # [BR, KY+128]
-        by_m = byk[:, :KY]
-        by_e = byk[:, KY:KY + 1].astype(jnp.float32)
-        # channel-STACKED matmuls: the three channels ride one x-matmul
-        # ([3*(KY+8), KX] rows stacked) and one y-matmul (hi/lo x 3
-        # channels = 6W lanes stacked), so each pass costs 2 MXU
-        # dispatches instead of 9 small ones (round-5; arithmetic is
-        # identical - integer-valued f32 sums are order-exact)
+        tw, th = 1 << sx, 1 << sy
+        nr = BR // th
+        # per-block rows are stored at an 8-ALIGNED stride nr8 with the
+        # boundary row duplicated at plan time (Mosaic requires the
+        # dynamic sublane load offset provably % 8; i*nr with nr=4 at
+        # H=64 is not - caught by an end-to-end verify drive, not the
+        # 512^2 chain where every nr happens to be a multiple of 8)
+        nr8 = -(-(nr + 1) // 8) * 8
+        blk = corn_ref[k, pl.ds(i * nr8, nr8), :]        # [nr8, 256]
         cg3 = jnp.concatenate(
-            [((cg >> c) & 0xFF) for c in (0, 8, 16)],
-            axis=0).astype(jnp.bfloat16)                 # [3*KYe, KX+128]
-        u3 = (jnp.dot(cg3[:, :KX], bx_ref[k, :KX, :],
-                      preferred_element_type=jnp.float32)
-              + cg3[:, KX:KX + 1].astype(jnp.float32)
-              * bx_ref[k, KX:KX + 1, :].astype(jnp.float32))  # [3*KYe, W]
-        ui = u3.astype(jnp.int32)
-        uh = (ui >> 8).astype(jnp.bfloat16)
-        ul = (ui & 255).astype(jnp.bfloat16)
-        X = jnp.concatenate(
-            [uh[c * KYe: c * KYe + KY] for c in range(3)]
-            + [ul[c * KYe: c * KYe + KY] for c in range(3)],
-            axis=1)                                      # [KY, 6W]
-        Tm = jnp.dot(by_m, X, preferred_element_type=jnp.float32)
-        ue = jnp.concatenate(
-            [u3[c * KYe + KY: c * KYe + KY + 1] for c in range(3)],
-            axis=1)                                      # [1, 3W]
-        W3 = Tm.shape[1] // 2
-        t3 = Tm[:, :W3] * 256.0 + Tm[:, W3:] + by_e * ue  # [BR, 3W]
-        v3 = t3.astype(jnp.int32) >> (sy + sx)
-        vk = (v3[:, :W] | (v3[:, W:2 * W] << 8)
-              | (v3[:, 2 * W:] << 16))
+            [((blk >> c) & 0xFF) for c in (0, 8, 16)],
+            axis=0).astype(jnp.bfloat16)                 # [3*nr8, 256]
+        u3 = jnp.dot(cg3, bx_ref[k],
+                     preferred_element_type=jnp.float32)  # [3*nr8, W]
+        R = nr8
+        # y-interp: rows ty and ty+1 of u, sublane-repeated th times,
+        # blended by the static per-row weights (th-ry) / ry
+        wy1 = wy_ref[k, :, 0:1]                          # [BR, 1]
+        wy2 = wy_ref[k, :, 1:2]
+        vk = None
+        for ci in range(3):
+            u = u3[ci * R: (ci + 1) * R]
+            utop = jnp.repeat(u[:nr], th, axis=0)        # [BR, W]
+            ubot = jnp.repeat(u[1: nr + 1], th, axis=0)
+            t = wy1 * utop + wy2 * ubot                  # exact < 2^24
+            vc = t.astype(jnp.int32) >> (sy + sx)
+            vk = vc if ci == 0 else vk | (vc << (8 * ci))
         out = jnp.where(C == k + 1, vk, out)
     if len(rest) == 1:                                   # (out_ref,)
         rest[0][:] = out | jnp.where(C > 0, 1 << 24, 0)
@@ -289,30 +288,32 @@ def _grad_kernel(shifts, KX, KY, W, corn_ref, code_ref, by_ref, bx_ref,
 
 
 @partial(jax.jit, static_argnames=("shifts", "interpret"))
-def grad_plane(corn, code4, by, bx, r4y, r4x, shifts, interpret=False):
-    """Merged gradient plane: corn [7, KY+8, KX+128] i32 packed corner
-    grids (edge row/col relocated to KY/KX), code4 [H/4, W/4] i32 winner
-    codes, by/bx/r4y/r4x the constant blend matrices from
-    jax_engine._grad_consts. Returns [H, W] i32: packed RGB + write flag
-    in bit 24. Exact YAIK_Gradient.cpp fixed-point semantics."""
+def grad_plane(corn, code4, wy, bxc, r4y, r4x, shifts, interpret=False):
+    """Merged gradient plane: corn [7, RT, 256] i32 COMPACT per-pass
+    packed corner grids in the 8-aligned per-block-stride layout
+    (_pack_grad_corners_host), code4 [H/4, W/4] i32
+    winner codes, wy [7, BR, 2] f32 per-row y-weights, bxc [7, 256, W]
+    bf16 compact x-interp matrices, r4y/r4x the code-expansion constants
+    (all from jax_engine._grad_consts). Returns [H, W] i32: packed RGB +
+    write flag in bit 24. Exact YAIK_Gradient.cpp fixed-point
+    semantics."""
     BR = r4y.shape[0]
-    H = by.shape[1]
-    W = bx.shape[2]
-    KY = by.shape[2] - 128
-    KX = bx.shape[1] - 8
+    W = bxc.shape[2]
+    H = code4.shape[0] * 4
+    RT = corn.shape[1]
     grid = (H // BR,)
     return pl.pallas_call(
-        partial(_grad_kernel, shifts, KX, KY, W),
+        partial(_grad_kernel, shifts, BR, W),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((7, KY + 8, KX + 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, RT, 256), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR // 4, W // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, BR, KY + 128), lambda i: (0, i, 0),
+            pl.BlockSpec((7, BR, 2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, KX + 8, W), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, 256, W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, BR // 4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -322,11 +323,11 @@ def grad_plane(corn, code4, by, bx, r4y, r4x, shifts, interpret=False):
         out_specs=pl.BlockSpec((BR, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(corn, code4, by, bx, r4y, r4x)
+    )(corn, code4, wy, bxc, r4y, r4x)
 
 
 @partial(jax.jit, static_argnames=("shifts", "interpret"))
-def grad_plane_final(corn, code4, by, bx, r4y, r4x, vc, mc, shifts,
+def grad_plane_final(corn, code4, wy, bxc, r4y, r4x, vc, mc, shifts,
                      interpret=False):
     """grad_plane + the final composition in one dispatch: the gradient
     result blends over the 0x808080 background and the composed T3+1D
@@ -335,23 +336,22 @@ def grad_plane_final(corn, code4, by, bx, r4y, r4x, vc, mc, shifts,
     replaces two full-plane XLA RMW chains on the standard decode path
     (decode_core compose branch; ucol streams keep the split form)."""
     BR = r4y.shape[0]
-    H = by.shape[1]
-    W = bx.shape[2]
-    KY = by.shape[2] - 128
-    KX = bx.shape[1] - 8
+    W = bxc.shape[2]
+    H = code4.shape[0] * 4
+    RT = corn.shape[1]
     grid = (H // BR,)
     return pl.pallas_call(
-        partial(_grad_kernel, shifts, KX, KY, W),
+        partial(_grad_kernel, shifts, BR, W),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((7, KY + 8, KX + 128), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, RT, 256), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR // 4, W // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, BR, KY + 128), lambda i: (0, i, 0),
+            pl.BlockSpec((7, BR, 2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, KX + 8, W), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, 256, W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, BR // 4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -365,7 +365,7 @@ def grad_plane_final(corn, code4, by, bx, r4y, r4x, vc, mc, shifts,
         out_specs=pl.BlockSpec((BR, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(corn, code4, by, bx, r4y, r4x, vc, mc)
+    )(corn, code4, wy, bxc, r4y, r4x, vc, mc)
 
 
 # ---------------------------------------------------------------------------
