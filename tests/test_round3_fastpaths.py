@@ -312,6 +312,35 @@ def test_lut3d_vals_dict2_fused_compose():
     assert np.array_equal(got, want)
 
 
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_tile2d_pallas_branch_matches_xla(mode):
+    """The 2DTL pass's fused-kernel route (3-channel kernel with a zeroed
+    slot, table shifted so the value bytes land at planes pa/pb) == the
+    XLA one-hot einsum form, for every plane pair."""
+    from yaik_tpu.decoder import jax_engine as je
+    rng = np.random.default_rng(23 + mode)
+    nty = ntx = 8
+    g, npx = nty * ntx, 64
+    sx = sy = 3
+    lut2_tab = jnp.asarray(
+        (rng.integers(0, 129, (40, 64)).astype(np.int64)
+         | (rng.integers(0, 129, (40, 64)).astype(np.int64) << 8))
+        .astype(np.int32))
+    accept = jnp.asarray(rng.random((nty, ntx)) < 0.6)
+    rows = jnp.asarray(rng.integers(0, 40, g).astype(np.int32))
+    colors = jnp.asarray(rng.integers(0, 256, (g, 4)).astype(np.uint8))
+    packed = jnp.asarray((rng.integers(0, 64, (g, npx))
+                          | (rng.integers(0, 2, (g, npx)) << 6))
+                         .astype(np.uint8))
+    plane0 = jnp.asarray(rng.integers(0, 1 << 24, (nty * 8, ntx * 8))
+                         .astype(np.uint32))
+    xla = je._tile2d_pass(plane0, lut2_tab, accept, rows, colors, packed,
+                          mode, sx, sy)
+    pallas = je._tile2d_pass(plane0, lut2_tab, accept, rows, colors,
+                             packed, mode, sx, sy, _interpret=True)
+    assert np.array_equal(np.asarray(pallas), np.asarray(xla))
+
+
 def test_lut3d_vals_dict2p_packed_matches_unpacked():
     """The byte-packed fused kernel (lut3d_vals_dict2p: 4 idx bytes per
     i32 lane, 8 tile columns in 2 lanes) == lut3d_vals_dict2 on the

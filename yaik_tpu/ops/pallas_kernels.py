@@ -243,13 +243,18 @@ def _grad_kernel(shifts, BR, W, corn_ref, code_ref, wy_ref, bx_ref,
     for k, (sx, sy) in enumerate(shifts):
         tw, th = 1 << sx, 1 << sy
         nr = BR // th
-        # per-block rows are stored at an 8-ALIGNED stride nr8 with the
-        # boundary row duplicated at plan time (Mosaic requires the
-        # dynamic sublane load offset provably % 8; i*nr with nr=4 at
-        # H=64 is not - caught by an end-to-end verify drive, not the
-        # 512^2 chain where every nr happens to be a multiple of 8)
-        nr8 = -(-(nr + 1) // 8) * 8
-        blk = corn_ref[k, pl.ds(i * nr8, nr8), :]        # [nr8, 256]
+        # Mosaic requires the dynamic sublane load offset provably % 8
+        # (i*nr with nr=4 at H=64 is not - caught by an end-to-end
+        # verify drive, not the 512^2 chain where every nr is a multiple
+        # of 8). When nr % 8 == 0 the grid is stored contiguously and
+        # each block over-reads 8 rows into the next block (stride nr,
+        # no duplication - the packer pads the tail); otherwise rows are
+        # duplicated at plan time at an 8-aligned block stride.
+        if nr % 8 == 0:
+            stride, nr8 = nr, nr + 8
+        else:
+            stride = nr8 = -(-(nr + 1) // 8) * 8
+        blk = corn_ref[k, pl.ds(i * stride, nr8), :]     # [nr8, 256]
         cg3 = jnp.concatenate(
             [((blk >> c) & 0xFF) for c in (0, 8, 16)],
             axis=0).astype(jnp.bfloat16)                 # [3*nr8, 256]
