@@ -306,8 +306,8 @@ def run_family_lanes(expanded):
         fh, fw, fc = golden.shape
         fwgt = _checksum_weights(fh, fw, fc)
         plan = planner.build_plan(stream, expanded, exp2d)
-        shifts, tab, args = jax_engine.plan_to_device_args(plan, expanded,
-                                                           exp2d)
+        shifts, tab, args = jax_engine.plan_to_device_args(
+            plan, expanded, exp2d, resident=True)
         chk_s = _salted_checksums(plan, golden, fwgt, nsalt)
         chk_bs = [(FAMILY_BATCH * c) % (1 << 32) for c in chk_s]
 
@@ -422,8 +422,8 @@ def main():
         [jax_engine.t3_pack_mode(plans[n], expanded) for n in names],
         [plans[n] for n in names])
     for n in names:
-        shifts, tab, args = jax_engine.plan_to_device_args(plans[n], expanded,
-                                                           t3_modes=t3m)
+        shifts, tab, args = jax_engine.plan_to_device_args(
+            plans[n], expanded, t3_modes=t3m, resident=True)
 
         def rep(x):
             x = np.asarray(x)

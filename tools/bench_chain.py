@@ -51,7 +51,7 @@ def main():
     dev_args = {}
     for n in names:
         shifts, tab, args = jax_engine.plan_to_device_args(
-            plans[n], expanded, t3_modes=t3m)
+            plans[n], expanded, t3_modes=t3m, resident=True)
 
         def rep(x):
             x = np.asarray(x)

@@ -234,6 +234,41 @@ def _pack_grad_corners_host(corners7, H, W):
     return corn.view(np.int32)
 
 
+def _pack_grad_corners_device(corners7, H, W):
+    """In-graph twin of _pack_grad_corners_host for the LIGHT-UPLOAD arg
+    form (planar u8 [7, 3, qh, qw], ~0.35 MB/img vs ~1 MB packed): the
+    tunnel-bound e2e lanes upload the small form and pay ~1 ms/step of
+    device packing; the resident chain lanes ship the packed form and
+    pay zero (plan_to_device_args resident=...)."""
+    c = corners7.astype(jnp.int32)
+    pk = c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16)         # [7, qh, qw]
+    BR = next(b for b in (128, 64, 32, 16) if H % b == 0)
+    nb = H // BR
+    rows_tot = []
+    for (sx, sy) in GRAD_SHIFTS:
+        nr = BR // (1 << sy)
+        rows_tot.append(nb * nr + 8 if nr % 8 == 0
+                        else nb * (-(-(nr + 1) // 8) * 8))
+    RT = -(-max(rows_tot) // 8) * 8
+    planes = []
+    for k, (sx, sy) in enumerate(GRAD_SHIFTS):
+        qsy, qsx = (1 << sy) // 4, (1 << sx) // 4
+        g = pk[k, ::qsy, ::qsx]
+        nr = BR // (1 << sy)
+        if nr % 8 == 0:
+            gk = jnp.pad(g, ((0, RT - g.shape[0]),
+                             (0, 256 - g.shape[1])))
+        else:
+            nr8 = -(-(nr + 1) // 8) * 8
+            blocks = [jnp.pad(g[i * nr: i * nr + nr + 1],
+                              ((0, nr8 - (nr + 1)), (0, 0)))
+                      for i in range(nb)]
+            gk = jnp.pad(jnp.concatenate(blocks, axis=0),
+                         ((0, RT - nb * nr8), (0, 256 - g.shape[1])))
+        planes.append(gk[None])
+    return jnp.concatenate(planes, axis=0)                  # [7, RT, 256]
+
+
 def _grad_merged_pass(plane, corn, code4, interpret=False):
     """All full-plane gradient passes as ONE Pallas dispatch (see
     pallas_kernels.grad_plane). corn [7, 136, 256] i32 PLAN-TIME compact
@@ -247,6 +282,8 @@ def _grad_merged_pass(plane, corn, code4, interpret=False):
     from yaik_tpu.ops.pallas_kernels import grad_plane
     H, W = plane.shape
     wy, bxc, r4y, r4x = _grad_consts(H, W)
+    if corn.ndim == 4:          # light-upload planar u8 form
+        corn = _pack_grad_corners_device(corn, H, W)
     V = grad_plane(corn.astype(jnp.int32), code4.astype(jnp.int32), wy,
                    bxc, r4y, r4x, shifts=GRAD_SHIFTS, interpret=interpret
                    ).astype(jnp.uint32)
@@ -265,6 +302,8 @@ def _grad_merged_final(corn, code4, vc, mc, interpret=False):
     from yaik_tpu.ops.pallas_kernels import grad_plane_final
     H, W = vc.shape
     wy, bxc, r4y, r4x = _grad_consts(H, W)
+    if corn.ndim == 4:          # light-upload planar u8 form
+        corn = _pack_grad_corners_device(corn, H, W)
     return grad_plane_final(corn.astype(jnp.int32),
                             code4.astype(jnp.int32), wy, bxc, r4y,
                             r4x, vc.astype(jnp.int32), mc.astype(jnp.int32),
@@ -1035,7 +1074,8 @@ def combine_t3_modes(modes, plans=None):
 
 def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
                         expanded2d: dict | None = None,
-                        t3_modes: tuple | None = None):
+                        t3_modes: tuple | None = None,
+                        resident: bool = False):
     """Assemble (static shifts, lut table + bases, per-image tensor args)
     from a plan. Per-image tensors are packed thin for the host->device
     link: LUT row ids instead of per-tile table slices, idx|mask<<6 bytes,
@@ -1068,7 +1108,15 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
             exp = np.repeat(np.repeat(g.accept, th // 4, 0), tw // 4, 1)
             region = code4[: exp.shape[0], : exp.shape[1]]
             region[exp] = k + 1
-        corn = _pack_grad_corners_host(np.stack(corners), h, w)
+        if resident:
+            # device-resident consumers (the bench chains): ship the
+            # kernel's packed layout, zero per-step prep
+            corn = _pack_grad_corners_host(np.stack(corners), h, w)
+        else:
+            # upload-light (e2e lanes over the rig tunnel): planar u8,
+            # packed on device per decode (~1 ms/step at 512^2 b128)
+            corn = np.ascontiguousarray(
+                np.stack(corners).transpose(0, 3, 1, 2))
         grad_args = (None, (corn, code4))
     else:
         grad_args = (tuple(accepts), tuple(corners))

@@ -408,11 +408,11 @@ def score48(c, alive, qpts, interpret=False):
     q2 = jnp.pad((qq * qq).sum(-1), ((0, 0), (0, n48p - n48)),
                  constant_values=1e9).reshape(1, K)
 
-    # block VMEM is dominated by the constant q tables ([3,K]+[1,K] f32,
-    # ~100 KB at bank size 12) plus x/out blocks - 1024 rows stays well
-    # under budget and quarters the grid-step count (the old 6 MB guard
-    # capped pb at 128 for K=6144; HLO-profiled ~1.9 ms per pass)
-    pb = 1024 if K * 4 <= 1 << 20 else 256
+    # block VMEM is dominated by the [pb, K] dots matrix; a pb=1024 probe
+    # at K=6144 (25 MB transient) compiled and measured NO faster than
+    # 256, so the conservative size stays (and larger banks - E=22 gives
+    # K=9216 - would overrun VMEM at 1024)
+    pb = 256 if K * 4 * 256 <= 6 << 20 else 128
     pb = max(pb, P)
     if pb % P:
         raise ValueError(f"tile size {P} does not divide block {pb}")
