@@ -578,7 +578,7 @@ def lut3d_vals_dict2p_d1(idx4a, idx4b, tab3, cols2a, cols2b, codes4, prm,
     P4, G = idx4a.shape
     P = P4 * 4
     U = tab3.shape[1]
-    LB = int(os.environ.get("YAIK_T3_LB", "1024"))
+    LB = int(os.environ.get("YAIK_T3_LB", "2048"))
     pad = (-G) % LB
     args = [jnp.pad(a, ((0, 0), (0, pad)))
             for a in (idx4a, idx4b, cols2a, cols2b, codes4, prm, wm2)]
@@ -613,7 +613,9 @@ def lut3d_vals_dict2p(idx4a, idx4b, tab3, cols2a, cols2b, interpret=False):
     P4, G = idx4a.shape
     P = P4 * 4
     U = tab3.shape[1]
-    LB = int(os.environ.get("YAIK_T3_LB", "1024"))
+    # round-5 final sweep at the cert config (64 steps, b128, plan-time
+    # packed operands): 512/1024/2048/4096 = 1982/2241/2268/2248 MPix/s
+    LB = int(os.environ.get("YAIK_T3_LB", "2048"))
     pad = (-G) % LB
     idxap = jnp.pad(idx4a, ((0, 0), (0, pad)))
     idxbp = jnp.pad(idx4b, ((0, 0), (0, pad)))
