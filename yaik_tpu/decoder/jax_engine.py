@@ -482,8 +482,7 @@ def _unpack_merged_layer(packed4, cols2):
 
 
 def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
-                         dict_rows, interpret=False, d1=None,
-                         tile_out=False):
+                         dict_rows, interpret=False, d1=None):
     """Both merged-T3 priority layers in ONE Pallas dispatch + ONE
     tile->image relayout + ONE plane blend (the per-layer relayout copy
     and blend RMW were the decode roofline's #2/#3 terms). Requires the
@@ -522,8 +521,6 @@ def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
         return V, m32        # caller blends once over the gradient plane
     VpT = lut3d_vals_dict2p(packeds[0], packeds[1], tab3, colors[0],
                             colors[1], interpret=interpret)    # [16, g]
-    if tile_out:
-        return VpT           # tile-space compose caller relayouts once
     V = _tile_to_image(VpT.T, nty, ntx, 4, 4).astype(jnp.uint32)
     m32 = (V >> 24) * 0xFFFFFF
     if plane is None:
