@@ -106,13 +106,15 @@ def test_score48_interpret(P):
     assert np.array_equal(got, want.astype(np.int32))
 
 
-def test_grad_plane_interpret_vs_blend_chain():
+@pytest.mark.parametrize("H,W", [(64, 64), (64, 1024)])
+def test_grad_plane_interpret_vs_blend_chain(H, W):
     """The merged-gradient packing (_grad_merged_pass + grad_plane) ==
     the sequential 7x _blend_pass XLA chain, including overlapping
-    accepts (later passes overwrite) and edge tiles."""
+    accepts (later passes overwrite) and edge tiles. W=1024 pins the
+    wide-image corner layout (W/4 + 1 = 257 columns needs CW=384; the
+    first 256-wide layout overflowed there - caught in review)."""
     from yaik_tpu.decoder import jax_engine as je
     rng = np.random.default_rng(6)
-    H = W = 64
     qh, qw = H // 4 + 1, W // 4 + 1
     accepts, corners = [], []
     for (sx, sy) in je.GRAD_SHIFTS:

@@ -154,20 +154,43 @@ def _blend_pass(plane, accept, corners, sx, sy, chmask=0xFFFFFF):
 _GRAD_CONST_CACHE: dict = {}
 
 
+def _grad_layout(H, W):
+    """SHARED merged-gradient layout (the one place the geometry lives -
+    _grad_consts, both corner packers, and the kernel's stride rule in
+    pallas_kernels._grad_strides must agree byte-for-byte): returns
+    (BR, nb, CW, strides, RT). BR = largest row block in (128..16)
+    dividing H; CW = corner-grid column width in lanes (W=1024 needs
+    W/4 + 1 = 257 columns -> 384; the first 256-wide layout overflowed
+    there - caught in review); strides[k] = pass k's per-block sublane
+    stride (== nr for contiguous+over-read when nr % 8 == 0, else the
+    8-aligned duplicated stride); RT = total corner rows."""
+    from yaik_tpu.ops.pallas_kernels import _grad_strides
+    BR = next(b for b in (128, 64, 32, 16) if H % b == 0)
+    nb = H // BR
+    CW = max(256, -(-(W // 4 + 1) // 128) * 128)
+    strides = _grad_strides(GRAD_SHIFTS, BR)
+    rows_tot = []
+    for (sx, sy), st in zip(GRAD_SHIFTS, strides):
+        nr = BR // (1 << sy)
+        rows_tot.append(nb * nr + 8 if st == nr else nb * st)
+    RT = -(-max(rows_tot) // 8) * 8
+    return BR, nb, CW, strides, RT
+
+
 def _grad_consts(H, W):
     """Constants for the merged gradient kernel, cached per image size
-    and embedded as jit constants: bxc [7, 256, W] bf16 COMPACT x-interp
+    and embedded as jit constants: bxc [7, CW, W] bf16 COMPACT x-interp
     matrices (row t = tile column t: weight tw-rx at t, rx at t+1),
     wy [7, BR, 2] f32 per-row y-weights (th-ry, ry), and r4y/r4x to
-    expand the [H/4, W/4] winner-code grid to pixels. BR = the largest
-    row block in (128..16) dividing H (the per-pass y-repeat needs
-    BR >= th; _grad_merge_available gates on H % 16 == 0)."""
+    expand the [H/4, W/4] winner-code grid to pixels
+    (_grad_merge_available gates on H % 16 == 0: the per-pass y-repeat
+    needs BR >= th)."""
     key = (H, W)
     hit = _GRAD_CONST_CACHE.get(key)
     if hit is not None:
         return hit
-    BR = next(b for b in (128, 64, 32, 16) if H % b == 0)
-    bxc = np.zeros((7, 256, W), np.float32)
+    BR, nb, CW, strides, RT = _grad_layout(H, W)
+    bxc = np.zeros((7, CW, W), np.float32)
     wy = np.zeros((7, BR, 2), np.float32)
     for k, (sx, sy) in enumerate(GRAD_SHIFTS):
         tw, th = 1 << sx, 1 << sy
@@ -209,25 +232,16 @@ def _pack_grad_corners_host(corners7, H, W):
     tunnel-bound e2e lanes."""
     c = corners7.astype(np.uint32)
     pk = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)   # [7, qh, qw]
-    BR = next(b for b in (128, 64, 32, 16) if H % b == 0)
-    nb = H // BR
-    rows_tot = []
-    for (sx, sy) in GRAD_SHIFTS:
-        nr = BR // (1 << sy)
-        if nr % 8 == 0:
-            rows_tot.append(nb * nr + 8)     # contiguous + 8-row tail pad
-        else:
-            rows_tot.append(nb * (-(-(nr + 1) // 8) * 8))
-    RT = -(-max(rows_tot) // 8) * 8
-    corn = np.zeros((7, RT, 256), np.uint32)
+    BR, nb, CW, strides, RT = _grad_layout(H, W)
+    corn = np.zeros((7, RT, CW), np.uint32)
     for k, (sx, sy) in enumerate(GRAD_SHIFTS):
         qsy, qsx = (1 << sy) // 4, (1 << sx) // 4
         g = pk[k, ::qsy, ::qsx]              # [nty+1, ntx+1] incl. edges
         nr = BR // (1 << sy)
-        if nr % 8 == 0:
+        if strides[k] == nr:                 # contiguous + over-read tail
             corn[k, : g.shape[0], : g.shape[1]] = g
             continue
-        nr8 = -(-(nr + 1) // 8) * 8
+        nr8 = strides[k]
         for i in range(nb):
             rows = g[i * nr: i * nr + nr + 1]
             corn[k, i * nr8: i * nr8 + rows.shape[0], : g.shape[1]] = rows
@@ -242,31 +256,24 @@ def _pack_grad_corners_device(corners7, H, W):
     pay zero (plan_to_device_args resident=...)."""
     c = corners7.astype(jnp.int32)
     pk = c[:, 0] | (c[:, 1] << 8) | (c[:, 2] << 16)         # [7, qh, qw]
-    BR = next(b for b in (128, 64, 32, 16) if H % b == 0)
-    nb = H // BR
-    rows_tot = []
-    for (sx, sy) in GRAD_SHIFTS:
-        nr = BR // (1 << sy)
-        rows_tot.append(nb * nr + 8 if nr % 8 == 0
-                        else nb * (-(-(nr + 1) // 8) * 8))
-    RT = -(-max(rows_tot) // 8) * 8
+    BR, nb, CW, strides, RT = _grad_layout(H, W)
     planes = []
     for k, (sx, sy) in enumerate(GRAD_SHIFTS):
         qsy, qsx = (1 << sy) // 4, (1 << sx) // 4
         g = pk[k, ::qsy, ::qsx]
         nr = BR // (1 << sy)
-        if nr % 8 == 0:
+        if strides[k] == nr:                 # contiguous + over-read tail
             gk = jnp.pad(g, ((0, RT - g.shape[0]),
-                             (0, 256 - g.shape[1])))
+                             (0, CW - g.shape[1])))
         else:
-            nr8 = -(-(nr + 1) // 8) * 8
+            nr8 = strides[k]
             blocks = [jnp.pad(g[i * nr: i * nr + nr + 1],
                               ((0, nr8 - (nr + 1)), (0, 0)))
                       for i in range(nb)]
             gk = jnp.pad(jnp.concatenate(blocks, axis=0),
-                         ((0, RT - nb * nr8), (0, 256 - g.shape[1])))
+                         ((0, RT - nb * nr8), (0, CW - g.shape[1])))
         planes.append(gk[None])
-    return jnp.concatenate(planes, axis=0)                  # [7, RT, 256]
+    return jnp.concatenate(planes, axis=0)                  # [7, RT, CW]
 
 
 def _grad_merged_pass(plane, corn, code4, interpret=False):

@@ -233,9 +233,9 @@ def _dispatch_batch(imgs, claims_shape, cfg, tables, caps=None, mesh=None):
             # fail here with a clear message instead of an opaque
             # shard_map sharding error deep inside jit (ADVICE r4)
             raise ValueError(
-                f"mesh encode: batch size {len(imgs)} must divide the "
-                f"mesh's {int(mesh.devices.size)} devices - pass a "
-                f"batch_size that is a multiple of the mesh size")
+                f"mesh encode: the mesh's {int(mesh.devices.size)} "
+                f"devices must divide the batch size {len(imgs)} - pass "
+                f"a batch_size that is a multiple of the mesh size")
         planes_b = jax.device_put(stacked, NamedSharding(mesh, P("data")))
         packed_all = _all_batch_compact_mesh_fn(cfg.reject_factor, caps,
                                                 mesh)(

@@ -520,36 +520,44 @@ def _values_core(tiles_c, alive, ac_c, bc_c, mode48, mn_c, d_c, pts_sub,
         off += npts
         iot = jnp.arange(npts, dtype=jnp.int32)
         ff = factors[3 - bi][:, :npts].astype(jnp.float32)        # E,n,3
-        # the three factor channels pack into a single f32
-        # (f0*65536 + f1*256 + f2 <= 128*65536 + 32k + 128 < 2^24, exact)
-        ffp = (ff[..., 0] * 65536.0 + ff[..., 1] * 256.0 + ff[..., 2])
-        ffp_m = jnp.broadcast_to(ffp[:, None, :], (E, P, npts)
-                                 ).reshape(M, npts)
+        # factor channels ride the reduce as two packed payload fields:
+        # f0*4096 + f1 is f32-exact for factors <= 4095 (real banks have
+        # f <= 128 - bank.py trunc(v/63*128) - and the values48 all-skip
+        # test feeds 4000; a 3-in-1 *65536 packing was exact only to 128
+        # and silently corrupted the out-of-range regime)
+        ffpA = ff[..., 0] * 4096.0 + ff[..., 1]
+        ffpB = ff[..., 2]
+
+        def bcast(x):
+            return jnp.broadcast_to(
+                x[:, None, :], (E, P, npts)).reshape(M, npts)[None]
+
         # ONE variadic argmin-with-payload reduce replaces the
         # dmin-reduce + tie-min-iota reduce + masked-min factor gather
         # (three full passes over the materialized distance tensor,
         # HLO-profiled as the while loops' select_reduce block). The
         # combiner's (value, then smaller index) order reproduces the
-        # first-min tie rule exactly; the winner's packed factor rides
+        # first-min tie rule exactly; the winner's packed factors ride
         # along.
 
         def red(a, b):
-            av, ai, af = a
-            bv, bi_, bf = b
+            av, ai, afa, afb = a
+            bv, bi_, bfa, bfb = b
             tb = (bv < av) | ((bv == av) & (bi_ < ai))
             return (jnp.where(tb, bv, av), jnp.where(tb, bi_, ai),
-                    jnp.where(tb, bf, af))
+                    jnp.where(tb, bfa, afa), jnp.where(tb, bfb, afb))
 
-        _, idx, f3f = jax.lax.reduce(
+        _, idx, fAf, fBf = jax.lax.reduce(
             (db, jnp.broadcast_to(iot[None, None, :], db.shape),
-             jnp.broadcast_to(ffp_m[None], db.shape)),
-            (jnp.float32(np.inf), jnp.int32(npts), jnp.float32(0)),
+             jnp.broadcast_to(bcast(ffpA), db.shape),
+             jnp.broadcast_to(bcast(ffpB), db.shape)),
+            (jnp.float32(np.inf), jnp.int32(npts), jnp.float32(0),
+             jnp.float32(0)),
             red, (2,))                                            # [T,M]
         idx_by_bit.append(idx)
-        f3 = f3f.astype(jnp.int32)
-        fsel = [(f3 >> 16).astype(jnp.float32),
-                ((f3 >> 8) & 0xFF).astype(jnp.float32),
-                (f3 & 0xFF).astype(jnp.float32)]
+        fA = fAf.astype(jnp.int32)
+        fsel = [(fA >> 12).astype(jnp.float32),
+                (fA & 0xFFF).astype(jnp.float32), fBf]
         fxs = [base_m[s] + sgn_m[s] * fsel[s] for s in range(3)]  # [T,M]
         ld = jnp.zeros((T, M), jnp.int32)
         for o in range(3):

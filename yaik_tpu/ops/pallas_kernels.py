@@ -211,6 +211,19 @@ def lut3d_vals_dict(idxT, tab3, colsT, interpret=False):
 # Merged gradient pass (decode)
 # ---------------------------------------------------------------------------
 
+def _grad_strides(shifts, BR):
+    """Per-pass block stride of the compact corner layout (single source
+    of the alignment rule; jax_engine._grad_layout consumes it for the
+    plan-time packers): stride == nr means contiguous rows with an
+    8-row over-read, else rows are duplicated at this 8-aligned
+    stride."""
+    out = []
+    for (sx, sy) in shifts:
+        nr = BR // (1 << sy)
+        out.append(nr if nr % 8 == 0 else -(-(nr + 1) // 8) * 8)
+    return tuple(out)
+
+
 def _grad_kernel(shifts, BR, W, corn_ref, code_ref, wy_ref, bx_ref,
                  r4y_ref, r4x_ref, *rest):
     """All 7 gradient size passes for one row block, in VMEM.
@@ -232,6 +245,7 @@ def _grad_kernel(shifts, BR, W, corn_ref, code_ref, wy_ref, bx_ref,
     the sequential blends did. Expanded to pixels by constant 0/1
     matmuls, the select chain replaces 7 full-image masked blends."""
     i = pl.program_id(0)
+    strides = _grad_strides(shifts, BR)
     code = code_ref[:].astype(jnp.bfloat16)              # [BR/4, W/4]
     Cf = jnp.dot(r4y_ref[:],
                  jnp.dot(code, r4x_ref[:],
@@ -246,15 +260,13 @@ def _grad_kernel(shifts, BR, W, corn_ref, code_ref, wy_ref, bx_ref,
         # Mosaic requires the dynamic sublane load offset provably % 8
         # (i*nr with nr=4 at H=64 is not - caught by an end-to-end
         # verify drive, not the 512^2 chain where every nr is a multiple
-        # of 8). When nr % 8 == 0 the grid is stored contiguously and
-        # each block over-reads 8 rows into the next block (stride nr,
-        # no duplication - the packer pads the tail); otherwise rows are
-        # duplicated at plan time at an 8-aligned block stride.
-        if nr % 8 == 0:
-            stride, nr8 = nr, nr + 8
-        else:
-            stride = nr8 = -(-(nr + 1) // 8) * 8
-        blk = corn_ref[k, pl.ds(i * stride, nr8), :]     # [nr8, 256]
+        # of 8). _grad_strides (shared with the plan-time packers via
+        # jax_engine._grad_layout) stores contiguous+over-read-8 rows
+        # when nr % 8 == 0, else plan-time-duplicated rows at an
+        # 8-aligned block stride.
+        stride = strides[k]
+        nr8 = nr + 8 if stride == nr else stride
+        blk = corn_ref[k, pl.ds(i * stride, nr8), :]     # [nr8, CW]
         cg3 = jnp.concatenate(
             [((blk >> c) & 0xFF) for c in (0, 8, 16)],
             axis=0).astype(jnp.bfloat16)                 # [3*nr8, 256]
@@ -305,20 +317,20 @@ def grad_plane(corn, code4, wy, bxc, r4y, r4x, shifts, interpret=False):
     BR = r4y.shape[0]
     W = bxc.shape[2]
     H = code4.shape[0] * 4
-    RT = corn.shape[1]
+    RT, CW = corn.shape[1], corn.shape[2]
     grid = (H // BR,)
     return pl.pallas_call(
         partial(_grad_kernel, shifts, BR, W),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((7, RT, 256), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, RT, CW), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR // 4, W // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((7, BR, 2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, 256, W), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, CW, W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, BR // 4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -343,20 +355,20 @@ def grad_plane_final(corn, code4, wy, bxc, r4y, r4x, vc, mc, shifts,
     BR = r4y.shape[0]
     W = bxc.shape[2]
     H = code4.shape[0] * 4
-    RT = corn.shape[1]
+    RT, CW = corn.shape[1], corn.shape[2]
     grid = (H // BR,)
     return pl.pallas_call(
         partial(_grad_kernel, shifts, BR, W),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((7, RT, 256), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, RT, CW), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR // 4, W // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((7, BR, 2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((7, 256, W), lambda i: (0, 0, 0),
+            pl.BlockSpec((7, CW, W), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, BR // 4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
