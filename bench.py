@@ -368,7 +368,11 @@ def run_family_lanes(expanded):
         okd, td = timed(5, K)
         ok &= oka and okb and okc and okd
         dt_half, dt = min(ta, tb), min(tc, td)
-        ok &= dt >= 1.6 * dt_half                # elision guard
+        # family threshold 1.45 (not the RGB lane's 1.6): at ~2.5 ms/step
+        # the asymptotic ratio with the ~25 ms tunnel RTT is only ~1.7,
+        # and host contention pushed a passing lane under 1.6 once; a
+        # collapsed chain measures ~1.0-1.1, so 1.45 still discriminates
+        ok &= dt >= 1.45 * dt_half               # elision guard
         mpix = K * FAMILY_BATCH * fh * fw / dt / 1e6
         out[fam] = {"mpix_s": round(mpix, 2), "ok": bool(ok)}
 
