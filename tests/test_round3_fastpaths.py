@@ -106,7 +106,7 @@ def test_score48_interpret(P):
     assert np.array_equal(got, want.astype(np.int32))
 
 
-@pytest.mark.parametrize("H,W", [(64, 64), (64, 1024)])
+@pytest.mark.parametrize("H,W", [(64, 64), (64, 1024), (96, 128)])
 def test_grad_plane_interpret_vs_blend_chain(H, W):
     """The merged-gradient packing (_grad_merged_pass + grad_plane) ==
     the sequential 7x _blend_pass XLA chain, including overlapping
