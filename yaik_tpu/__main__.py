@@ -6,6 +6,8 @@ unified):
   python -m yaik_tpu lut     bank_dir out.lut            (build LutFile.lut)
   python -m yaik_tpu stats   in.yaik                     (per-technique report)
   python -m yaik_tpu mine    out_dir imgs...  [--mode 2d] (LUT-bank mining)
+  python -m yaik_tpu mine-report out_dir imgs... (mine + corpus bpp/PSNR
+                                  report vs a baseline bank, one command)
   python -m yaik_tpu roundtrip img.png                   (encode+decode+PSNR)
 """
 from __future__ import annotations
