@@ -540,6 +540,11 @@ def _values_core(tiles_c, alive, ac_c, bc_c, mode48, mn_c, d_c, pts_sub,
         # first-min tie rule exactly; the winner's packed factors ride
         # along.
 
+        # (a 3-operand variant packing iot into pB's low bits and
+        # extracting it in the combiner measured SLOWER - 101.3 vs 98.5
+        # ms/dispatch - the per-combine mod costs more than the dropped
+        # operand stream; 4 operands stays)
+
         def red(a, b):
             av, ai, afa, afb = a
             bv, bi_, bfa, bfb = b
