@@ -353,9 +353,10 @@ def test_lut3d_vals_dict2p_packed_matches_unpacked():
     rng = np.random.default_rng(13)
     G, P, U = 100, 16, 48
     tabs = rng.integers(0, 129, (U, 64, 3)).astype(np.int64)
-    tab3 = jnp.asarray(np.concatenate(
-        [tabs[:, :, 0].T, tabs[:, :, 1].T, tabs[:, :, 2].T], axis=0),
-        dtype=jnp.bfloat16)
+    cat = np.concatenate(
+        [tabs[:, :, 0].T, tabs[:, :, 1].T, tabs[:, :, 2].T], axis=0)
+    tab3 = jnp.asarray(cat, dtype=jnp.bfloat16)
+    tab3_s8 = jnp.asarray(cat - 1, dtype=jnp.int8)   # dict2p: entry-1 s8
 
     def layer():
         idx = rng.integers(0, 64, (G, P)).astype(np.int32)
@@ -379,7 +380,7 @@ def test_lut3d_vals_dict2p_packed_matches_unpacked():
     rawa, colsa, i4a, c2a = layer()
     rawb, colsb, i4b, c2b = layer()
     got = np.asarray(lut3d_vals_dict2p(
-        jnp.asarray(i4a), jnp.asarray(i4b), tab3,
+        jnp.asarray(i4a), jnp.asarray(i4b), tab3_s8,
         jnp.asarray(c2a), jnp.asarray(c2b), interpret=True))
     want = np.asarray(lut3d_vals_dict2(
         jnp.asarray(rawa.T), jnp.asarray(rawb.T), tab3,
@@ -403,9 +404,10 @@ def test_lut3d_vals_dict2p_elision_tiers():
     rng = np.random.default_rng(17)
     G, P, U = 64, 16, 8
     tabs = rng.integers(0, 129, (U, 64, 3)).astype(np.int64)
-    tab3 = jnp.asarray(np.concatenate(
-        [tabs[:, :, 0].T, tabs[:, :, 1].T, tabs[:, :, 2].T], axis=0),
-        dtype=jnp.bfloat16)
+    cat = np.concatenate(
+        [tabs[:, :, 0].T, tabs[:, :, 1].T, tabs[:, :, 2].T], axis=0)
+    tab3 = jnp.asarray(cat, dtype=jnp.bfloat16)
+    tab3_s8 = jnp.asarray(cat - 1, dtype=jnp.int8)
 
     def build(raw, cols8):
         p4 = raw.reshape(G, 4, 4)
@@ -442,7 +444,7 @@ def test_lut3d_vals_dict2p_elision_tiers():
         i4a, c2a = build(rawa, colsa)
         i4b, c2b = build(rawb, colsb)
         got = np.asarray(lut3d_vals_dict2p(
-            jnp.asarray(i4a), jnp.asarray(i4b), tab3,
+            jnp.asarray(i4a), jnp.asarray(i4b), tab3_s8,
             jnp.asarray(c2a), jnp.asarray(c2b), interpret=True))
         want = np.asarray(lut3d_vals_dict2(
             jnp.asarray(rawa.T), jnp.asarray(rawb.T), tab3,

@@ -501,9 +501,12 @@ def _tile3d_merged2_pass(plane, lut_tab, accepts, rows, colors, packeds,
     g = nty * ntx
     from yaik_tpu.ops.pallas_kernels import lut3d_vals_dict2p
     ls = lut_tab[dict_rows]                              # [U, 64] i32
-    tab3 = jnp.concatenate(
+    # entry-1 encoding: the kernel's dictionary matmul runs on the int8
+    # MXU path (entries 0..128 -> -1..127 fits s8, the one-hot adds the
+    # 1 back; exact i32 accumulation)
+    tab3 = (jnp.concatenate(
         [(ls & 0xFF).T, ((ls >> 8) & 0xFF).T, (ls >> 16).T],
-        axis=0).astype(jnp.bfloat16)                     # [192, U]
+        axis=0) - 1).astype(jnp.int8)                    # [192, U]
 
     # colors/packeds already carry the PLAN-TIME byte-packed kernel
     # operands (idx4 [4, g] i32: 4 raw bytes per lane; cols2 [2, g] i32:

@@ -267,6 +267,9 @@ def _grad_kernel(shifts, BR, W, corn_ref, code_ref, wy_ref, bx_ref,
         stride = strides[k]
         nr8 = nr + 8 if stride == nr else stride
         blk = corn_ref[k, pl.ds(i * stride, nr8), :]     # [nr8, CW]
+        # (an int8-MXU x-interp variant - corners-128 as s8 with the
+        # constant 128*tw correction - measured a wash: 2318 vs 2327
+        # MPix/s chained; the bf16 form stays)
         cg3 = jnp.concatenate(
             [((blk >> c) & 0xFF) for c in (0, 8, 16)],
             axis=0).astype(jnp.bfloat16)                 # [3*nr8, 256]
@@ -488,14 +491,20 @@ def _vals_dict2p_kernel(P, U, idxa_ref, idxb_ref, tab_ref, cola_ref,
 
         def tree(depth):
             # dictionary expand only the rows the tree can reach: the
-            # one-hot matmul shrinks [192,U] -> [3*depth,U] with it
+            # one-hot matmul shrinks [192,U] -> [3*depth,U] with it.
+            # The matmul runs on the int8 MXU path (2x the bf16 rate;
+            # this matmul dominated the kernel at LB=2048): the table
+            # stores entry-1 (entries 0..128 -> -1..127 fits s8) and the
+            # exactly-one-hot contraction adds it back (+1), all in
+            # exact i32 accumulation.
             parts = [T[c * 64: c * 64 + depth] for c in range(3)]
-            Ts = jnp.concatenate(parts, axis=0)      # [3*depth, U]
+            Ts = jnp.concatenate(parts, axis=0)      # [3*depth, U] s8
             oh = (jax.lax.broadcasted_iota(
                 jnp.int32, (U, loc.shape[0]), 0)
-                == loc[None, :]).astype(jnp.bfloat16)
-            L = jnp.dot(Ts, oh,
-                        preferred_element_type=jnp.float32).astype(jnp.int32)
+                == loc[None, :]).astype(jnp.int8)
+            L = jax.lax.dot_general(
+                Ts, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32) + 1
             V0 = (L[0:depth] | (L[depth:2 * depth] << 8)
                   | (L[2 * depth:] << 16))
             levs = tuple(range(depth.bit_length() - 2, -1, -1))
