@@ -562,3 +562,43 @@ def test_grad_plane_final_interpret_vs_split():
     fused = je._grad_merged_final(jnp.asarray(corners), jnp.asarray(code4),
                                   vc, mc, interpret=True)
     assert np.array_equal(np.asarray(fused), np.asarray(split))
+
+
+@pytest.mark.parametrize("H,W", [(64, 64), (96, 128), (512, 512)])
+def test_corner_packers_host_device_agree(H, W):
+    """The plan-time (resident) and in-graph (light-upload) corner
+    packers must produce the identical blocked layout - the kernel's
+    dynamic-slice offsets are computed against it."""
+    from yaik_tpu.decoder import jax_engine as je
+    rng = np.random.default_rng(31)
+    qh, qw = H // 4 + 1, W // 4 + 1
+    corners = np.stack([rng.integers(0, 256, (qh, qw, 3)).astype(np.uint8)
+                        for _ in je.GRAD_SHIFTS])
+    host = je._pack_grad_corners_host(corners, H, W)
+    planar = jnp.asarray(np.ascontiguousarray(
+        corners.transpose(0, 3, 1, 2)))
+    dev = np.asarray(je._pack_grad_corners_device(planar, H, W))
+    assert np.array_equal(host, dev)
+
+
+def test_salt_d1_color0_model():
+    """The bench salt hook == adding s to each channel's color0 byte mod
+    256, leaving base/delta2 lanes untouched (the checksum model's
+    assumption)."""
+    from yaik_tpu.decoder import jax_engine as je
+    rng = np.random.default_rng(37)
+    G = 64
+    c0 = rng.integers(0, 256, (3, G)).astype(np.uint32)
+    base = rng.integers(0, 256, (3, G)).astype(np.uint32)
+    d2 = rng.integers(0, 1 << 21, (3, G)).astype(np.uint32)
+    prm = np.stack([c0[0] | (c0[1] << 8) | (c0[2] << 16),
+                    base[0] | (base[1] << 8) | (base[2] << 16),
+                    d2[0], d2[1], d2[2]]).view(np.int32)
+    for s in (0, 1, 7, 200, 255):
+        got = np.asarray(je.salt_d1_color0(jnp.asarray(prm),
+                                           jnp.int32(s)))
+        cs = (c0 + s) & 0xFF
+        want0 = cs[0] | (cs[1] << 8) | (cs[2] << 16)
+        assert np.array_equal(got[0].view(np.uint32) if got.dtype
+                              != np.uint32 else got[0], want0)
+        assert np.array_equal(got[1:], prm[1:])
