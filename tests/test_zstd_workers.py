@@ -35,6 +35,22 @@ def test_encode_byte_identity_across_workers(monkeypatch, bank, png, mode):
     assert base == multi
 
 
+def test_emit_workers_byte_identity(monkeypatch, bank):
+    """YAIK_EMIT_WORKERS fans the WHOLE per-image emission over threads
+    (encoder/batch.py): corpus output must be byte-identical to the
+    serial path - on any host, including this 1-core one where threads
+    merely interleave."""
+    from yaik_tpu.encoder.batch import encode_corpus
+    img = np.asarray(Image.open(FIXTURES / "img128.png").convert("RGB"))
+    corpus = [np.ascontiguousarray(np.roll(img, 8 * (i + 1), axis=1))
+              for i in range(4)]
+    monkeypatch.delenv("YAIK_EMIT_WORKERS", raising=False)
+    base = encode_corpus(corpus, bank, batch_size=4)
+    monkeypatch.setenv("YAIK_EMIT_WORKERS", "3")
+    multi = encode_corpus(corpus, bank, batch_size=4)
+    assert base == multi
+
+
 def test_zstd_batch_results_identical_and_ordered(monkeypatch):
     """_ZstdBatch.run at every worker count returns the same bytes in the
     same slot order (the emission assemblers index results by handle)."""

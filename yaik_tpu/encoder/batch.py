@@ -270,33 +270,62 @@ def _emit_from_unpacked(imgs, packed, per_pass, caps, bank, cfg):
         grad_accepts.append(packed[:, off:off + nty * ntx]
                             .reshape(B, nty, ntx).astype(bool))
         off += nty * ntx
-    # ONE shared zstd batch for the whole image batch: every stream of
-    # every image compresses back-to-back at the end (the level-18
-    # workspace stays cache-warm across the batch, not just within one
-    # image; bytes identical - each stream is independent)
     from yaik_tpu.encoder.context import _ZstdBatch
-    zb = _ZstdBatch()
-    streams: list = []
+    streams: list = [None] * B
+    pres = {}
     for i in range(B):
         if any(int(res["count"][i]) > dcap or int(res["alive"][i]) > scap
                for res, (scap, dcap) in zip(per_pass, caps)):
-            streams.append(encode_image(imgs[i], bank, cfg,
-                                        engine="device"))
+            # cap-overflow fallback re-scores on device: keep jax off
+            # worker threads by running these on the caller thread
+            streams[i] = encode_image(imgs[i], bank, cfg, engine="device")
             continue
-        pre = _Precomputed(
+        pres[i] = _Precomputed(
             [a[i] for a in grad_accepts], None,
             t3_compact=[{"shift": res["shift"],
                          "bits_scan": res["bits_scan"][i],
                          "count": res["count"][i],
                          "rows": res["rows"][i]}
                         for res in per_pass])
-        streams.append(encode_image(imgs[i], bank, cfg, engine="precomputed",
-                                    precomputed=pre, _defer=zb))
     from yaik_tpu.utils import profiler
+    nw = int(os.environ.get("YAIK_EMIT_WORKERS", "0") or 0)
+    if nw > 1 and len(pres) > 1:
+        # multi-core hosts fan the WHOLE per-image emission (palette,
+        # gtil/dyn1d native codecs, stream assembly AND the zstd flush)
+        # over threads - every native call releases the GIL and each
+        # image's state is independent, so the bytes are identical
+        # (tests/test_zstd_workers.py pins this). The production encode
+        # model becomes min(device scoring, N_cores x ~59 MPix/s of
+        # full emit), not just the zstd term.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def emit_one(i):
+            zbi = _ZstdBatch()
+            mk = encode_image(imgs[i], bank, cfg, engine="precomputed",
+                              precomputed=pres[i], _defer=zbi)
+            zbi.run()
+            return mk()
+
+        order = sorted(pres)
+        with ThreadPoolExecutor(nw) as pool:
+            for i, st in zip(order, pool.map(emit_one, order)):
+                streams[i] = st
+        return streams
+    # single-core path: ONE shared zstd batch for the whole image batch -
+    # every stream compresses back-to-back at the end so the level-18
+    # match-finder workspace stays cache-warm across the batch (bytes
+    # identical - each stream is an independent one-shot)
+    zb = _ZstdBatch()
+    mks = {}
+    for i in sorted(pres):
+        mks[i] = encode_image(imgs[i], bank, cfg, engine="precomputed",
+                              precomputed=pres[i], _defer=zb)
     with profiler.stage("emit:zstd-flush"):
         zb.run()
     with profiler.stage("emit:assemble"):
-        return [s() if callable(s) else s for s in streams]
+        for i, mk in mks.items():
+            streams[i] = mk()
+    return streams
 
 
 # Learned per-shape caps (see pass_caps/caps_fit): photo-like corpora
