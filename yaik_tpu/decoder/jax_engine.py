@@ -543,6 +543,64 @@ _T2_ORDER = tuple((mode, shift) for mode in (0, 1, 2)
 _T2_PLANES = {0: (0, 1), 1: (1, 2), 2: (0, 2)}
 
 
+def _t2_operands(lut2_tab, accept, rows, colors, mode):
+    """Per-pass fused-kernel operands for one 2DTL pass: ride the
+    3-channel lut3d_vals kernel with the unused channel slot zeroed.
+    The packed table is pre-shifted so the two value bytes land directly
+    at planes pa/pb, and a zero min/diff makes the third byte 0 (masked
+    off by m32 anyway). Returns (tab [g, 64], cols [g, 7])."""
+    g = rows.shape[0]
+    colors = colors.astype(jnp.int32)
+    luts_pk = lut2_tab[rows]                  # [g, 64] i32 (c0 | c1<<8)
+    z = jnp.zeros((g, 1), jnp.int32)
+    c = [colors[:, i: i + 1] for i in range(4)]
+    if mode == 0:       # RG: bytes 0, 1
+        tab = luts_pk
+        cols7 = [c[0], c[1], z, c[2], c[3], z]
+    elif mode == 1:     # GB: bytes 1, 2
+        tab = luts_pk << 8
+        cols7 = [z, c[0], c[1], z, c[2], c[3]]
+    else:               # RB: bytes 0, 2
+        tab = (luts_pk & 0xFF) | ((luts_pk >> 8) << 16)
+        cols7 = [c[0], z, c[1], c[2], z, c[3]]
+    acc = accept.reshape(g, 1).astype(jnp.int32)
+    cols = jnp.concatenate(cols7 + [acc], axis=1)            # [g, 7]
+    return tab, cols
+
+
+# per-mode 3-bit written-channel mask (planes pa, pb of _T2_PLANES)
+_T2_CHMASK = {0: 0b011, 1: 0b110, 2: 0b101}
+
+
+def _tile2d_merged_pass(plane, tab3, layers, _interpret=False):
+    """The merged-2DTL decode: <= 2 priority layers on the uniform 4x4
+    grid (t2_merge_plan), each ONE fused-kernel dispatch + ONE
+    tile->image relayout + ONE masked blend - vs six of each on the
+    legacy per-(mode, size) path. tab3 is the mode-shifted TRIPLED 2D
+    table (lut2d_device_table3): row mode*C + r carries row r's entries
+    pre-shifted to the mode's plane bytes, so no per-block table fixup
+    runs on device. The per-block written-channel mask rides the kernel's
+    accept column: w = wbit * chmask lands the 3-bit mask in output bits
+    24-26 (exactly the d1 value-word convention), giving a per-block
+    plane mask with no extra relayout. Round 5: the t2dl lane's six
+    full-grid dispatches were ~7.2 of 13.9 ms/step (B=16 chained)."""
+    from yaik_tpu.ops.pallas_kernels import lut3d_vals
+    nty4, ntx4 = layers[0][0].shape
+    for chm4, rows4, cols6, pk4 in layers:
+        g = rows4.shape[0]
+        tab = tab3[rows4]                        # [G4, 64] mode-shifted
+        cols = jnp.concatenate(
+            [cols6.astype(jnp.int32),
+             chm4.reshape(g, 1).astype(jnp.int32)], axis=1)   # [G4, 7]
+        Vp = lut3d_vals(pk4.T.astype(jnp.int32), tab.T, cols.T,
+                        interpret=_interpret).T
+        V = _tile_to_image(Vp, nty4, ntx4, 4, 4).astype(jnp.uint32)
+        m32 = (((V >> 24) & 1) * 0xFF | ((V >> 25) & 1) * 0xFF00
+               | ((V >> 26) & 1) * 0xFF0000)
+        plane = _mask_blend(plane, V, m32, nty4 * 4, ntx4 * 4)
+    return plane
+
+
 def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy,
                  _interpret=False):
     """One 2DTL size pass: like _tile3d_pass but two channels
@@ -552,31 +610,13 @@ def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy,
     nty, ntx = accept.shape
     g, npx = packed.shape
     colors = colors.astype(jnp.int32)
-    luts_pk = lut2_tab[rows]                  # [g, 64] i32 (c0 | c1<<8)
     if _interpret or (USE_PALLAS and jax.devices()[0].platform == "tpu"):
-        # ride the fused 3-channel kernel with the unused channel slot
-        # zeroed: shift the packed table so the two value bytes land
-        # directly at planes pa/pb, and a zero min/diff makes the third
-        # byte 0 (masked off by m32 anyway). Replaces the per-pass
-        # one-hot f32 einsum - the t2dl family lane's dominant cost
-        # (round 5).
         from yaik_tpu.ops.pallas_kernels import lut3d_vals
-        z = jnp.zeros((g, 1), jnp.int32)
-        c = [colors[:, i: i + 1] for i in range(4)]
-        if mode == 0:       # RG: bytes 0, 1
-            tab = luts_pk
-            cols7 = [c[0], c[1], z, c[2], c[3], z]
-        elif mode == 1:     # GB: bytes 1, 2
-            tab = luts_pk << 8
-            cols7 = [z, c[0], c[1], z, c[2], c[3]]
-        else:               # RB: bytes 0, 2
-            tab = (luts_pk & 0xFF) | ((luts_pk >> 8) << 16)
-            cols7 = [c[0], z, c[1], c[2], z, c[3]]
-        acc = accept.reshape(g, 1).astype(jnp.int32)
-        colsT = jnp.concatenate(cols7 + [acc], axis=1).T     # [7, g]
-        Vp = lut3d_vals(packed.T.astype(jnp.int32), tab.T, colsT,
+        tab, cols = _t2_operands(lut2_tab, accept, rows, colors, mode)
+        Vp = lut3d_vals(packed.T.astype(jnp.int32), tab.T, cols.T,
                         interpret=_interpret).T
     else:
+        luts_pk = lut2_tab[rows]              # [g, 64] i32 (c0 | c1<<8)
         indices = (packed & 63).astype(jnp.int32)
         onehot = (indices[:, :, None] == jnp.arange(64, dtype=indices.dtype)
                   [None, None, :]).astype(jnp.float32)
@@ -834,8 +874,12 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
             plane = _blend_pass_masked(plane, *pgrad_pairs[k], mask, 2, 2)
     if t2 is not None:
         lut2_tab, t2passes = t2
-        for k, (mode, (sx, sy)) in enumerate(_T2_ORDER):
-            plane = _tile2d_pass(plane, lut2_tab, *t2passes[k], mode, sx, sy)
+        if len(t2passes) <= 2:     # merged layers (t2_merge_plan packing)
+            plane = _tile2d_merged_pass(plane, lut2_tab, t2passes)
+        else:
+            for k, (mode, (sx, sy)) in enumerate(_T2_ORDER):
+                plane = _tile2d_pass(plane, lut2_tab, *t2passes[k],
+                                     mode, sx, sy)
     if pgrad_singles is not None:   # GTIL plane in (1, 2, 4), after 2DTL
         for k, mask in enumerate(_PGRAD_SINGLES):
             plane = _blend_pass_masked(plane, *pgrad_singles[k], mask, 2, 2)
@@ -916,6 +960,123 @@ def lut2d_device_table(expanded2d: dict):
     tab = jax.device_put(np.concatenate(parts, axis=0))
     _LUT_TAB_CACHE[key] = (tab, bases, expanded2d)
     return tab, bases
+
+
+def lut2d_device_table3(expanded2d: dict):
+    """Mode-shifted TRIPLED 2D table for the merged-2DTL path: [3C, 64]
+    i32 where row mode*C + r is lut2d_device_table row r with its two
+    value bytes pre-shifted to the mode's written planes (mode 0 RG:
+    bytes 0,1; mode 1 GB: bytes 1,2; mode 2 RB: bytes 0,2 - the same
+    shifts _t2_operands applies per pass). Encoding the mode into the
+    row id removes every per-block table fixup from the device graph.
+    Cached per bank like the other device tables."""
+    key = ("2d3", id(expanded2d))
+    hit = _LUT_TAB_CACHE.get(key)
+    if hit is not None:
+        return hit[0], hit[1]
+    tab, bases = lut2d_device_table(expanded2d)
+    t = np.asarray(tab)
+    tab3 = jax.device_put(np.concatenate(
+        [t, t << 8, (t & 0xFF) | ((t >> 8) << 16)], axis=0))
+    _LUT_TAB_CACHE[key] = (tab3, bases, expanded2d)
+    return tab3, bases
+
+
+def _t2_rows_full(p, expanded2d, bases2):
+    """Full 2D-table row per tile of one 2DTL pass (type-word decode +
+    clamp; mirrors the host planner's table addressing)."""
+    t = p.types.astype(np.int64) & 0xFFFF
+    bi = (t >> 14) & 3
+    n2 = np.array([expanded2d[b].shape[0] for b in (3, 4, 5, 6)])
+    b2 = np.array([bases2[b] for b in (3, 4, 5, 6)], np.int64)
+    comb = np.minimum(t & 0x3FFF, n2[bi] - 1)
+    return (b2[bi] + comb).astype(np.int32)
+
+
+def t2_merge_plan(plan: plannermod.DecodePlan, expanded2d: dict,
+                  max_layers: int = 2):
+    """Re-block ALL six 2DTL passes (3 modes x {8x8, 4x4}, _T2_ORDER)
+    onto the uniform 4x4 grid - the 2DTL analog of t3_merge_plan.
+
+    Each accepted tile scatters its mode-encoded table row (row' =
+    mode*C + row into the lut2d_device_table3 tripled table), its
+    mode-arranged 6 color columns, its idx|wbit<<6 bytes, and the mode's
+    3-bit written-channel mask onto its covering 4x4 blocks. Blocks
+    claimed by tiles of k different passes land on k priority layers in
+    _T2_ORDER, so blending layer 0 then 1 reproduces the sequential
+    6-pass semantics exactly. Returns a tuple of max_layers layers
+    (chm4 [nty4, ntx4] u8 channel mask (0 = not accepted), rows4 [G4]
+    i32, cols6 [G4, 6] u8, packed4 [G4, 16] u8), or None when any block
+    needs > max_layers (callers fall back to the per-pass path).
+    Cached on the plan. Ref: the dead Tile2D_* decoders,
+    YAIK_3DTile.cpp (see decoder/reference.py:_tile2d_size_pass)."""
+    cached = getattr(plan, "_t2_merge_cache", None)
+    if cached is not None and cached[0] is expanded2d:
+        return cached[1]
+    h, w = plan.height, plan.width
+    nty4, ntx4 = h // 4, w // 4
+    G4 = nty4 * ntx4
+    _, bases2 = lut2d_device_table(expanded2d)
+    C = sum(expanded2d[b].shape[0] for b in (3, 4, 5, 6))
+    count = np.zeros(G4, np.uint8)
+    lay_chm = [np.zeros(G4, np.uint8) for _ in range(max_layers)]
+    lay_rows = [np.zeros(G4, np.int32) for _ in range(max_layers)]
+    lay_cols = [np.zeros((G4, 6), np.uint8) for _ in range(max_layers)]
+    lay_pk = [np.zeros((G4, 16), np.uint8) for _ in range(max_layers)]
+    by_key = {(p.mode, p.shift): p for p in plan.tile2d}
+    result = None
+    ok = True
+    for mode, (sx, sy) in _T2_ORDER:
+        p = by_key.get((mode, (sx, sy)))
+        if p is None:
+            continue
+        tw, th = 1 << sx, 1 << sy
+        nty, ntx = p.accept.shape
+        ids = np.flatnonzero(p.accept.reshape(-1))
+        if ids.size == 0:
+            continue
+        nsy, nsx = th // 4, tw // 4
+        nsub = nsy * nsx
+        ty, tx = ids // ntx, ids % ntx
+        by = ty[:, None, None] * nsy + np.arange(nsy)[None, :, None]
+        bx = tx[:, None, None] * nsx + np.arange(nsx)[None, None, :]
+        g4 = (by * ntx4 + bx).reshape(-1)
+        pk = p.packed[ids].reshape(-1, nsy, 4, nsx, 4).transpose(
+            0, 1, 3, 2, 4).reshape(-1, 16)
+        rows_sub = np.repeat(
+            mode * C + _t2_rows_full(p, expanded2d, bases2)[ids], nsub)
+        c = p.colors[ids].astype(np.uint8)        # [n, 4] min0 min1 max0 max1
+        z = np.zeros(ids.size, np.uint8)
+        if mode == 0:       # RG
+            cols = np.stack([c[:, 0], c[:, 1], z, c[:, 2], c[:, 3], z], 1)
+        elif mode == 1:     # GB
+            cols = np.stack([z, c[:, 0], c[:, 1], z, c[:, 2], c[:, 3]], 1)
+        else:               # RB
+            cols = np.stack([c[:, 0], z, c[:, 1], c[:, 2], z, c[:, 3]], 1)
+        cols_sub = np.repeat(cols, nsub, axis=0)
+        cur = count[g4]
+        if int(cur.max(initial=0)) >= max_layers:
+            ok = False
+            break
+        for L in range(max_layers):
+            sel = cur == L
+            if not sel.any():
+                continue
+            t = g4[sel]
+            lay_chm[L][t] = _T2_CHMASK[mode]
+            lay_rows[L][t] = rows_sub[sel]
+            lay_cols[L][t] = cols_sub[sel]
+            lay_pk[L][t] = pk[sel]
+        count[g4] = cur + 1                # g4 unique within one pass
+    if ok:
+        result = tuple(
+            (lay_chm[L].reshape(nty4, ntx4), lay_rows[L], lay_cols[L],
+             lay_pk[L]) for L in range(max_layers))
+    try:
+        plan._t2_merge_cache = (expanded2d, result)
+    except AttributeError:
+        pass
+    return result
 
 
 def _flag_uniq(vals, bound):
@@ -1082,7 +1243,8 @@ def combine_t3_modes(modes, plans=None):
 def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
                         expanded2d: dict | None = None,
                         t3_modes: tuple | None = None,
-                        resident: bool = False):
+                        resident: bool = False,
+                        t2_merged: bool | None = None):
     """Assemble (static shifts, lut table + bases, per-image tensor args)
     from a plan. Per-image tensors are packed thin for the host->device
     link: LUT row ids instead of per-tile table slices, idx|mask<<6 bytes,
@@ -1216,29 +1378,35 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
     if plan.tile2d:
         if expanded2d is None:
             raise ValueError("plan carries 2DTL passes but no 2D LUT given")
-        tab2, bases2 = lut2d_device_table(expanded2d)
-        by_key = {(p.mode, p.shift): p for p in plan.tile2d}
-        entries = []
-        for mode, (sx, sy) in _T2_ORDER:
-            tw, th = 1 << sx, 1 << sy
-            ntx, nty = w // tw, h // th
-            g = nty * ntx
-            p = by_key.get((mode, (sx, sy)))
-            if p is None:
-                entries.append((np.zeros((nty, ntx), bool),
-                                np.zeros(g, np.int32),
-                                np.zeros((g, 4), np.uint8),
-                                np.zeros((g, th * tw), np.uint8)))
-                continue
-            t = p.types.astype(np.int64) & 0xFFFF
-            bi = (t >> 14) & 3
-            n2 = np.array([expanded2d[b].shape[0] for b in (3, 4, 5, 6)])
-            b2 = np.array([bases2[b] for b in (3, 4, 5, 6)], np.int64)
-            comb = np.minimum(t & 0x3FFF, n2[bi] - 1)
-            rows = (b2[bi] + comb).astype(np.int32)
-            entries.append((p.accept, rows, p.colors.astype(np.uint8),
-                            p.packed))
-        t2_arg = (tab2, tuple(entries))
+        use_merged = t2_merged
+        if use_merged is None:
+            # merged layers ride the fused Pallas kernel; the CPU/XLA
+            # fallback keeps the legacy per-(mode, size) passes
+            use_merged = (USE_PALLAS
+                          and jax.devices()[0].platform == "tpu")
+        m = t2_merge_plan(plan, expanded2d) if use_merged else None
+        if m is not None:
+            tab3, _ = lut2d_device_table3(expanded2d)
+            t2_arg = (tab3, m)
+        else:
+            tab2, bases2 = lut2d_device_table(expanded2d)
+            by_key = {(p.mode, p.shift): p for p in plan.tile2d}
+            entries = []
+            for mode, (sx, sy) in _T2_ORDER:
+                tw, th = 1 << sx, 1 << sy
+                ntx, nty = w // tw, h // th
+                g = nty * ntx
+                p = by_key.get((mode, (sx, sy)))
+                if p is None:
+                    entries.append((np.zeros((nty, ntx), bool),
+                                    np.zeros(g, np.int32),
+                                    np.zeros((g, 4), np.uint8),
+                                    np.zeros((g, th * tw), np.uint8)))
+                    continue
+                rows = _t2_rows_full(p, expanded2d, bases2)
+                entries.append((p.accept, rows, p.colors.astype(np.uint8),
+                                p.packed))
+            t2_arg = (tab2, tuple(entries))
 
     pg_pairs = pg_singles = None
     variants = {g.plane_mask: g for g in plan.gradient if g.plane_mask != 7}

@@ -65,6 +65,19 @@ def _common_t3_modes(plans, expanded):
     return jax_engine.combine_t3_modes(modes, plans)
 
 
+def _common_t2_merged(plans, expanded2d):
+    """Batch-uniform 2DTL packing: merged-4x4 layers only when EVERY
+    image with 2DTL passes merges (<= 2 layers), so stacked t2 pytrees
+    share one structure. Returns the t2_merged kwarg value."""
+    if expanded2d is None or not any(p.tile2d for p in plans):
+        return None          # no 2DTL anywhere - moot, keep the default
+    if not (jax_engine.USE_PALLAS
+            and jax.devices()[0].platform == "tpu"):
+        return False         # merged layers need the fused Pallas kernel
+    return all(jax_engine.t2_merge_plan(p, expanded2d) is not None
+               for p in plans if p.tile2d)
+
+
 def _common_alpha_spec(plans):
     """One shared static alpha spec for a batch, or None when the streams
     mix specs (then alpha is host-decoded and reattached per image)."""
@@ -118,12 +131,14 @@ def decode_batch(streams, lut, mesh: Mesh | None = None):
                          "streams in one batch")
     aspec = _common_alpha_spec(plans)
     t3m = _common_t3_modes(plans, expanded)
+    t2m = _common_t2_merged(plans, expanded2d)
     all_args = []
     shifts = None
     for p in plans:
         shifts, tab, a = jax_engine.plan_to_device_args(p, expanded,
                                                         expanded2d,
-                                                        t3_modes=t3m)
+                                                        t3_modes=t3m,
+                                                        t2_merged=t2m)
         all_args.append(a if aspec is not None else _strip_alpha_arg(a))
     b_args = _stack_args(all_args)
 
@@ -225,11 +240,12 @@ def decode_spatial(stream: bytes, lut, mesh: Mesh | None = None,
             j += 1
         grp = bands[i:j]
         t3m = _common_t3_modes(grp, expanded)
+        t2m = _common_t2_merged(grp, expanded2d)
         shifts, tab, args0 = jax_engine.plan_to_device_args(
-            grp[0], expanded, expanded2d, t3_modes=t3m)
+            grp[0], expanded, expanded2d, t3_modes=t3m, t2_merged=t2m)
         all_args = [args0] + [
             jax_engine.plan_to_device_args(b, expanded, expanded2d,
-                                           t3_modes=t3m)[2]
+                                           t3_modes=t3m, t2_merged=t2m)[2]
             for b in grp[1:]]
         b_args = _stack_args(all_args)
         fn = _batched_decoder(shifts, len(b_args))
@@ -292,10 +308,12 @@ def decode_corpus(streams, lut, batch_size: int = 8,
                              for i in chunk]
                 aspec = _common_alpha_spec(plans)
                 t3m = _common_t3_modes(plans, expanded)
+                t2m = _common_t2_merged(plans, expanded2d)
                 args = []
                 for p in plans:
                     shifts, tab, a = jax_engine.plan_to_device_args(
-                        p, expanded, expanded2d, t3_modes=t3m)
+                        p, expanded, expanded2d, t3_modes=t3m,
+                        t2_merged=t2m)
                     args.append(a if aspec is not None
                                 else _strip_alpha_arg(a))
                 fn = _batched_decoder(shifts, len(args[0]), aspec)
