@@ -38,6 +38,10 @@ def _merged_apply(plane, tab3, layers):
     return je._tile2d_merged_pass(plane, tab3, layers, _interpret=True)
 
 
+def _dict_apply(plane, tab3, packed_t2):
+    return je._tile2d_merged2_pass(plane, tab3, packed_t2, _interpret=True)
+
+
 @pytest.mark.parametrize("fname", ["corr2d128.2d.yaik", "bench_2d512.yaik"])
 def test_merged_t2_matches_legacy_on_fixture(fname):
     exp2d = _luts2d()
@@ -49,10 +53,11 @@ def test_merged_t2_matches_legacy_on_fixture(fname):
     _, _, args_leg = je.plan_to_device_args(plan, expanded, exp2d,
                                             t2_merged=False)
     _, _, args_mrg = je.plan_to_device_args(plan, expanded, exp2d,
-                                            t2_merged=True)
+                                            t2_merged="gather")
     tab2, entries = args_leg[11]
     tab3, layers = args_mrg[11]
     assert len(entries) == 6 and len(layers) == 2
+    assert isinstance(layers[0], tuple)
     rng = np.random.default_rng(7)
     plane0 = jnp.asarray(rng.integers(
         0, 1 << 24, (plan.height, plan.width)).astype(np.uint32))
@@ -61,6 +66,12 @@ def test_merged_t2_matches_legacy_on_fixture(fname):
     got = np.asarray(_merged_apply(plane0, jnp.asarray(np.asarray(tab3)),
                                    layers))
     assert np.array_equal(got, want)
+    # dict-packed single-dispatch form (the default on TPU)
+    pk = je._t2_pack_dict(layers, exp2d)
+    assert pk is not None
+    got2 = np.asarray(_dict_apply(plane0, jnp.asarray(np.asarray(tab3)),
+                                  pk))
+    assert np.array_equal(got2, want)
 
 
 def _synth_pass(rng, mode, shift, nty, ntx, accept):
@@ -120,6 +131,15 @@ def test_merged_t2_overlap_layers_and_fallback():
     got = np.asarray(_merged_apply(plane0, jnp.asarray(np.asarray(tab3)),
                                    layers))
     assert np.array_equal(got, want)
+    # dict-packed form on OVERLAPPING layers: the per-channel in-kernel
+    # compose (chan=True) must reproduce the partial-channel override
+    # (layer 1 wins only on ITS channels; a whole-word compose would
+    # clobber layer 0's other channels)
+    pk = je._t2_pack_dict(layers, exp2d)
+    assert pk is not None
+    got2 = np.asarray(_dict_apply(plane0, jnp.asarray(np.asarray(tab3)),
+                                  pk))
+    assert np.array_equal(got2, want)
     # three passes on one block: infeasible -> None
     full = np.ones((nty4, ntx4), bool)
     plan3 = SimpleNamespace(height=h, width=w, tile2d=[

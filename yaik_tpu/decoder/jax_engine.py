@@ -601,6 +601,30 @@ def _tile2d_merged_pass(plane, tab3, layers, _interpret=False):
     return plane
 
 
+def _tile2d_merged2_pass(plane, tab3_full, packed_t2, _interpret=False):
+    """Both merged-2DTL priority layers in ONE fused-kernel dispatch +
+    ONE tile->image relayout + ONE masked blend - the dict-packed form
+    of _tile2d_merged_pass, riding the same int8-MXU dictionary kernel
+    as merged T3 (lut3d_vals_dict2p with chan=True: the accept fields
+    carry each block's 3-bit written-channel mask and the in-kernel
+    layer compose acts per channel, so overlapping layers stay exact).
+    packed_t2 = (dict [256] i32 rows into the tripled table,
+    (chm4, idx4, cols2) x 2 layers) from plan_to_device_args."""
+    d, (chm4a, idx4a, cols2a), (chm4b, idx4b, cols2b) = packed_t2
+    nty4, ntx4 = chm4a.shape
+    from yaik_tpu.ops.pallas_kernels import lut3d_vals_dict2p
+    ls = tab3_full[d]                        # [U, 64] i32 mode-shifted
+    tab3 = (jnp.concatenate(
+        [(ls & 0xFF).T, ((ls >> 8) & 0xFF).T, (ls >> 16).T],
+        axis=0) - 1).astype(jnp.int8)        # [192, U] entry-1 (s8 MXU)
+    VpT = lut3d_vals_dict2p(idx4a, idx4b, tab3, cols2a, cols2b,
+                            interpret=_interpret, chan=True)
+    V = _tile_to_image(VpT.T, nty4, ntx4, 4, 4).astype(jnp.uint32)
+    m32 = (((V >> 24) & 1) * 0xFF | ((V >> 25) & 1) * 0xFF00
+           | ((V >> 26) & 1) * 0xFF0000)
+    return _mask_blend(plane, V, m32, nty4 * 4, ntx4 * 4)
+
+
 def _tile2d_pass(plane, lut2_tab, accept, rows, colors, packed, mode, sx, sy,
                  _interpret=False):
     """One 2DTL size pass: like _tile3d_pass but two channels
@@ -874,7 +898,10 @@ def decode_core(shifts, lut_tab, grad_accepts, grad_corners,
             plane = _blend_pass_masked(plane, *pgrad_pairs[k], mask, 2, 2)
     if t2 is not None:
         lut2_tab, t2passes = t2
-        if len(t2passes) <= 2:     # merged layers (t2_merge_plan packing)
+        if not isinstance(t2passes[0], (tuple, list)):
+            # dict-packed merged layers: (dict, layerA, layerB)
+            plane = _tile2d_merged2_pass(plane, lut2_tab, t2passes)
+        elif len(t2passes) <= 2:   # merged layers (t2_merge_plan packing)
             plane = _tile2d_merged_pass(plane, lut2_tab, t2passes)
         else:
             for k, (mode, (sx, sy)) in enumerate(_T2_ORDER):
@@ -1077,6 +1104,37 @@ def t2_merge_plan(plan: plannermod.DecodePlan, expanded2d: dict,
     except AttributeError:
         pass
     return result
+
+
+def _t2_pack_dict(m, expanded2d):
+    """Plan-time dict-pack of t2_merge_plan layers for the fused kernel:
+    (dict [256] i32 tripled-table rows, (chm4, idx4 [4, G4], cols2
+    [2, G4]) x 2) - or None when the layers exceed the 256-entry
+    dictionary (callers ship the dense-rows gather form instead)."""
+    C3 = 3 * sum(expanded2d[b].shape[0] for b in (3, 4, 5, 6))
+    uniq, inv = _flag_uniq(np.concatenate([l[1] for l in m]), C3)
+    if uniq.size > 256:
+        return None
+    d = np.zeros(256, np.int32)
+    d[: uniq.size] = uniq
+    invs = inv.reshape(len(m), -1)
+    lay = []
+    for L, (chm4, rows4, cols6, pk4) in enumerate(m):
+        idx4, cols2 = _pack_merged_layer(chm4, invs[L], cols6, pk4)
+        lay.append((chm4, idx4, cols2))
+    return (d, lay[0], lay[1])
+
+
+def t2_dict_ok(plan: plannermod.DecodePlan, expanded2d: dict) -> bool:
+    """Can this plan's merged-2DTL layers share one <= 256-entry
+    mode-encoded row dictionary (the dict-packed kernel form)? Batch
+    callers AND this across images so stacked pytrees stay uniform."""
+    m = t2_merge_plan(plan, expanded2d)
+    if m is None:
+        return False
+    C3 = 3 * sum(expanded2d[b].shape[0] for b in (3, 4, 5, 6))
+    uniq, _ = _flag_uniq(np.concatenate([l[1] for l in m]), C3)
+    return uniq.size <= 256
 
 
 def _flag_uniq(vals, bound):
@@ -1387,7 +1445,13 @@ def plan_to_device_args(plan: plannermod.DecodePlan, expanded: dict,
         m = t2_merge_plan(plan, expanded2d) if use_merged else None
         if m is not None:
             tab3, _ = lut2d_device_table3(expanded2d)
-            t2_arg = (tab3, m)
+            pk = None if t2_merged == "gather" else _t2_pack_dict(
+                m, expanded2d)
+            # dict-packed form: both layers resolve + compose in ONE
+            # int8-MXU dictionary dispatch (lut3d_vals_dict2p chan=True),
+            # operands byte-packed at plan time like merged T3; dense
+            # per-block table rows when > 256 distinct (row, mode) pairs
+            t2_arg = (tab3, pk if pk is not None else m)
         else:
             tab2, bases2 = lut2d_device_table(expanded2d)
             by_key = {(p.mode, p.shift): p for p in plan.tile2d}

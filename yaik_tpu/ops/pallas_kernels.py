@@ -461,7 +461,7 @@ def score48(c, alive, qpts, interpret=False):
 
 
 def _vals_dict2p_kernel(P, U, idxa_ref, idxb_ref, tab_ref, cola_ref,
-                        colb_ref, *rest):
+                        colb_ref, *rest, chan=False):
     """_vals_dict2_kernel with BYTE-PACKED inputs and PER-BLOCK work
     elision. Inputs: idx rows carry 4 raw bytes per i32 lane ([P/4, LB]);
     the 8 per-tile columns pack into 2 lanes ([2, LB]:
@@ -543,7 +543,17 @@ def _vals_dict2p_kernel(P, U, idxa_ref, idxb_ref, tab_ref, cola_ref,
     vb, wb = resolve(idxb_ref, colb_ref)
     if len(rest) == 1:
         out_ref = rest[0]
-        out_ref[:] = jnp.where(wb != 0, vb, va) | ((wa | wb) << 24)
+        if chan:
+            # merged-2DTL compose: the accept fields carry the mode's
+            # 3-bit written-CHANNEL mask, so wa/wb are per-pixel channel
+            # masks (wbit * chmask). Layer 1 overrides layer 0 only on
+            # ITS channels, and the OR of both masks rides bits 24-26
+            # (the d1 value-word convention) for the image-side blend.
+            mb = (((wb & 1) * 0xFF) | (((wb >> 1) & 1) * 0xFF00)
+                  | (((wb >> 2) & 1) * 0xFF0000))
+            out_ref[:] = (va ^ ((va ^ vb) & mb)) | ((wa | wb) << 24)
+        else:
+            out_ref[:] = jnp.where(wb != 0, vb, va) | ((wa | wb) << 24)
         return
     # Fused 1D-residual compose (round 5): the d1 pass applies on top of
     # the T3 result per CHANNEL byte (YAIK_3DTile.cpp:24-240 semantics,
@@ -624,13 +634,16 @@ def lut3d_vals_dict2p_d1(idx4a, idx4b, tab3, cols2a, cols2b, codes4, prm,
     return out[:, :G]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def lut3d_vals_dict2p(idx4a, idx4b, tab3, cols2a, cols2b, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "chan"))
+def lut3d_vals_dict2p(idx4a, idx4b, tab3, cols2a, cols2b, interpret=False,
+                      chan=False):
     """Packed-input fused two-layer merged-T3 resolve (see
     _vals_dict2p_kernel): idx4* [P/4, G] i32 (4 raw idx|wmask<<6 bytes
     per lane, little-endian), cols2* [2, G] i32 packed per-tile columns.
     Returns [P, G] i32 packed RGB + (wA|wB)<<24, bit-identical to
-    lut3d_vals_dict2 on the equivalent unpacked arguments."""
+    lut3d_vals_dict2 on the equivalent unpacked arguments. chan=True is
+    the merged-2DTL form: accept fields carry 3-bit channel masks and
+    the layer compose + the bits-24-26 write flags act per channel."""
     P4, G = idx4a.shape
     P = P4 * 4
     U = tab3.shape[1]
@@ -644,7 +657,7 @@ def lut3d_vals_dict2p(idx4a, idx4b, tab3, cols2a, cols2b, interpret=False):
     colbp = jnp.pad(cols2b, ((0, 0), (0, pad)))
     grid = ((G + pad) // LB,)
     out = pl.pallas_call(
-        partial(_vals_dict2p_kernel, P, U),
+        partial(_vals_dict2p_kernel, P, U, chan=chan),
         out_shape=jax.ShapeDtypeStruct((P, G + pad), jnp.int32),
         grid=grid,
         in_specs=[

@@ -74,8 +74,13 @@ def _common_t2_merged(plans, expanded2d):
     if not (jax_engine.USE_PALLAS
             and jax.devices()[0].platform == "tpu"):
         return False         # merged layers need the fused Pallas kernel
-    return all(jax_engine.t2_merge_plan(p, expanded2d) is not None
-               for p in plans if p.tile2d)
+    if not all(jax_engine.t2_merge_plan(p, expanded2d) is not None
+               for p in plans if p.tile2d):
+        return False
+    if all(jax_engine.t2_dict_ok(p, expanded2d)
+           for p in plans if p.tile2d):
+        return True          # dict-packed single-dispatch form
+    return "gather"          # merged layers, dense per-block table rows
 
 
 def _common_alpha_spec(plans):
