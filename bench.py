@@ -254,7 +254,9 @@ def _checksum_weights(h, w, c=3):
         h, w, c)
 
 
-FAMILY_BATCH = int(os.environ.get("YAIK_BENCH_FAMILY_BATCH", "16"))
+# 32 amortizes the per-step dispatch tail like the RGB lane's b128 does
+# (t2dl measured 1326 -> 1735 MPix/s going 16 -> 32, round-5 extension)
+FAMILY_BATCH = int(os.environ.get("YAIK_BENCH_FAMILY_BATCH", "32"))
 FAMILY_STEPS = int(os.environ.get("YAIK_BENCH_FAMILY_STEPS", "6"))
 
 
